@@ -1,0 +1,189 @@
+"""Porter stemming as an Arrow-batched pandas UDF (the one Python hop).
+
+The reference stems with nltk.PorterStemmer row-at-a-time via
+pandas .apply (cleaner.py:148,166 — SURVEY.md F6). Spark has no built-in
+stemmer, so this is the single place the engine leaves the JVM:
+an Arrow-batched pandas UDF (10-100× the throughput of a row-at-a-time
+Python UDF), fed AFTER dedup/normalization so it sees minimal rows.
+
+The stemmer itself is a self-contained implementation of the classic
+Porter (1980) algorithm — public knowledge, no nltk dependency (nltk is
+not available in this environment).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+_VOWELS = "aeiou"
+
+
+def _is_cons(word: str, i: int) -> bool:
+    ch = word[i]
+    if ch in _VOWELS:
+        return False
+    if ch == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """Porter's m: count of VC sequences in [C](VC)^m[V]."""
+    m = 0
+    prev_vowel = False
+    for i in range(len(stem)):
+        v = not _is_cons(stem, i)
+        if not v and prev_vowel:
+            m += 1
+        prev_vowel = v
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(word: str) -> bool:
+    return (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and _is_cons(word, len(word) - 1)
+    )
+
+
+def _cvc(word: str) -> bool:
+    if len(word) < 3:
+        return False
+    if (
+        _is_cons(word, len(word) - 3)
+        and not _is_cons(word, len(word) - 2)
+        and _is_cons(word, len(word) - 1)
+    ):
+        return word[-1] not in "wxy"
+    return False
+
+
+_STEP2 = [
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+]
+_STEP3 = [
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+]
+_STEP4 = [
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+]
+
+
+@lru_cache(maxsize=65536)
+def porter_stem(word: str) -> str:
+    """Stem one lowercase token with the Porter (1980) algorithm."""
+    if len(word) <= 2:
+        return word
+    w = word
+
+    # Step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # Step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and _has_vowel(w[:-2]):
+        w = w[:-2]
+        w = _step1b_fixup(w)
+    elif w.endswith("ing") and _has_vowel(w[:-3]):
+        w = w[:-3]
+        w = _step1b_fixup(w)
+
+    # Step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # Step 2
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 0:
+                w = stem + rep
+            break
+
+    # Step 3
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 0:
+                w = stem + rep
+            break
+
+    # Step 4
+    for suf in _STEP4:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if suf == "ion":
+                pass  # handled below
+            if _measure(stem) > 1:
+                if suf in ("ant", "ent") or suf != "ion":
+                    w = stem
+            break
+    else:
+        if w.endswith("ion") and len(w) > 3 and w[-4] in "st":
+            stem = w[:-3]
+            if _measure(stem) > 1:
+                w = stem
+
+    # Step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+    # Step 5b
+    if _ends_double_cons(w) and w.endswith("l") and _measure(w) > 1:
+        w = w[:-1]
+
+    return w
+
+
+def _step1b_fixup(w: str) -> str:
+    if w.endswith(("at", "bl", "iz")):
+        return w + "e"
+    if _ends_double_cons(w) and not w.endswith(("l", "s", "z")):
+        return w[:-1]
+    if _measure(w) == 1 and _cvc(w):
+        return w + "e"
+    return w
+
+
+def stem_tokens_udf() -> Column:
+    """Factory for the Arrow-batched stemming UDF over array<string>."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _stem(batch: pd.Series) -> pd.Series:
+        return batch.map(
+            lambda toks: [porter_stem(t) for t in toks] if toks is not None else None
+        )
+
+    return _stem
+
+
+def stem_tokens(col: Column) -> Column:
+    """F6: Porter-stem an array<string> token column (Arrow-batched)."""
+    return stem_tokens_udf()(col)

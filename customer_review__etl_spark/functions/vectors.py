@@ -1,0 +1,31 @@
+"""Vector math over array<float>/array<double> embedding columns.
+
+Built entirely from Spark higher-order functions (zip_with/aggregate) —
+JVM-side, deterministic left-to-right folds, so results are bit-exact
+and reproducible across engines (the DuckDB oracle uses the same
+sequential order). No UDFs: at 100 TB a Python round-trip per row on a
+64-dim array would dominate the query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product via zip_with + aggregate (sequential double fold)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

@@ -1,0 +1,40 @@
+"""Cross-engine deterministic numeric helpers.
+
+The driver value-hashes Spark output against DuckDB output, so floating
+point must be bit-identical. Two rules make that true:
+
+1. **Integer-exact money sums**: monetary columns carry ≤2 decimals, so
+   `round(x*100)` is the exact integer of cents; summing longs is exact
+   and order-independent; one final division by a power of ten is a
+   single deterministic IEEE op. Engine-level SUM(double) would depend
+   on partial-aggregation order and differ in the last bits.
+
+2. **floor-scaling instead of round()**: `floor(x*1e6 + 0.5)/1e6` uses
+   only IEEE-exact ops (multiply, add, floor, divide) so every engine
+   computes the same double, whereas round() half-up/half-even behavior
+   differs across engines on exact-half values (which dyadic floats do
+   hit, e.g. 2^-7 = 0.0078125).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def cents(col: Column) -> Column:
+    """Exact integer cents of a ≤2-decimal money double."""
+    return F.round(col * 100).cast("long")
+
+
+def sql_cents(expr: str) -> str:
+    return f"CAST(round(({expr}) * 100) AS BIGINT)"
+
+
+def floor6(col: Column) -> Column:
+    """Deterministic 6-decimal quantization (see module docstring)."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def sql_floor6(expr: str) -> str:
+    return f"(floor(({expr}) * 1000000.0 + 0.5) / 1000000.0)"

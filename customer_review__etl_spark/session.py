@@ -1,0 +1,68 @@
+"""SparkSession construction + per-session conf normalization.
+
+The driver owns the SparkSession for `queries()`, so everything this
+engine needs beyond defaults must be settable at RUNTIME. `ensure_confs`
+is called by every plan entry point; it is idempotent and cheap.
+
+Scale notes (100 TB manners):
+- AQE on: post-shuffle coalescing, skew-join splitting, dynamic
+  broadcast demotion pick physical strategies at runtime.
+- shuffle.partitions is a local[32] default; on a real cluster AQE's
+  coalescing makes the initial number much less sensitive.
+- session timezone pinned to UTC so timestamp semantics are stable
+  across driver hosts (and match the DuckDB oracle's naive reading).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
+    # rejects; read as long and convert (sources.tables.load handles it).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    # MM/dd/yyyy coerce-cast parity with the reference's
+    # pd.to_datetime(errors='coerce') (cleaner.py:104-107): non-ANSI
+    # casts yield NULL instead of raising.
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def ensure_confs(spark: SparkSession) -> SparkSession:
+    """Idempotently apply runtime confs this engine depends on."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            # Non-fatal: a conf may be static in exotic deployments; the
+            # plans that need it will fail loudly with a clear error.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "customer-review-etl-spark") -> SparkSession:
+    """Build a local session shaped like the target deployment.
+
+    Tests and bench.py use this; the driver supplies its own session to
+    `__spark_entry__` (then `ensure_confs` runs on it).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(min(int(cpus) * 2, 64)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return ensure_confs(builder.getOrCreate())
