@@ -9,6 +9,13 @@ Python UDF), fed AFTER dedup/normalization so it sees minimal rows.
 The stemmer itself is a self-contained implementation of the classic
 Porter (1980) algorithm — public knowledge, no nltk dependency (nltk is
 not available in this environment).
+
+Known divergence (documented, accepted): nltk's PorterStemmer defaults
+to NLTK_EXTENSIONS mode, which deviates from classic Porter on edge
+cases (e.g. special ies/ied handling for 4-letter words: "dies"->"die"
+in nltk vs "di" classic). Stems may therefore differ from the
+reference's output for a handful of tokens. Parity with *classic
+Porter (1980)* is what the unit tests assert (published test vectors).
 """
 
 from __future__ import annotations
@@ -133,15 +140,13 @@ def porter_stem(word: str) -> str:
                 w = stem + rep
             break
 
-    # Step 4
+    # Step 4 ("ion" is deliberately NOT in _STEP4: its s/t-precondition
+    # variant is handled in the for-else below)
     for suf in _STEP4:
         if w.endswith(suf):
             stem = w[: -len(suf)]
-            if suf == "ion":
-                pass  # handled below
             if _measure(stem) > 1:
-                if suf in ("ant", "ent") or suf != "ion":
-                    w = stem
+                w = stem
             break
     else:
         if w.endswith("ion") and len(w) > 3 and w[-4] in "st":

@@ -15,15 +15,34 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# The English stopword core used by the reference via
-# TfidfVectorizer(stop_words='english') / nltk stopwords
-# (cleaner.py:109-116,144). A compact, fixed list keeps the engine
-# dependency-free and the oracle SQL expressible.
+# The classic NLTK English stopword list (public knowledge), which the
+# reference loads via nltk.corpus.stopwords (cleaner.py:56,144).
+# Apostrophe entries ("you're", "don't") are omitted: the F3 strip
+# (cleaner.py:135) removes non-letters BEFORE tokenization, so such
+# tokens can never occur; only letters-only entries are matchable.
+# Kept as one shared constant so the DuckDB oracle SQL embeds the
+# exact same list (see plans.helpers.sql_stopword_array).
 STOPWORDS = [
-    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
-    "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
-    "such", "that", "the", "their", "then", "there", "these", "they",
-    "this", "to", "was", "will", "with",
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves",
+    "you", "your", "yours", "yourself", "yourselves",
+    "he", "him", "his", "himself", "she", "her", "hers", "herself",
+    "it", "its", "itself", "they", "them", "their", "theirs",
+    "themselves", "what", "which", "who", "whom", "this", "that",
+    "these", "those", "am", "is", "are", "was", "were", "be", "been",
+    "being", "have", "has", "had", "having", "do", "does", "did",
+    "doing", "a", "an", "the", "and", "but", "if", "or", "because",
+    "as", "until", "while", "of", "at", "by", "for", "with", "about",
+    "against", "between", "into", "through", "during", "before",
+    "after", "above", "below", "to", "from", "up", "down", "in",
+    "out", "on", "off", "over", "under", "again", "further", "then",
+    "once", "here", "there", "when", "where", "why", "how", "all",
+    "any", "both", "each", "few", "more", "most", "other", "some",
+    "such", "no", "nor", "not", "only", "own", "same", "so", "than",
+    "too", "very", "s", "t", "can", "will", "just", "don", "should",
+    "now", "d", "ll", "m", "o", "re", "ve", "y", "ain", "aren",
+    "couldn", "didn", "doesn", "hadn", "hasn", "haven", "isn", "ma",
+    "mightn", "mustn", "needn", "shan", "shouldn", "wasn", "weren",
+    "won", "wouldn",
 ]
 
 # Minimal per-language marker words for the n-gram/stopword language-ID
@@ -67,9 +86,19 @@ def clean_tokens(col: Column) -> Column:
     )
 
 
+def raw_tokens(col: Column) -> Column:
+    """Whitespace tokens of raw text, empties removed.
+
+    Splits on ``\\s+`` and drops empty strings so repeated / leading /
+    trailing whitespace never yields phantom tokens (single-space split
+    would inflate counts and skew downstream ratios).
+    """
+    return F.filter(F.split(col, r"\s+"), lambda t: F.length(t) > 0)
+
+
 def token_count(col: Column) -> Column:
     """Whitespace token count of raw text (training-pipeline token stats)."""
-    return F.size(F.split(col, " "))
+    return F.size(raw_tokens(col))
 
 
 def doc_fingerprint(col: Column) -> Column:
@@ -85,24 +114,28 @@ def quality_score_cols(text: Column) -> dict[str, Column]:
     """Document quality signals (length, stopword ratio, mean word len).
 
     The classic pre-training quality heuristics, all expressed as
-    built-in column functions so they run inside codegen.
+    built-in column functions so they run inside codegen. Ratios are
+    computed from exact integer sums followed by a single IEEE division
+    so the DuckDB oracle twin reproduces them bit-for-bit.
     """
-    toks = F.split(text, " ")
+    toks = raw_tokens(F.lower(text))
     n_tokens = F.size(toks)
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
-    mean_word_len = (F.length(text) - n_tokens + 1) / n_tokens
+    sum_tok_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
+    )
     return {
-        "n_chars": F.length(text),
-        "n_tokens": n_tokens,
-        "stopword_ratio": n_stop.cast("double") / n_tokens,
-        "mean_word_len": mean_word_len.cast("double"),
+        "n_chars": F.length(text).cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "stopword_ratio": n_stop.cast("double") / n_tokens.cast("double"),
+        "mean_word_len": sum_tok_len.cast("double") / n_tokens.cast("double"),
     }
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
     """Marker-word hit counts per language, for the language-ID heuristic."""
-    toks = F.split(F.lower(text), " ")
+    toks = raw_tokens(F.lower(text))
     out: dict[str, Column] = {}
     for lang, markers in LANG_MARKERS.items():
         marker_arr = F.array(*[F.lit(m) for m in markers])

@@ -28,4 +28,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity with an explicit zero-norm rule: 0.0, not NULL.
+
+    Without the guard a zero vector divides by zero, which (ANSI off)
+    silently yields NULL and drops rows from similarity joins. The
+    DuckDB oracle twin mirrors the same rule.
+    """
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)

@@ -38,3 +38,27 @@ def floor6(col: Column) -> Column:
 
 def sql_floor6(expr: str) -> str:
     return f"(floor(({expr}) * 1000000.0 + 0.5) / 1000000.0)"
+
+
+def scaled(col: Column, decimals: int) -> Column:
+    """Exact integer of a value with ≤`decimals` true decimal digits.
+
+    Generalizes `cents`: e.g. extendedprice*(1-discount) carries 4
+    decimals → scaled(col, 4) sums exactly as longs. Both engines
+    compute the same double product (IEEE ops in the same order), so
+    round() lands on the same integer.
+    """
+    return F.round(col * (10 ** decimals)).cast("long")
+
+
+def sql_scaled(expr: str, decimals: int) -> str:
+    return f"CAST(round(({expr}) * {10 ** decimals}) AS BIGINT)"
+
+
+def sql_stopword_array() -> str:
+    """The engine STOPWORDS as a DuckDB list literal (same words, same
+    order) so oracle SQL filters with the identical set."""
+    from ..functions.text import STOPWORDS
+
+    inner = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"[{inner}]"

@@ -1,0 +1,936 @@
+"""Relational surface: projections, filters, row ops, aggregations,
+joins, windows, set ops, grouping sets, and scalar functions.
+
+Each QuerySpec re-expresses one operator row from SURVEY.md §2
+(reference locs cited per-spec) as an idiomatic Spark DataFrame plan
+with a DuckDB oracle twin. Determinism rules from plans/__init__ apply:
+integer-exact money sums (helpers.cents/scaled), tie-broken top-K,
+window keep-first dedup.
+
+Scale notes (100 TB manners) per family:
+- scans: filters/projections are plain column expressions → Catalyst
+  pushes them into the parquet scan (PushedFilters/ReadSchema).
+- aggregations: groupBy on low-cardinality keys → partial (map-side)
+  aggregation then one shuffle; sums are long-typed (order-free).
+- joins: dimension sides (region/nation/supplier/5-row literal maps)
+  are broadcast() — no shuffle of the fact table; big equi-joins leave
+  Catalyst free to pick SMJ/shuffled-hash, AQE re-plans at runtime.
+- windows: partitionBy keys are the natural entity keys (custkey,
+  user_id) so state per partition is small; no global windows except
+  the deliberately tiny ordinal demo (p06, documented).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import tables
+from . import QuerySpec
+from .helpers import cents, scaled, sql_cents, sql_scaled
+
+# The reference's verbatim topic→theme labels (cleaner.py:211-217).
+THEME_LABELS = {
+    0: "Customer Support Issues",
+    1: "Billing & Subscription Problems",
+    2: "Service Quality Concerns",
+    3: "Account Management Issues",
+    4: "Delivery & Product Issues",
+}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return tables.load(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# P: projections / filters / row ops (SURVEY §2.2)
+# --------------------------------------------------------------------------
+
+
+def p01_project_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: scan + projection + sort (extract.py:60-81 Cypher RETURN...ORDER BY)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def p02_drop_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: tolerant column drop (cleaner.py:93-94 errors='ignore');
+    Spark drop is already a no-op on missing names."""
+    return _t(spark, sf_dir, "orders").drop("o_comment_not_there", "o_orderpriority")
+
+
+def p03_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: deterministic dedup keep-first (cleaner.py:99-101).
+
+    pandas drop_duplicates keeps first-by-position; Spark dropDuplicates
+    keeps an arbitrary row — so parity requires the window form:
+    row_number over (key) ordered by the position surrogate.
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+def p04_coerce_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: typed cast with null-on-error (cleaner.py:104-107
+    pd.to_datetime(errors='coerce')); ANSI off → NULL, never raise."""
+    df = _t(spark, sf_dir, "orders")
+    return df.select(
+        "o_orderkey",
+        F.to_date(
+            F.date_format("o_orderdate", "MM/dd/yyyy"), "MM/dd/yyyy"
+        ).alias("parsed_date"),
+        F.to_date("o_orderpriority").alias("bad_parse"),
+    )
+
+
+def p05_lowercase_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: lowercase-all-columns rename (cleaner.py:110)."""
+    df = _t(spark, sf_dir, "nation").toDF("N_NATIONKEY", "N_NAME", "N_REGIONKEY")
+    return df.toDF(*[c.lower() for c in df.columns])
+
+
+def p06_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: reset_index → explicit ordinal (cleaner.py:113).
+
+    A single global window is deliberate here (the operator IS a global
+    ordinal); at scale prefer zipWithIndex-free monotonically_increasing_id
+    or an ordering key — documented, not silently swapped.
+    """
+    w = Window.orderBy("s_suppkey")
+    return (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name")
+        .withColumn("ordinal", F.row_number().over(w))
+    )
+
+
+def p07_filter_nonempty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: non-empty string filter (cleaner.py:169)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def p08_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: equality filter on a category column (dashboard.py:24-25)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+
+
+def p09_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: projection (dashboard.py:46); Catalyst prunes the scan to 2 cols."""
+    return _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+
+
+def p10_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: limit/head (dashboard.py:46) — tie-broken so the row SET is
+    deterministic (bare LIMIT is not)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def p11_derived_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: per-row derived columns (cleaner.py:166 .apply) — all
+    JVM-side expressions, no Python: regexp extraction from the JSON
+    props + a rating-parse-style regexp_extract (SURVEY §2.6)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("int").alias("k"),
+        F.upper("event_type").alias("event_type_uc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A: aggregations (SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+
+def a01_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: value_counts ≡ groupBy.count desc (dashboard.py:29-30), the
+    flagship. Tie-broken by key for determinism."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "event_type")
+    )
+
+
+def a02_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: nunique (ml_pipeline_dag.py:184)."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def a03_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-column null counts (extract.py:128 df.isnull().sum())."""
+    df = _t(spark, sf_dir, "orders")
+    return df.agg(
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+            for c in df.columns
+        ]
+    )
+
+
+def a04_row_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: row count (extract.py:80 len(df))."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def a05_distinct_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: sorted unique (dashboard.py:21)."""
+    return _t(spark, sf_dir, "events").select("event_type").distinct().orderBy(
+        "event_type"
+    )
+
+
+def a07_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: shape/describe-style summary (extract.py:123-128) with
+    exact integer sums (min/max/count are order-free by nature)."""
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.sum(cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.sum(cents(F.col("l_extendedprice"))).alias("sum_price_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Headline TPC-H-style queries (scan+agg, join+agg+topk, multi-join)
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide partial-aggregated scan; all sums are exact
+    longs (cents / 1e-4-scaled), averages derived from exact sums with
+    one deterministic division per value."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    g = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(scaled(disc_price, 4)).alias("sum_disc_price_e4"),
+            F.sum(scaled(charge, 6)).alias("sum_charge_e6"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty_cents",
+        "sum_base_cents",
+        "sum_disc_price_e4",
+        "sum_charge_e6",
+        (F.col("sum_qty_cents") / 100.0 / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_cents") / 100.0 / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective fact joins + group + tie-broken top-10.
+    customer filter first (smallest), joins leave Catalyst/AQE free to
+    pick broadcast for the filtered customer side."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    revenue = scaled(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join; region/nation broadcast (tiny dims),
+    customer-supplier nation equality closes the cycle."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = scaled(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# J: joins (SURVEY §2.3)
+# --------------------------------------------------------------------------
+
+
+def j01_broadcast_theme_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: the reference's dict-lookup enrichment (cleaner.py:211-220)
+    as a broadcast LEFT join against the verbatim 5-label theme map.
+    pmod(user_id, 7) yields topics 5-6 with no label → NULL, exercising
+    the left-join unmatched path exactly like .map() → NaN."""
+    labels = spark.createDataFrame(
+        [(k, v) for k, v in THEME_LABELS.items()], "topic INT, theme STRING"
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.pmod(F.col("user_id"), F.lit(7)).cast("int").alias("topic")
+    )
+    return ev.join(F.broadcast(labels), "topic", "left").select(
+        "event_id", "topic", "theme"
+    )
+
+
+def j02_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice"
+    )
+
+
+def j03_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having ≥1 'F'-status order (semi: no row duplication)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def j04_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders at all (anti)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def j05_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer vs supplier counts, FULL OUTER joined."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cust.join(
+        supp, cust.c_nationkey == supp.s_nationkey, "full_outer"
+    ).select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+def j06_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi range) join: supplier×part on a price band.
+    10×200 rows → BNLJ with the supplier side broadcast; at scale a
+    banded range join would bucket on floor(price/band)."""
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.join(
+            F.broadcast(supp),
+            (part.p_retailprice >= supp.s_acctbal / 10)
+            & (part.p_retailprice < supp.s_acctbal / 10 + 50),
+        )
+        .select("s_suppkey", "p_partkey", "p_retailprice")
+    )
+
+
+def j07_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT join: all nations kept, unmatched suppliers → NULL counts."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey, "right_outer")
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("s_suppkey").alias("n_supp"))
+    )
+
+
+# --------------------------------------------------------------------------
+# W: window functions (SURVEY §2.5)
+# --------------------------------------------------------------------------
+
+
+def w01_row_number_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice (tie: orderkey)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def w02_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user previous/next event value (total order: ts, event_id)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+def w03_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total of value (exact long cents; rowsBetween
+    unbounded-preceding→current over a total order)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.sum(cents(F.col("value"))).over(w).alias("running_cents"),
+    )
+
+
+def w04_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank + dense_rank of parts by size within brand."""
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_size"))
+    return _t(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        "p_size",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set ops / grouping sets (SURVEY §2.5)
+# --------------------------------------------------------------------------
+
+
+def set01_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("event_id", "user_id")
+    b = ev.filter(F.col("event_type") == "error").select("event_id", "user_id")
+    return a.unionByName(b)
+
+
+def set02_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who both clicked and purchased (INTERSECT = distinct)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)
+
+
+def set03_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference: view-ing users minus signup users."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return a.exceptAll(b)
+
+
+def g01_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .rollup("c_mktsegment", "c_nationkey")
+        .agg(
+            F.grouping("c_mktsegment").cast("int").alias("g_seg"),
+            F.grouping("c_nationkey").cast("int").alias("g_nat"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def g02_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts")).cast("date")
+    )
+    return ev.cube("event_type", "day").agg(
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.grouping("day").cast("int").alias("g_day"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def g03_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via SQL (the DataFrame API has no direct
+    grouping-sets builder; spark.sql is the idiomatic route)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(1) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# F: scalar function surface (SURVEY §2.6)
+# --------------------------------------------------------------------------
+
+
+def f01_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per order exercising string/date/math scalars, all
+    expressed with cross-engine-deterministic ops."""
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.upper("o_orderstatus").alias("status_uc"),
+        F.concat_ws("#", "o_orderstatus", "o_orderpriority").alias("tag"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+        F.month("o_orderdate").cast("bigint").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("o_day"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.abs(F.col("o_totalprice")).alias("abs_price"),
+        F.pmod(F.col("o_orderkey"), F.lit(7)).cast("bigint").alias("key_mod7"),
+        F.ceil("o_totalprice").cast("bigint").alias("price_ceil"),
+        F.floor("o_totalprice").cast("bigint").alias("price_floor"),
+    )
+
+
+def f02_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order scalars over split tokens (scalarized outputs
+    so the hash compares engine-neutral values)."""
+    toks = F.split(F.col("p_type"), " ")
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.size(toks).alias("n_words"),
+        F.element_at(toks, 1).alias("first_word"),
+        F.element_at(toks, -1).alias("last_word"),
+        F.array_contains(toks, "BRUSHED").cast("int").alias("has_brushed"),
+        F.concat_ws("_", F.sort_array(toks)).alias("sorted_words"),
+    )
+
+
+SPECS = [
+    QuerySpec(
+        "p01_project_sort",
+        p01_project_sort,
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey",
+    ),
+    QuerySpec(
+        "p02_drop_columns",
+        p02_drop_columns,
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate "
+        "FROM orders",
+    ),
+    QuerySpec(
+        "p03_dedup_keep_first",
+        p03_dedup_keep_first,
+        """
+        SELECT user_id, event_type, event_id, ts FROM (
+          SELECT user_id, event_type, event_id, ts,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS rn
+          FROM events) WHERE rn = 1
+        """,
+    ),
+    QuerySpec(
+        "p04_coerce_cast",
+        p04_coerce_cast,
+        """
+        SELECT o_orderkey,
+               CAST(try_strptime(strftime(o_orderdate, '%m/%d/%Y'),
+                                 '%m/%d/%Y') AS DATE) AS parsed_date,
+               TRY_CAST(o_orderpriority AS DATE) AS bad_parse
+        FROM orders
+        """,
+    ),
+    QuerySpec(
+        "p05_lowercase_rename",
+        p05_lowercase_rename,
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    ),
+    QuerySpec(
+        "p06_ordinal",
+        p06_ordinal,
+        "SELECT s_suppkey, s_name, "
+        "row_number() OVER (ORDER BY s_suppkey) AS ordinal FROM supplier",
+    ),
+    QuerySpec(
+        "p07_filter_nonempty",
+        p07_filter_nonempty,
+        "SELECT doc_id, lang, n_chars FROM documents WHERE length(trim(text)) > 0",
+    ),
+    QuerySpec(
+        "p08_filter_eq",
+        p08_filter_eq,
+        "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
+    ),
+    QuerySpec(
+        "p09_select",
+        p09_select,
+        "SELECT o_orderkey, o_totalprice FROM orders",
+    ),
+    QuerySpec(
+        "p10_limit_topk",
+        p10_limit_topk,
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    ),
+    QuerySpec(
+        "p11_derived_json",
+        p11_derived_json,
+        """
+        SELECT event_id,
+               CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k,
+               upper(event_type) AS event_type_uc
+        FROM events
+        """,
+    ),
+    QuerySpec(
+        "a01_group_count",
+        a01_group_count,
+        "SELECT event_type, count(1) AS n FROM events "
+        "WHERE event_type IS NOT NULL GROUP BY event_type "
+        "ORDER BY n DESC, event_type",
+    ),
+    QuerySpec(
+        "a02_count_distinct",
+        a02_count_distinct,
+        "SELECT count(DISTINCT o_custkey) AS n_customers, "
+        "count(DISTINCT o_orderstatus) AS n_statuses, "
+        "count(1) AS n_orders FROM orders",
+    ),
+    QuerySpec(
+        "a03_null_counts",
+        a03_null_counts,
+        "SELECT "
+        + ", ".join(
+            f"CAST(count(*) - count({c}) AS BIGINT) AS nulls_{c}"
+            for c in [
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            ]
+        )
+        + " FROM orders",
+    ),
+    QuerySpec(
+        "a04_row_count",
+        a04_row_count,
+        "SELECT count(1) AS n_rows FROM lineitem",
+    ),
+    QuerySpec(
+        "a05_distinct_sort",
+        a05_distinct_sort,
+        "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    ),
+    QuerySpec(
+        "a07_summary_stats",
+        a07_summary_stats,
+        f"""
+        SELECT count(1) AS n_rows,
+               min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+               CAST(sum({sql_cents('l_quantity')}) AS BIGINT) AS sum_qty_cents,
+               min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+               CAST(sum({sql_cents('l_extendedprice')}) AS BIGINT) AS sum_price_cents
+        FROM lineitem
+        """,
+    ),
+    QuerySpec(
+        "q1_pricing_summary",
+        q1_pricing_summary,
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum({sql_cents('l_quantity')}) AS BIGINT) AS sum_qty_cents,
+               CAST(sum({sql_cents('l_extendedprice')}) AS BIGINT) AS sum_base_cents,
+               CAST(sum({sql_scaled('l_extendedprice * (1 - l_discount)', 4)}) AS BIGINT)
+                 AS sum_disc_price_e4,
+               CAST(sum({sql_scaled('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}) AS BIGINT)
+                 AS sum_charge_e6,
+               (CAST(sum({sql_cents('l_quantity')}) AS BIGINT) / 100.0) / count(1) AS avg_qty,
+               (CAST(sum({sql_cents('l_extendedprice')}) AS BIGINT) / 100.0) / count(1) AS avg_price,
+               count(1) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """,
+    ),
+    QuerySpec(
+        "q3_shipping_priority",
+        q3_shipping_priority,
+        f"""
+        SELECT o_orderkey, o_orderdate,
+               CAST(sum({sql_scaled('l_extendedprice * (1 - l_discount)', 4)}) AS BIGINT)
+                 AS revenue_e4
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10
+        """,
+    ),
+    QuerySpec(
+        "q5_local_supplier_volume",
+        q5_local_supplier_volume,
+        f"""
+        SELECT n_name,
+               CAST(sum({sql_scaled('l_extendedprice * (1 - l_discount)', 4)}) AS BIGINT)
+                 AS revenue_e4
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY revenue_e4 DESC, n_name
+        """,
+    ),
+    QuerySpec(
+        "j01_broadcast_theme_label",
+        j01_broadcast_theme_label,
+        """
+        WITH labels(topic, theme) AS (VALUES
+          (0, 'Customer Support Issues'),
+          (1, 'Billing & Subscription Problems'),
+          (2, 'Service Quality Concerns'),
+          (3, 'Account Management Issues'),
+          (4, 'Delivery & Product Issues'))
+        SELECT e.event_id, CAST(e.user_id % 7 AS INTEGER) AS topic, l.theme
+        FROM events e
+        LEFT JOIN labels l ON CAST(e.user_id % 7 AS INTEGER) = l.topic
+        """,
+    ),
+    QuerySpec(
+        "j02_inner_equi",
+        j02_inner_equi,
+        "SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice "
+        "FROM orders JOIN customer ON o_custkey = c_custkey",
+    ),
+    QuerySpec(
+        "j03_left_semi",
+        j03_left_semi,
+        "SELECT c_custkey, c_name FROM customer WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')",
+    ),
+    QuerySpec(
+        "j04_left_anti",
+        j04_left_anti,
+        "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    ),
+    QuerySpec(
+        "j05_full_outer",
+        j05_full_outer,
+        """
+        WITH c AS (SELECT c_nationkey, count(1) AS n_cust FROM customer GROUP BY 1),
+             s AS (SELECT s_nationkey, count(1) AS n_supp FROM supplier GROUP BY 1)
+        SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+               coalesce(n_cust, 0) AS n_cust,
+               coalesce(n_supp, 0) AS n_supp
+        FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+        """,
+    ),
+    QuerySpec(
+        "j06_theta_range",
+        j06_theta_range,
+        """
+        SELECT s_suppkey, p_partkey, p_retailprice
+        FROM part JOIN supplier
+          ON p_retailprice >= s_acctbal / 10
+         AND p_retailprice <  s_acctbal / 10 + 50
+        """,
+    ),
+    QuerySpec(
+        "j07_right_outer",
+        j07_right_outer,
+        """
+        SELECT n_nationkey, n_name, count(s_suppkey) AS n_supp
+        FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_nationkey, n_name
+        """,
+    ),
+    QuerySpec(
+        "w01_row_number_topn",
+        w01_row_number_topn,
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) WHERE rn <= 3
+        """,
+    ),
+    QuerySpec(
+        "w02_lag_lead",
+        w02_lag_lead,
+        """
+        SELECT user_id, event_id, value,
+               lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+               lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+        FROM events
+        """,
+    ),
+    QuerySpec(
+        "w03_running_sum",
+        w03_running_sum,
+        f"""
+        SELECT user_id, event_id,
+               CAST(sum({sql_cents('value')})
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS running_cents
+        FROM events
+        """,
+    ),
+    QuerySpec(
+        "w04_rank_dense",
+        w04_rank_dense,
+        """
+        SELECT p_brand, p_partkey, p_size,
+               rank()       OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS rnk,
+               dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS drnk
+        FROM part
+        """,
+    ),
+    QuerySpec(
+        "set01_union_all",
+        set01_union_all,
+        "SELECT event_id, user_id FROM events WHERE event_type = 'click' "
+        "UNION ALL "
+        "SELECT event_id, user_id FROM events WHERE event_type = 'error'",
+    ),
+    QuerySpec(
+        "set02_intersect",
+        set02_intersect,
+        "SELECT user_id FROM events WHERE event_type = 'click' "
+        "INTERSECT "
+        "SELECT user_id FROM events WHERE event_type = 'purchase'",
+    ),
+    QuerySpec(
+        "set03_except_all",
+        set03_except_all,
+        "SELECT user_id FROM events WHERE event_type = 'view' "
+        "EXCEPT ALL "
+        "SELECT user_id FROM events WHERE event_type = 'signup'",
+    ),
+    QuerySpec(
+        "g01_rollup",
+        g01_rollup,
+        """
+        SELECT c_mktsegment, c_nationkey,
+               CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_seg,
+               CAST(GROUPING(c_nationkey) AS INTEGER) AS g_nat,
+               count(1) AS n
+        FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+        """,
+    ),
+    QuerySpec(
+        "g02_cube",
+        g02_cube,
+        """
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+               CAST(GROUPING(CAST(date_trunc('day', ts) AS DATE)) AS INTEGER) AS g_day,
+               count(1) AS n
+        FROM events GROUP BY CUBE (event_type, CAST(date_trunc('day', ts) AS DATE))
+        """,
+    ),
+    QuerySpec(
+        "g03_grouping_sets",
+        g03_grouping_sets,
+        """
+        SELECT o_orderstatus, o_orderpriority, count(1) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+    ),
+    QuerySpec(
+        "f01_string_date_math",
+        f01_string_date_math,
+        """
+        SELECT o_orderkey,
+               substr(o_orderpriority, 1, 1) AS prio_code,
+               upper(o_orderstatus) AS status_uc,
+               concat_ws('#', o_orderstatus, o_orderpriority) AS tag,
+               CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(month(o_orderdate) AS BIGINT) AS o_month,
+               CAST(day(o_orderdate) AS BIGINT) AS o_day,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+               abs(o_totalprice) AS abs_price,
+               CAST(o_orderkey % 7 AS BIGINT) AS key_mod7,
+               CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+               CAST(floor(o_totalprice) AS BIGINT) AS price_floor
+        FROM orders
+        """,
+    ),
+    QuerySpec(
+        "f02_array_funcs",
+        f02_array_funcs,
+        """
+        SELECT p_partkey,
+               CAST(len(string_split(p_type, ' ')) AS INTEGER) AS n_words,
+               string_split(p_type, ' ')[1] AS first_word,
+               string_split(p_type, ' ')[-1] AS last_word,
+               CAST(list_contains(string_split(p_type, ' '), 'BRUSHED') AS INTEGER)
+                 AS has_brushed,
+               array_to_string(list_sort(string_split(p_type, ' ')), '_')
+                 AS sorted_words
+        FROM part
+        """,
+    ),
+]

@@ -1,0 +1,3 @@
+"""textplans — filled in as the build progresses (see SURVEY.md §7)."""
+
+SPECS: list = []
