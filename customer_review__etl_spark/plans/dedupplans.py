@@ -1,3 +1,444 @@
-"""dedupplans — filled in as the build progresses (see SURVEY.md §7)."""
+"""Deduplication plans over `documents` — the LLM-training-pipeline
+headline operators: exact (fingerprint group), MinHash+LSH near-dup,
+SimHash near-dup, and character-n-gram Jaccard.
 
-SPECS: list = []
+Everything here — including the LSH banding — is expressed with
+deterministic md5-based hashing and pure integer/double arithmetic, so
+each operator has a full DuckDB oracle twin (not just a rows-only
+check): both engines compute bit-identical signatures, candidate sets,
+and similarity values.
+
+Scale notes (100 TB manners):
+- group/join keys are 128-bit digests or integer chunks — full document
+  bodies are never shuffled (d01 groups on md5, d02/d03 band buckets
+  shuffle ≤32-byte keys).
+- candidate generation is LSH-banded (d02: 16 minhashes × 4 bands;
+  d03: 4×16-bit SimHash chunks), so the pair space is the union of
+  small per-bucket cliques, never all-pairs. Exact Jaccard runs only on
+  candidates, via an equi-join on shingle — no array broadcast.
+- d04's candidate join is blocked by (lang, length bucket); at 100 TB
+  add a rare-gram prefilter (drop grams with doc-frequency above a cap)
+  which only shrinks the candidate set deterministically.
+
+Reference tie-in: the reference dedups reviews exactly once
+(cleaner.py:99-101, 128→13 rows, the P3 keep-first path — see
+relational.p03/d01); near-dup dedup generalizes it for training-data
+pipelines per the north star in BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as T
+from ..sources import tables
+from . import QuerySpec
+from .helpers import sql_normalize, sql_raw_tokens
+
+N_HASHES = 16      # minhash signature length
+N_BANDS = 4        # LSH bands (4 rows per band)
+JACCARD_MIN = 0.5  # near-dup verification threshold (d02)
+NGRAM_JACCARD_MIN = 0.4
+HAMMING_MAX = 3    # simhash near-dup threshold (of 64 bits)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------------
+# d01: exact dedup (fingerprint keep-first)
+# --------------------------------------------------------------------------
+
+
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on the md5 content fingerprint, keep the
+    lowest doc_id (deterministic keep-first, cleaner.py:99-101)."""
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", T.doc_fingerprint(F.col("text")).alias("fingerprint"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fingerprint")
+    )
+
+
+# --------------------------------------------------------------------------
+# d02: MinHash + LSH near-dup
+# --------------------------------------------------------------------------
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-token shingles per doc: (doc_id, sh). Docs with <3
+    tokens have no shingles and exit the near-dup path."""
+    tk = T.raw_tokens(T.normalize_text(F.col("text")))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(tk) - 2), "
+                        "i -> concat_ws(' ', tk[i-1], tk[i], tk[i+1]))"
+                    )
+                )
+            ).alias("sh"),
+        )
+    )
+
+
+def _minhash_sigs(sh: DataFrame) -> DataFrame:
+    """16 deterministic minhashes: min over shingles of md5('<seed>:'+sh).
+    Lexicographic min over lowercase hex is engine-neutral."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"h{s}")
+        for s in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _bands(sigs: DataFrame) -> DataFrame:
+    """4 bands of 4 signature rows each, hashed to one 128-bit key."""
+    rows_per_band = N_HASHES // N_BANDS
+    entries: list[Column] = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        entries.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*cols)).alias("bh"))
+        )
+    return sigs.select(
+        "doc_id", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", "e.band", "e.bh")
+
+
+def d02_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+
+    shingle → 16 minhashes → 4 LSH bands → candidate pairs sharing any
+    band bucket → exact Jaccard via shingle equi-join → keep ≥ 0.5.
+    """
+    sh = _shingles(spark, sf_dir).cache()
+    bands = _bands(_minhash_sigs(sh))
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band").alias("band_b"),
+        F.col("bh").alias("bh_b"),
+    )
+    cand = (
+        bands.join(
+            b2,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bh") == F.col("bh_b"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ea = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    eb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(
+            eb,
+            (F.col("doc_b") == F.col("doc_b2"))
+            & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = n.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# d03: SimHash near-dup
+# --------------------------------------------------------------------------
+
+
+def _hexdigit_to_int(engine: str, char_expr: str) -> str:
+    """ASCII arithmetic hex-digit decode, identical in both engines."""
+    return (
+        f"(CASE WHEN ascii({char_expr}) >= 97 THEN ascii({char_expr}) - 87 "
+        f"ELSE ascii({char_expr}) - 48 END)"
+    )
+
+
+def _bit_expr(engine: str, k: int) -> str:
+    """Bit k (0-63) of md5(tok): nibble k//4 of the hex digest, bit
+    3-(k%4) within the nibble. `engine` picks the integer-div spelling."""
+    nib = _hexdigit_to_int(engine, f"substr(md5(tok), {k // 4 + 1}, 1)")
+    shift = 2 ** (3 - k % 4)
+    div = "div" if engine == "spark" else "//"
+    return f"(({nib} {div} {shift}) % 2)"
+
+
+def _simhash_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 64-bit SimHash as 4×16-bit integer chunks.
+
+    Majority vote per bit over the doc's distinct normalized tokens
+    (+1 if the token's md5 bit is set, −1 otherwise); chunk c packs
+    bits 16c..16c+15 little-endian. Pure integer arithmetic."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(T.raw_tokens(T.normalize_text(F.col("text"))))
+            ).alias("tok"),
+        )
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"2 * {_bit_expr('spark', k)} - 1")).alias(f"s{k}")
+            for k in range(64)
+        ]
+    )
+    chunk_cols = []
+    for c in range(4):
+        expr = " + ".join(
+            f"(CASE WHEN s{16 * c + k} > 0 THEN {2 ** k} ELSE 0 END)"
+            for k in range(16)
+        )
+        chunk_cols.append(F.expr(expr).cast("long").alias(f"c{c}"))
+    return sums.select("doc_id", *chunk_cols)
+
+
+def d03_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: candidates share ≥1 exact 16-bit
+    chunk (pigeonhole: hamming ≤ 3 over 4 chunks ⇒ at least one chunk
+    is identical, so the prefilter is exact, not just a recall trade),
+    verified by full 64-bit hamming ≤ HAMMING_MAX."""
+    ch = _simhash_chunks(spark, sf_dir).cache()
+    right = ch.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"c{c}").alias(f"b{c}") for c in range(4)],
+    )
+    band_match = None
+    for c in range(4):
+        m = F.col(f"c{c}") == F.col(f"b{c}")
+        band_match = m if band_match is None else (band_match | m)
+    hamming = None
+    for c in range(4):
+        h = F.bit_count(F.col(f"c{c}").bitwiseXOR(F.col(f"b{c}")))
+        hamming = h if hamming is None else (hamming + h)
+    return (
+        ch.join(right, band_match & (F.col("doc_id") < F.col("doc_b")))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+            hamming.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# d04: character n-gram Jaccard
+# --------------------------------------------------------------------------
+
+
+def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard pairs, blocked by (lang, length/100
+    bucket): candidates come from a gram equi-join inside each block,
+    verified by exact Jaccard from distinct-gram counts ≥ 0.4."""
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        T.normalize_text(F.col("text")).alias("norm"),
+    ).withColumn("lbucket", F.floor(F.length("norm") / 100))
+    grams = base.filter(F.length("norm") >= 3).select(
+        "doc_id",
+        "lang",
+        "lbucket",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(norm) - 2), "
+                    "i -> substr(norm, i, 3))"
+                )
+            )
+        ).alias("g"),
+    )
+    n = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    gb = grams.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("lbucket").alias("lbucket_b"),
+        F.col("g").alias("g_b"),
+    )
+    inter = (
+        grams.join(
+            gb,
+            (F.col("g") == F.col("g_b"))
+            & (F.col("lang") == F.col("lang_b"))
+            & (F.col("lbucket") == F.col("lbucket_b"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = n.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_MIN)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle twins
+# --------------------------------------------------------------------------
+
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {sql_raw_tokens(sql_normalize('text'))} AS tk
+         FROM documents),
+shl AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tk) - 1),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingles
+        FROM toks WHERE len(tk) >= 3),
+e AS (SELECT doc_id, _u.sh FROM shl, UNNEST(shingles) AS _u(sh))
+"""
+
+_SIG_COLS = ", ".join(
+    f"min(md5('{s}:' || sh)) AS h{s}" for s in range(N_HASHES)
+)
+_BAND_ROWS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, "
+    f"md5(h{4 * b} || h{4 * b + 1} || h{4 * b + 2} || h{4 * b + 3}) AS bh "
+    "FROM sigs"
+    for b in range(N_BANDS)
+)
+
+_D02_SQL = f"""
+WITH {_SHINGLES_CTE},
+sigs AS (SELECT doc_id, {_SIG_COLS} FROM e GROUP BY doc_id),
+bands AS ({_BAND_ROWS}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+n AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+          FROM cand c
+          JOIN e ea ON ea.doc_id = c.doc_a
+          JOIN e eb ON eb.doc_id = c.doc_b AND eb.sh = ea.sh
+          GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       i.inter::DOUBLE / (na.n + nb.n - i.inter)::DOUBLE AS jaccard
+FROM inter i
+JOIN n na ON na.doc_id = i.doc_a
+JOIN n nb ON nb.doc_id = i.doc_b
+WHERE i.inter::DOUBLE / (na.n + nb.n - i.inter)::DOUBLE >= {JACCARD_MIN}
+ORDER BY doc_a, doc_b
+"""
+
+_SUM_COLS = ", ".join(
+    f"sum(2 * {_bit_expr('duckdb', k)} - 1) AS s{k}" for k in range(64)
+)
+_CHUNK_COLS = ", ".join(
+    "CAST("
+    + " + ".join(
+        f"(CASE WHEN s{16 * c + k} > 0 THEN {2 ** k} ELSE 0 END)"
+        for k in range(16)
+    )
+    + f" AS BIGINT) AS c{c}"
+    for c in range(4)
+)
+
+_D03_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, _u.tok
+  FROM (SELECT doc_id,
+               list_distinct({sql_raw_tokens(sql_normalize('text'))}) AS tk
+        FROM documents),
+       UNNEST(tk) AS _u(tok)
+),
+sums AS (SELECT doc_id, {_SUM_COLS} FROM toks GROUP BY doc_id),
+ch AS (SELECT doc_id, {_CHUNK_COLS} FROM sums)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+          + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+          AS BIGINT) AS hamming
+FROM ch a JOIN ch b
+  ON (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+    + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= {HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+_D04_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, {sql_normalize('text')} AS norm FROM documents
+),
+g AS (
+  SELECT doc_id, lang, CAST(floor(length(norm) / 100) AS BIGINT) AS lbucket,
+         _u.g
+  FROM (SELECT doc_id, lang, norm,
+               list_distinct(list_transform(range(1, length(norm) - 1),
+                 i -> substr(norm, i, 3))) AS grams
+        FROM base WHERE length(norm) >= 3),
+       UNNEST(grams) AS _u(g)
+),
+n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM g a JOIN g b
+            ON a.g = b.g AND a.lang = b.lang AND a.lbucket = b.lbucket
+           AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       i.inter::DOUBLE / (na.n + nb.n - i.inter)::DOUBLE AS jaccard
+FROM inter i
+JOIN n na ON na.doc_id = i.doc_a
+JOIN n nb ON nb.doc_id = i.doc_b
+WHERE i.inter::DOUBLE / (na.n + nb.n - i.inter)::DOUBLE >= {NGRAM_JACCARD_MIN}
+ORDER BY doc_a, doc_b
+"""
+
+SPECS = [
+    QuerySpec(
+        "d01_exact_dedup",
+        d01_exact_dedup,
+        f"""
+        SELECT doc_id, fingerprint FROM (
+          SELECT doc_id, md5({sql_normalize('text')}) AS fingerprint,
+                 row_number() OVER (PARTITION BY md5({sql_normalize('text')})
+                                    ORDER BY doc_id) AS rn
+          FROM documents) WHERE rn = 1
+        """,
+    ),
+    QuerySpec("d02_minhash_near_dup", d02_minhash_near_dup, _D02_SQL),
+    QuerySpec("d03_simhash_near_dup", d03_simhash_near_dup, _D03_SQL),
+    QuerySpec("d04_ngram_jaccard", d04_ngram_jaccard, _D04_SQL),
+]

@@ -62,3 +62,29 @@ def sql_stopword_array() -> str:
 
     inner = ", ".join(f"'{w}'" for w in STOPWORDS)
     return f"[{inner}]"
+
+
+# ---------------------------------------------------------------------------
+# DuckDB fragments mirroring functions.text — kept adjacent to their Spark
+# twins' helpers so the two sides can only drift in one reviewable place.
+# ---------------------------------------------------------------------------
+
+
+def sql_normalize(expr: str) -> str:
+    """DuckDB twin of text.normalize_text (F1-F3)."""
+    return rf"regexp_replace(lower(coalesce({expr}, '')), '[^a-z\s]', '', 'g')"
+
+
+def sql_raw_tokens(expr: str) -> str:
+    """DuckDB twin of text.raw_tokens: \\s+ split, empties dropped."""
+    return (
+        rf"list_filter(string_split_regex({expr}, '\s+'), _t -> len(_t) > 0)"
+    )
+
+
+def sql_clean_tokens(expr: str) -> str:
+    """DuckDB twin of text.clean_tokens (F4+F5 over normalized text)."""
+    return (
+        rf"list_filter(string_split_regex({sql_normalize(expr)}, '\s+'), "
+        rf"_t -> len(_t) > 2 AND NOT list_contains({sql_stopword_array()}, _t))"
+    )

@@ -1,3 +1,261 @@
-"""simplans — filled in as the build progresses (see SURVEY.md §7)."""
+"""Similarity-search plans over the `embeddings` table (array<float>,
+64-dim): brute-force cosine top-k as the exactness baseline, and
+hyperplane-LSH bucketed variants as the scale path (ANN top-k and
+near-duplicate pair mining).
 
-SPECS: list = []
+Everything is JVM-side higher-order-function math (functions.vectors) —
+no UDFs. Cross-engine determinism: both Spark's `aggregate` fold and
+DuckDB's list_dot_product/list_cosine_similarity are sequential
+left-to-right double folds, verified bit-identical on this data, so
+even the float cosine values hash-match and every query here has a full
+oracle twin.
+
+The LSH hyperplanes are derived from a pure-integer formula (Knuth
+multiplicative hash of the (plane, dim) index), not an RNG, so both
+engines construct bit-identical planes with no literal tables:
+
+    plane[p][d] = ((p*64 + d) * 2654435761 mod 2^32) / 2^31 - 1.0
+
+Scale notes:
+- s01 broadcasts the tiny query side over the candidate scan: one
+  map-side pass, no shuffle of the big side; the top-k window
+  partitions by query id (small state per partition).
+- s02/s03 shuffle on the integer bucket key only — the classic
+  sign-LSH partitioning; recall is the standard LSH trade and the
+  oracle implements the identical buckets, so the check is exact.
+- at 100 TB: more planes/bands + multiprobe, and pre-normalized
+  vectors to halve the per-pair cost; the plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine_similarity
+from ..sources import tables
+from . import QuerySpec
+
+N_QUERIES = 16   # s01 brute-force query set: vec_id < 16
+TOPK = 5         # s01 neighbors per query
+ANN_PLANES = 6   # s02: 6 sign bits → 64 buckets
+ANN_TOPK = 3
+NEAR_BANDS = 2   # s03: 2 bands × 3 planes
+NEAR_COS = 0.4   # s03 near-pair threshold (matches testdata's top tail)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "embeddings")
+
+
+def _plane_dot_expr(p: int, planes_per_unit: int = 64) -> str:
+    """Spark SQL: sequential fold of embedding·plane[p] (see module
+    docstring for the integer plane formula)."""
+    return (
+        "aggregate(sequence(0, 63), cast(0.0 as double), (acc, d) -> "
+        f"acc + embedding[d] * (((({p} * 64) + d) * 2654435761) % 4294967296 "
+        "/ 2147483648.0 - 1.0))"
+    )
+
+
+def _sql_plane_dot(p: int) -> str:
+    """DuckDB twin of _plane_dot_expr (list_dot_product is the same
+    sequential fold; range(0,64) is 0..63, list indexing 1-based)."""
+    return (
+        "list_dot_product(embedding::DOUBLE[], "
+        f"list_transform(range(0, 64), d -> (((({p} * 64) + d) * 2654435761) "
+        "% 4294967296) / 2147483648.0 - 1.0))"
+    )
+
+
+def _bucket_col(n_planes: int, first_plane: int = 0) -> Column:
+    bits = [
+        F.when(F.expr(_plane_dot_expr(first_plane + p)) > 0, 2 ** p).otherwise(0)
+        for p in range(n_planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def _sql_bucket(n_planes: int, first_plane: int = 0) -> str:
+    return (
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN {_sql_plane_dot(first_plane + p)} > 0 "
+            f"THEN {2 ** p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        + " AS BIGINT)"
+    )
+
+
+def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for queries vec_id < 16: the
+    correctness baseline every ANN variant is judged against."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
+    return (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            cosine_similarity(F.col("q_emb"), F.col("n_emb")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("q_id", "n_id", "cos", "rn")
+    )
+
+
+def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN: 6 hyperplane sign bits → 64 buckets; exact cosine
+    top-3 within each query's bucket. The scale path for s01."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "embedding", _bucket_col(ANN_PLANES).alias("bucket")
+    )
+    q = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("bucket").alias("n_bucket"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
+    return (
+        q.join(
+            c,
+            (F.col("q_bucket") == F.col("n_bucket"))
+            & (F.col("q_id") != F.col("n_id")),
+        )
+        .select(
+            "q_id",
+            "n_id",
+            cosine_similarity(F.col("q_emb"), F.col("n_emb")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ANN_TOPK)
+        .select("q_id", "n_id", "cos", "rn")
+    )
+
+
+def s03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates share ≥1 of
+    2 LSH bands (3 planes each), verified by exact cosine ≥ 0.4."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        "embedding",
+        _bucket_col(3, first_plane=0).alias("band0"),
+        _bucket_col(3, first_plane=3).alias("band1"),
+    )
+    right = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("band0").alias("band0_b"),
+        F.col("band1").alias("band1_b"),
+    )
+    cand = emb.join(
+        right,
+        (
+            (F.col("band0") == F.col("band0_b"))
+            | (F.col("band1") == F.col("band1_b"))
+        )
+        & (F.col("vec_id") < F.col("vec_b")),
+    )
+    return (
+        cand.select(
+            F.col("vec_id").alias("vec_a"),
+            "vec_b",
+            cosine_similarity(F.col("embedding"), F.col("emb_b")).alias("cos"),
+        )
+        .filter(F.col("cos") >= NEAR_COS)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+_SQL_COS = (
+    "CASE WHEN sqrt(list_dot_product({a}, {a})) * "
+    "sqrt(list_dot_product({b}, {b})) = 0 THEN 0.0 "
+    "ELSE list_cosine_similarity({a}, {b}) END"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return _SQL_COS.format(a=a, b=b)
+
+
+SPECS = [
+    QuerySpec(
+        "s01_cosine_topk",
+        s01_cosine_topk,
+        f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        pairs AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                 {_cos('q.v', 'c.v')} AS cos
+          FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+          SELECT q_id, n_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, n_id) AS rn
+          FROM pairs
+        )
+        SELECT q_id, n_id, cos, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= {TOPK}
+        """,
+    ),
+    QuerySpec(
+        "s02_ann_lsh",
+        s02_ann_lsh,
+        f"""
+        WITH e AS (
+          SELECT vec_id, embedding, embedding::DOUBLE[] AS v,
+                 {_sql_bucket(ANN_PLANES)} AS bucket
+          FROM embeddings
+        ),
+        pairs AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                 {_cos('q.v', 'c.v')} AS cos
+          FROM e q JOIN e c
+            ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+          SELECT q_id, n_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, n_id) AS rn
+          FROM pairs
+        )
+        SELECT q_id, n_id, cos, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= {ANN_TOPK}
+        """,
+    ),
+    QuerySpec(
+        "s03_embedding_neardup",
+        s03_embedding_neardup,
+        f"""
+        WITH e AS (
+          SELECT vec_id, embedding, embedding::DOUBLE[] AS v,
+                 {_sql_bucket(3, 0)} AS band0,
+                 {_sql_bucket(3, 3)} AS band1
+          FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_cos('a.v', 'b.v')} AS cos
+        FROM e a JOIN e b
+          ON (a.band0 = b.band0 OR a.band1 = b.band1)
+         AND a.vec_id < b.vec_id
+        WHERE {_cos('a.v', 'b.v')} >= {NEAR_COS}
+        ORDER BY vec_a, vec_b
+        """,
+    ),
+]

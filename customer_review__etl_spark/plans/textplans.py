@@ -1,3 +1,231 @@
-"""textplans — filled in as the build progresses (see SURVEY.md §7)."""
+"""Text pipeline plans: the applied F1-F7 chain (cleaner.py:118-150,166),
+the word-cloud top-K rewrite (dashboard.py:36 / SURVEY §2.4 A6), and the
+training-data text analyses (language-ID, quality scoring, token stats,
+document fingerprinting) over the `documents` table.
 
-SPECS: list = []
+All hot-path expressions are built-in column functions (JVM-side,
+codegen'd); only Porter stemming (t02) leaves the JVM, via an
+Arrow-batched pandas UDF, and is therefore rows-only for the oracle
+(paired with pytest unit vectors in tests/test_stemmer.py).
+
+Scale notes:
+- every per-doc analysis is a narrow map over the scan — no shuffle;
+  Catalyst prunes the parquet scan to (doc_id, text[, lang]).
+- t03 top-K words is the scale-safe rewrite of the reference's
+  whole-column string concat: explode → partial-agg counts per word
+  (map-side combine) → one shuffle on word → tie-broken top-K.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.stemmer import stem_tokens
+from ..sources import tables
+from . import QuerySpec
+from .helpers import (
+    sql_clean_tokens,
+    sql_normalize,
+    sql_raw_tokens,
+    sql_stopword_array,
+)
+
+TOPK_WORDS = 50
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "documents")
+
+
+def t01_text_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F5 + F7: normalize → tokenize → stopword/len filter → re-join
+    (cleaner.py:118-150 minus the F6 stem, which t02 adds)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", T.clean_tokens(F.col("text"))).alias("processed"),
+    )
+
+
+def t02_stemmed_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F7 complete: the reference's full preprocess_text including
+    Porter stemming (cleaner.py:148). Python hop — rows-only oracle;
+    stem correctness is pinned by published Porter vectors in pytest."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", stem_tokens(T.clean_tokens(F.col("text")))).alias(
+            "processed"
+        ),
+    )
+
+
+def t03_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 rewritten scale-safe: the reference concatenates every row into
+    one driver-side string for the word cloud (dashboard.py:36); the
+    equivalent the word cloud consumes is top-K word frequencies."""
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(T.clean_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(TOPK_WORDS)
+    )
+
+
+def t04_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training quality heuristics: exact integer counts, one final
+    IEEE division per ratio, explicit NULL when a doc has no tokens."""
+    cols = T.quality_score_cols(F.col("text"))
+    n_tokens = cols["n_tokens"]
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        cols["n_chars"].alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.when(n_tokens == 0, F.lit(None)).otherwise(
+            cols["stopword_ratio"]
+        ).alias("stopword_ratio"),
+        F.when(n_tokens == 0, F.lit(None)).otherwise(
+            cols["mean_word_len"]
+        ).alias("mean_word_len"),
+    )
+
+
+def t05_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic with a fixed tie-break order
+    (first language in LANG_MARKERS order wins ties)."""
+    scores = T.lang_scores(F.col("text"))
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        *[c.cast("long").alias(f"sc_{lang}") for lang, c in scores.items()],
+    )
+    langs = list(T.LANG_MARKERS)
+    best = F.greatest(*[F.col(f"sc_{lang}") for lang in langs])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"sc_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return df.select(
+        "doc_id",
+        *[f"sc_{lang}" for lang in langs],
+        F.when(best == 0, F.lit("und")).otherwise(pred).alias("lang_pred"),
+    )
+
+
+def t06_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup content fingerprint: md5 of normalized text — group
+    and join on a 128-bit digest, never on full bodies."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", T.doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+def t07_positional_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint as a commutative sum:
+    Σ position·(17·len(token) + ascii(first char)) over raw tokens.
+
+    Order-sensitivity comes from the position weight, so the hash is
+    expressible as explode → SUM — partial-aggregatable, shuffle-free
+    per doc, and identical across engines (pure BIGINT arithmetic)."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(T.raw_tokens(F.lower(F.col("text")))).alias("pos", "tok"),
+    )
+    term = (F.col("pos") + 1).cast("long") * (
+        F.length("tok").cast("long") * 17
+        + F.ascii(F.substring("tok", 1, 1)).cast("long")
+    )
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.sum(term).alias("poshash"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
+_LANGS_SQL = ", ".join(
+    f"""len(list_filter({sql_raw_tokens("lower(text)")},
+        _t -> list_contains([{", ".join(f"'{m}'" for m in markers)}], _t)))::BIGINT
+        AS sc_{lang}"""
+    for lang, markers in T.LANG_MARKERS.items()
+)
+_PRED_SQL = "CASE " + " ".join(
+    f"WHEN sc_{lang} = best THEN '{lang}'" for lang in T.LANG_MARKERS
+) + " END"
+
+SPECS = [
+    QuerySpec(
+        "t01_text_chain",
+        t01_text_chain,
+        f"""
+        SELECT doc_id,
+               array_to_string({sql_clean_tokens("text")}, ' ') AS processed
+        FROM documents
+        """,
+    ),
+    QuerySpec("t02_stemmed_chain", t02_stemmed_chain, None),
+    QuerySpec(
+        "t03_topk_words",
+        t03_topk_words,
+        f"""
+        SELECT word, count(1) AS n
+        FROM documents, UNNEST({sql_clean_tokens("text")}) AS _u(word)
+        GROUP BY word ORDER BY n DESC, word LIMIT {TOPK_WORDS}
+        """,
+    ),
+    QuerySpec(
+        "t04_quality_scores",
+        t04_quality_scores,
+        f"""
+        WITH t AS (
+          SELECT doc_id,
+                 length(text)::BIGINT AS n_chars,
+                 {sql_raw_tokens("lower(text)")} AS toks
+          FROM documents
+        )
+        SELECT doc_id, n_chars,
+               len(toks)::BIGINT AS n_tokens,
+               CASE WHEN len(toks) = 0 THEN NULL ELSE
+                 len(list_filter(toks, _t -> list_contains(
+                     {sql_stopword_array()}, _t)))::DOUBLE
+                 / len(toks)::DOUBLE END AS stopword_ratio,
+               CASE WHEN len(toks) = 0 THEN NULL ELSE
+                 list_sum(list_transform(toks, _t -> len(_t)::BIGINT))::DOUBLE
+                 / len(toks)::DOUBLE END AS mean_word_len
+        FROM t
+        """,
+    ),
+    QuerySpec(
+        "t05_lang_id",
+        t05_lang_id,
+        f"""
+        WITH s AS (SELECT doc_id, {_LANGS_SQL} FROM documents),
+             g AS (SELECT *, greatest(sc_en, sc_es, sc_de, sc_fr, sc_zh) AS best
+                   FROM s)
+        SELECT doc_id, sc_en, sc_es, sc_de, sc_fr, sc_zh,
+               CASE WHEN best = 0 THEN 'und' ELSE {_PRED_SQL} END AS lang_pred
+        FROM g
+        """,
+    ),
+    QuerySpec(
+        "t06_fingerprint",
+        t06_fingerprint,
+        f"SELECT doc_id, md5({sql_normalize('text')}) AS fingerprint "
+        "FROM documents",
+    ),
+    QuerySpec(
+        "t07_positional_hash",
+        t07_positional_hash,
+        f"""
+        WITH t AS (SELECT doc_id, {sql_raw_tokens("lower(text)")} AS toks
+                   FROM documents)
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(1, len(toks) + 1),
+                 i -> i * (17 * len(toks[i]) + ascii(substr(toks[i], 1, 1)))))
+                 AS BIGINT) AS poshash,
+               len(toks)::BIGINT AS n_tokens
+        FROM t WHERE len(toks) > 0
+        """,
+    ),
+]
