@@ -17,7 +17,6 @@ Structured Streaming plans, designed for 100 TB scale:
 Layout:
   sources/    typed table registry + readers/writers (parquet/csv/json)
   functions/  scalar/array column expressions (text chain, vectors)
-  operators/  composable DataFrame ops (cleaning, dedup, similarity, windows)
   plans/      named query plans + DuckDB oracle SQL twins (driver contract)
   streaming/  readStream/writeStream jobs
   ml/         pyspark.ml pipeline mirroring cleaner.py's TF-IDF/LDA/RF

@@ -1,0 +1,214 @@
+"""TF-IDF / LDA / RandomForest pipelines (reference cleaner.py:152-273).
+
+Numeric parity with sklearn is explicitly NOT promised (different
+algorithms: sklearn's batch variational LDA vs Spark's online VB;
+different RF split randomness) — SURVEY.md §2.7. What is preserved:
+the exact hyperparameters, the verbatim theme-label map, the pipeline
+shapes, and invariants (topic ∈ [0,5), metrics ∈ [0,1]) which the
+pytest suite asserts.
+
+Scale notes:
+- features stay SparseVector columns (no dense 1000-wide arrays);
+- the token column is produced by the native JVM text chain
+  (functions.text.clean_tokens) — the Python boundary is only inside
+  pyspark.ml's own JVM estimators, so there is no per-row Python;
+- train/test split is a deterministic md5-range split (M6): content-
+  addressed, reproducible on any cluster size, no sampleBy drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.clustering import LDA
+from pyspark.ml.feature import IDF, CountVectorizer, NGram, StringIndexer
+from pyspark.ml.classification import RandomForestClassifier
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+SEED = 42
+N_TOPICS = 5
+LDA_MAX_ITER = 20
+VOCAB_SIZE = 1000
+MIN_DF = 2.0
+MAX_DF = 0.9
+N_TREES = 100
+
+# Verbatim topic→theme labels (cleaner.py:211-217) — hard-coded in the
+# reference, not learned.
+THEME_LABELS = {
+    0: "Customer Support Issues",
+    1: "Billing & Subscription Problems",
+    2: "Service Quality Concerns",
+    3: "Account Management Issues",
+    4: "Delivery & Product Issues",
+}
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Native-JVM token column: F1-F5 chain + unigram∪bigram union
+    (mirrors TfidfVectorizer ngram_range=(1,2), cleaner.py:176-182)."""
+    df = df.withColumn("unigrams", T.clean_tokens(F.col(text_col)))
+    ng = NGram(n=2, inputCol="unigrams", outputCol="bigrams")
+    return ng.transform(df).withColumn(
+        "tokens", F.concat("unigrams", "bigrams")
+    )
+
+
+def fit_lda(df_tokens: DataFrame) -> tuple[PipelineModel, DataFrame]:
+    """M1+M2: CountVectorizer+IDF (vocab 1000, minDF 2, maxDF 0.9) →
+    LDA(k=5, maxIter=20, seed=42); returns (model, transformed)."""
+    pipe = Pipeline(
+        stages=[
+            CountVectorizer(
+                inputCol="tokens",
+                outputCol="tf",
+                vocabSize=VOCAB_SIZE,
+                minDF=MIN_DF,
+                maxDF=MAX_DF,
+            ),
+            IDF(inputCol="tf", outputCol="tfidf"),
+            LDA(
+                k=N_TOPICS,
+                maxIter=LDA_MAX_ITER,
+                seed=SEED,
+                featuresCol="tfidf",
+                topicDistributionCol="topic_dist",
+            ),
+        ]
+    )
+    model = pipe.fit(df_tokens)
+    return model, model.transform(df_tokens)
+
+
+def assign_topics(transformed: DataFrame) -> DataFrame:
+    """M3+M5: argmax over the topic distribution (first max wins, like
+    numpy argmax) + verbatim theme label via a broadcast join."""
+    arr = vector_to_array(F.col("topic_dist"))
+    topic = (
+        F.expr(
+            "array_position(topic_arr, array_max(topic_arr))"
+        ).cast("int") - 1
+    )
+    labels = transformed.sparkSession.createDataFrame(
+        list(THEME_LABELS.items()), "topic INT, theme STRING"
+    )
+    return (
+        transformed.withColumn("topic_arr", arr)
+        .withColumn("topic", topic)
+        .join(F.broadcast(labels), "topic", "left")
+    )
+
+
+def topic_top_words(model: PipelineModel, n: int = 10) -> DataFrame:
+    """M4: describeTopics(n) flattened to (topic, rank, term)."""
+    cv_model, _, lda_model = model.stages
+    vocab = cv_model.vocabulary
+    desc = lda_model.describeTopics(n)
+    sess = desc.sparkSession
+    vocab_df = sess.createDataFrame(
+        [(i, w) for i, w in enumerate(vocab)], "term_idx INT, term STRING"
+    )
+    exploded = desc.select(
+        "topic", F.posexplode("termIndices").alias("rank0", "term_idx")
+    )
+    return (
+        exploded.join(F.broadcast(vocab_df), "term_idx", "left")
+        .select(
+            "topic",
+            (F.col("rank0") + 1).cast("int").alias("rank"),
+            "term",
+        )
+        .orderBy("topic", "rank")
+    )
+
+
+def md5_split(df: DataFrame, key_col: str, train_frac_hex: str = "cd") -> DataFrame:
+    """M6 as a deterministic content-addressed split: rows whose
+    md5(key) first byte < 0xcd (≈80.1%) train, rest test. Reproducible
+    across engines, cluster sizes, and runs — no RNG state."""
+    h2 = F.substring(F.md5(F.col(key_col).cast("string")), 1, 2)
+    return df.withColumn(
+        "split",
+        F.when(h2 < F.lit(train_frac_hex), F.lit("train")).otherwise(
+            F.lit("test")
+        ),
+    )
+
+
+def fit_classifier(
+    df_tokens_split: DataFrame, label_col: str = "lang"
+) -> tuple[PipelineModel, DataFrame, DataFrame]:
+    """M7+M8: the second, unigram-only TF-IDF (cleaner.py:251-257) +
+    RF(numTrees=100, seed=42); fit on train, transform test."""
+    train = df_tokens_split.filter(F.col("split") == "train")
+    test = df_tokens_split.filter(F.col("split") == "test")
+    pipe = Pipeline(
+        stages=[
+            CountVectorizer(
+                inputCol="unigrams", outputCol="tf_c", vocabSize=VOCAB_SIZE
+            ),
+            IDF(inputCol="tf_c", outputCol="features"),
+            StringIndexer(
+                inputCol=label_col, outputCol="label", stringOrderType="alphabetAsc"
+            ),
+            RandomForestClassifier(
+                numTrees=N_TREES,
+                seed=SEED,
+                featuresCol="features",
+                labelCol="label",
+            ),
+        ]
+    )
+    model = pipe.fit(train)
+    return model, model.transform(test), train
+
+
+def classification_metrics(predictions: DataFrame) -> DataFrame:
+    """M9: accuracy + weighted F1 from the confusion counts — computed
+    with exact integer counts and deterministic divisions (no
+    evaluator RNG), returned as a single-row DataFrame."""
+    conf = predictions.groupBy("label", "prediction").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = conf.agg(F.sum("n").alias("t")).collect()[0]["t"]
+    correct = (
+        conf.filter(F.col("label") == F.col("prediction"))
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("c"))
+        .collect()[0]["c"]
+    )
+    per_class = (
+        conf.groupBy("label")
+        .agg(F.sum("n").alias("support"))
+        .join(
+            conf.groupBy("prediction").agg(F.sum("n").alias("predicted")),
+            F.col("label") == F.col("prediction"),
+            "left",
+        )
+        .join(
+            conf.filter(F.col("label") == F.col("prediction"))
+            .select("label", F.col("n").alias("tp")),
+            "label",
+            "left",
+        )
+        .select(
+            "label",
+            "support",
+            F.coalesce("predicted", F.lit(0)).alias("predicted"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    rows = per_class.collect()
+    f1_weighted = 0.0
+    for r in rows:
+        prec = r["tp"] / r["predicted"] if r["predicted"] else 0.0
+        rec = r["tp"] / r["support"] if r["support"] else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if (prec + rec) else 0.0
+        f1_weighted += f1 * r["support"] / total
+    sess = predictions.sparkSession
+    return sess.createDataFrame(
+        [(total, int(correct), correct / total if total else 0.0, f1_weighted)],
+        "n_test BIGINT, n_correct BIGINT, accuracy DOUBLE, weighted_f1 DOUBLE",
+    )

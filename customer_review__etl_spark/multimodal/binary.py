@@ -1,0 +1,93 @@
+"""Binary-column operators: metadata extraction (JVM-side) and a
+feature-extraction decode pass (Arrow-batched mapInPandas).
+
+Since the driver testdata ships no media files, the blob stand-in is
+the UTF-8 encoding of `documents.text` (ASCII by construction, so
+byte offsets == char offsets); a production deployment reads real
+bytes via spark.read.format("binaryFile") with the identical plan
+shape.
+
+Scale notes:
+- metadata (length/digest/magic) never leaves the JVM;
+- decode runs in mapInPandas so each Arrow batch amortizes the Python
+  hop, and the iterator form streams batches without materializing a
+  partition in memory;
+- media bytes are never shuffled: decode is a narrow map, and any
+  downstream grouping is on the extracted (small) features.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id BIGINT, width INT, height INT, n_channels INT, mean_lum DOUBLE"
+)
+
+
+def with_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the binary stand-in column."""
+    return df.withColumn("blob", F.encode(F.col(text_col), "UTF-8"))
+
+
+def binary_meta(df_blob: DataFrame) -> DataFrame:
+    """JVM-side binary metadata: size, digest, magic prefix."""
+    return df_blob.select(
+        "doc_id",
+        F.length("blob").cast("long").alias("n_bytes"),
+        F.md5("blob").alias("digest"),
+        F.lower(F.hex(F.substring(F.col("blob"), 1, 4))).alias("magic_hex"),
+    )
+
+
+def decode_image(blob: bytes) -> tuple[int, int, int, float]:
+    """REAL image decode — requires Pillow, not present in this
+    environment. Deployments install it and drop this guard."""
+    raise NotImplementedError(
+        "image decoding requires Pillow; use fake_decode for tests"
+    )
+
+
+def fake_decode(blob: bytes) -> tuple[int, int, int, float]:
+    """Deterministic stand-in decoder: derives a fake (width, height,
+    channels, mean luminance) from the content digest so results are
+    stable across runs/engines while exercising the real batch path."""
+    if blob is None:
+        return (0, 0, 0, 0.0)
+    d = hashlib.md5(blob).digest()
+    return (
+        64 + d[0] % 192,          # width 64..255
+        64 + d[1] % 192,          # height
+        1 + d[2] % 4,             # channels 1..4
+        d[3] / 255.0,             # mean luminance in [0,1]
+    )
+
+
+def extract_features(df_blob: DataFrame, real: bool = False) -> DataFrame:
+    """mapInPandas decode pass over the binary column.
+
+    `real=True` routes to decode_image (NotImplementedError here);
+    the default uses the deterministic fake. Batch shape, Arrow
+    transfer, and output schema are identical either way.
+    """
+    decoder = decode_image if real else fake_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decoder(b) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_channels": [f[2] for f in feats],
+                    "mean_lum": [f[3] for f in feats],
+                }
+            )
+
+    return df_blob.select("doc_id", "blob").mapInPandas(run, FEATURE_SCHEMA)

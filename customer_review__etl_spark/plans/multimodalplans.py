@@ -1,3 +1,44 @@
-"""multimodalplans — filled in as the build progresses (see SURVEY.md §7)."""
+"""Multimodal plans: binary-column metadata (SQL-checked) and the
+Arrow-batched decode/feature-extract pass (rows-only; the decoder is
+a deterministic stub — see multimodal/binary.py)."""
 
-SPECS: list = []
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..multimodal import binary as B
+from ..sources import tables
+from . import QuerySpec
+
+
+def _blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return B.with_blob(tables.load(spark, sf_dir, "documents"))
+
+
+def mm01_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata: byte length, md5 digest, magic prefix —
+    all JVM-side, media bytes never shuffled."""
+    return B.binary_meta(_blobs(spark, sf_dir))
+
+
+def mm02_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract via mapInPandas (deterministic stub
+    decoder; real decoders plug into the same batch path)."""
+    return B.extract_features(_blobs(spark, sf_dir))
+
+
+SPECS = [
+    QuerySpec(
+        "mm01_binary_meta",
+        mm01_binary_meta,
+        """
+        SELECT doc_id,
+               octet_length(encode(text))::BIGINT AS n_bytes,
+               md5(text) AS digest,  -- == md5 of the UTF-8 bytes
+
+               lower(hex(encode(substr(text, 1, 4)))) AS magic_hex
+        FROM documents
+        """,
+    ),
+    QuerySpec("mm02_decode_features", mm02_decode_features, None),
+]

@@ -1,3 +1,138 @@
-"""streamplans — filled in as the build progresses (see SURVEY.md §7)."""
+"""Event-time window plans over `events` (SURVEY.md §2.8).
 
-SPECS: list = []
+st01-st03 are the batch expressions of the three window shapes
+(tumbling / sliding / session); st04 runs the REAL Structured Streaming
+job (readStream → watermark → window agg → AvailableNow) and is checked
+against the same SQL oracle as st01 — proving stream/batch equivalence
+under the driver's hash gate, not just in a unit test.
+
+Scale notes:
+- window aggs shuffle once on (window, key); partial aggregation
+  happens map-side. Sliding windows multiply rows by
+  (length/slide) = 2 here — explicit, bounded amplification.
+- session windows shuffle on user_id; per-user state is one open
+  session (the 30-min gap bounds it); the streaming form holds
+  O(active sessions) state under the 1-hour watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import tables
+from ..streaming import jobs
+from . import QuerySpec
+from .helpers import cents, sql_cents
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "events")
+
+
+def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type: count + exact cents sum."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("value"))).alias("sum_cents"),
+        )
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "sum_cents")
+        .orderBy("wstart", "event_type")
+    )
+
+
+def st02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min — each event lands in 2."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n")
+        .orderBy("wstart", "event_type")
+    )
+
+
+def st03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap;
+    session end = last event + gap (Spark session_window semantics,
+    mirrored in the oracle's gaps-and-islands form)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.session_window("ts", jobs.SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def st04_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The genuine streaming pipeline: readStream(events) → 1h watermark
+    → tumbling count/sum → Trigger.AvailableNow → final table. Same
+    oracle as st01: the hash gate certifies stream ≡ batch."""
+    out = jobs.run_available_now(
+        jobs.tumbling_counts(jobs.stream_events(spark, sf_dir))
+    )
+    return out.withColumn(
+        "wstart", F.col("wstart").cast("timestamp_ntz")
+    ).orderBy("wstart", "event_type")
+
+
+_ST01_SQL = f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+       count(1) AS n,
+       CAST(sum({sql_cents('value')}) AS BIGINT) AS sum_cents
+FROM events GROUP BY wstart, event_type ORDER BY wstart, event_type
+"""
+
+SPECS = [
+    QuerySpec("st01_tumbling_window", st01_tumbling_window, _ST01_SQL),
+    QuerySpec(
+        "st02_sliding_window",
+        st02_sliding_window,
+        """
+        WITH starts AS (
+          SELECT event_type,
+                 UNNEST([time_bucket(INTERVAL '30 minutes', ts),
+                         time_bucket(INTERVAL '30 minutes', ts)
+                           - INTERVAL '30 minutes']) AS wstart
+          FROM events
+        )
+        SELECT wstart, event_type, count(1) AS n
+        FROM starts GROUP BY wstart, event_type ORDER BY wstart, event_type
+        """,
+    ),
+    QuerySpec(
+        "st03_session_window",
+        st03_session_window,
+        """
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged
+        )
+        SELECT min(ts) AS session_start,
+               max(ts) + INTERVAL '30 minutes' AS session_end,
+               user_id, count(1) AS n
+        FROM sess GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+        """,
+    ),
+    QuerySpec("st04_stream_tumbling", st04_stream_tumbling, _ST01_SQL),
+]

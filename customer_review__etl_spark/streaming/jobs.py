@@ -1,0 +1,124 @@
+"""Structured Streaming jobs over the `events` table.
+
+Each job takes a *streaming* DataFrame (from `stream_events`) and
+returns a transformed streaming DataFrame; `run_available_now`
+executes one with Trigger.AvailableNow against the static parquet and
+returns the final result as a batch DataFrame — the pattern that lets
+the pytest suite assert stream == batch for every window shape
+(tests/test_streaming.py).
+
+Scale notes:
+- state per window key is one count/sum pair; watermarks bound state
+  retention (late rows beyond 1 hour are dropped, the documented
+  policy), so executors hold O(active windows) not O(history).
+- availableNow processes the backlog in bounded micro-batches and
+  stops — the idiomatic "catch-up then exit" trigger for hourly
+  recompute jobs like the reference's (ml_pipeline_dag.py:37).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.helpers import cents
+from ..session import ensure_confs
+
+# Event-time schema of events.parquet with ts pre-converted; the raw
+# file stores TIMESTAMP(NANOS) which the streaming reader (like the
+# batch one) takes as long under nanosAsLong.
+_RAW_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+WATERMARK = "1 hour"
+SESSION_GAP = "30 minutes"
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same ts conversion
+    as the batch loader (sources/tables.py)."""
+    ensure_confs(spark)
+    # The file stream source wants a directory; glob-filter to the one
+    # events file inside the sf dir.
+    raw = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    # Watermarks require TIMESTAMP (not NTZ); with the session timezone
+    # pinned to UTC (ensure_confs) the instant semantics are identical,
+    # and batch-facing plans cast back to NTZ at the boundary.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """1-hour tumbling windows per event_type: count + exact cents sum."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("value"))).alias("sum_cents"),
+        )
+        .select(
+            F.col("w.start").alias("wstart"),
+            "event_type",
+            "n",
+            "sum_cents",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event in 2)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n")
+    )
+
+
+def session_counts(events: DataFrame) -> DataFrame:
+    """Per-user session windows (30-minute inactivity gap)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Streaming dedup on (user_id, event_type) with bounded state:
+    duplicates arriving within the watermark horizon are dropped."""
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion with AvailableNow
+    into an in-memory table; return the final contents as a batch DF."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

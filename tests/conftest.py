@@ -1,0 +1,21 @@
+"""Shared Spark session for the test suite (one JVM for all tests)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from customer_review__etl_spark.session import get_spark
+
+    s = get_spark("tests")
+    yield s
+    s.stop()

@@ -1,0 +1,74 @@
+"""Dedup-family unit tests on tiny literal corpora: keep-first
+determinism, MinHash recall of a planted near-dup, SimHash self-
+similarity, and Jaccard exactness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from customer_review__etl_spark.functions import text as T
+from customer_review__etl_spark.plans import dedupplans as D
+
+
+def test_keep_first_dedup_window(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other text")],
+        "doc_id INT, text STRING",
+    )
+    w = Window.partitionBy("f").orderBy("doc_id")
+    out = (
+        df.select("doc_id", T.doc_fingerprint(F.col("text")).alias("f"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 3]  # first-by-doc_id survives, deterministic
+
+
+def test_minhash_finds_planted_near_dup(spark, tmp_path):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base.replace("kappa", "lambda", 1)  # ~high shingle overlap
+    other = "one two three four five six seven eight nine ten " * 3
+    df = spark.createDataFrame(
+        [(0, base, "en", "s", len(base)),
+         (1, near, "en", "s", len(near)),
+         (2, other, "en", "s", len(other))],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    d = str(tmp_path / "mini")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = D.d02_minhash_near_dup(spark, d).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (0, 1) in pairs
+    jac = next(r["jaccard"] for r in out if (r["doc_a"], r["doc_b"]) == (0, 1))
+    assert 0.5 <= jac < 1.0
+    assert all({a, b} != {0, 2} and {a, b} != {1, 2} for a, b in pairs)
+
+
+def test_exact_jaccard_value(spark, tmp_path):
+    # doc0/doc1 differ in the final token only: 8 distinct 3-shingles
+    # each, sharing the first 7 → jaccard 7/9 exactly.
+    a = "wa wb wc wd we wf wg wh wi wj"
+    b = "wa wb wc wd we wf wg wh wi wk"
+    df = spark.createDataFrame(
+        [(0, a, "en", "s", len(a)), (1, b, "en", "s", len(b))],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    d = str(tmp_path / "mini2")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = D.d02_minhash_near_dup(spark, d).collect()
+    assert len(out) == 1
+    assert abs(out[0]["jaccard"] - 7 / 9) < 1e-12
+
+
+def test_simhash_identical_docs_zero_hamming(spark, tmp_path):
+    t = "quick brown fox jumps over lazy dog again and again"
+    df = spark.createDataFrame(
+        [(0, t, "en", "s", len(t)), (1, t, "en", "s", len(t))],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    d = str(tmp_path / "mini3")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = D.d03_simhash_near_dup(spark, d).collect()
+    assert len(out) == 1 and out[0]["hamming"] == 0
