@@ -398,6 +398,52 @@ def j07_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j08_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via union+window (SURVEY §2.3): each purchase event
+    picks the most recent click at-or-before its timestamp, per user.
+
+    The union+running-last form is the shuffle-minimal as-of strategy:
+    one shuffle on user_id, sequential scan per partition — no range
+    join explosion. Same-ts ties: clicks sort before purchases (the
+    click is visible), then event_id. Both engines run the identical
+    deterministic window."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("long").alias("c_id"),
+        F.lit(None).cast("double").alias("c_value"),
+        F.lit(1).alias("is_p"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_id").alias("c_id"),
+        F.col("value").alias("c_value"),
+        F.lit(0).alias("is_p"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        purchases.unionByName(clicks)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "is_p",
+            F.last("c_id", ignorenulls=True).over(w).alias("last_click_id"),
+            F.last("c_value", ignorenulls=True).over(w).alias("last_click_value"),
+        )
+        .filter(F.col("is_p") == 1)
+        .select("user_id", "event_id", "ts", "last_click_id", "last_click_value")
+    )
+
+
 # --------------------------------------------------------------------------
 # W: window functions (SURVEY §2.5)
 # --------------------------------------------------------------------------
@@ -801,6 +847,31 @@ SPECS = [
         SELECT n_nationkey, n_name, count(s_suppkey) AS n_supp
         FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_nationkey, n_name
+        """,
+    ),
+    QuerySpec(
+        "j08_asof_join",
+        j08_asof_join,
+        """
+        WITH u AS (
+          SELECT user_id, ts, event_id,
+                 CAST(NULL AS BIGINT) AS c_id, CAST(NULL AS DOUBLE) AS c_value,
+                 1 AS is_p
+          FROM events WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, ts, event_id, event_id, value, 0
+          FROM events WHERE event_type = 'click'
+        ),
+        w AS (
+          SELECT user_id, ts, event_id, is_p,
+                 last_value(c_id IGNORE NULLS) OVER win AS last_click_id,
+                 last_value(c_value IGNORE NULLS) OVER win AS last_click_value
+          FROM u
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT user_id, event_id, ts, last_click_id, last_click_value
+        FROM w WHERE is_p = 1
         """,
     ),
     QuerySpec(
