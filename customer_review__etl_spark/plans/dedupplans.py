@@ -198,7 +198,11 @@ def _simhash_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Majority vote per bit over the doc's distinct normalized tokens
     (+1 if the token's md5 bit is set, −1 otherwise); chunk c packs
-    bits 16c..16c+15 little-endian. Pure integer arithmetic."""
+    bits 16c..16c+15 little-endian. Pure integer arithmetic.
+
+    The digest and its 16 nibbles are materialized once per token row
+    before aggregation — the 64 per-bit sums then read precomputed
+    nibble columns instead of re-hashing the token 64 times."""
     toks = (
         _docs(spark, sf_dir)
         .select(
@@ -207,10 +211,23 @@ def _simhash_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_distinct(T.raw_tokens(T.normalize_text(F.col("text"))))
             ).alias("tok"),
         )
+        .withColumn("dg", F.md5("tok"))
+        .select(
+            "doc_id",
+            *[
+                F.expr(_hexdigit_to_int("spark", f"substr(dg, {j + 1}, 1)"))
+                .alias(f"nib{j}")
+                for j in range(16)
+            ],
+        )
     )
     sums = toks.groupBy("doc_id").agg(
         *[
-            F.sum(F.expr(f"2 * {_bit_expr('spark', k)} - 1")).alias(f"s{k}")
+            F.sum(
+                F.expr(
+                    f"2 * ((nib{k // 4} div {2 ** (3 - k % 4)}) % 2) - 1"
+                )
+            ).alias(f"s{k}")
             for k in range(64)
         ]
     )
@@ -228,27 +245,58 @@ def d03_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs: candidates share ≥1 exact 16-bit
     chunk (pigeonhole: hamming ≤ 3 over 4 chunks ⇒ at least one chunk
     is identical, so the prefilter is exact, not just a recall trade),
-    verified by full 64-bit hamming ≤ HAMMING_MAX."""
+    verified by full 64-bit hamming ≤ HAMMING_MAX.
+
+    Candidate generation is a hash equi-join on the exploded
+    (chunk_idx, chunk_value) key — never an OR-of-equalities join
+    condition, which Spark can only execute as an all-pairs nested
+    loop. Each chunk bucket is a small clique; the pair space is the
+    union of bucket cliques, shuffled on ≤16-byte keys."""
     ch = _simhash_chunks(spark, sf_dir).cache()
-    right = ch.select(
+    bands = ch.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("band"), F.col(f"c{c}").alias("bv")
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bv")
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band").alias("band_b"),
+        F.col("bv").alias("bv_b"),
+    )
+    cand = (
+        bands.join(
+            b2,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bv") == F.col("bv_b"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    ca = ch.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"c{c}").alias(f"a{c}") for c in range(4)],
+    )
+    cb = ch.select(
         F.col("doc_id").alias("doc_b"),
         *[F.col(f"c{c}").alias(f"b{c}") for c in range(4)],
     )
-    band_match = None
-    for c in range(4):
-        m = F.col(f"c{c}") == F.col(f"b{c}")
-        band_match = m if band_match is None else (band_match | m)
     hamming = None
     for c in range(4):
-        h = F.bit_count(F.col(f"c{c}").bitwiseXOR(F.col(f"b{c}")))
+        h = F.bit_count(F.col(f"a{c}").bitwiseXOR(F.col(f"b{c}")))
         hamming = h if hamming is None else (hamming + h)
     return (
-        ch.join(right, band_match & (F.col("doc_id") < F.col("doc_b")))
-        .select(
-            F.col("doc_id").alias("doc_a"),
-            "doc_b",
-            hamming.cast("long").alias("hamming"),
-        )
+        cand.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_MAX)
         .orderBy("doc_a", "doc_b")
     )

@@ -604,6 +604,147 @@ def f02_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Extended surface: more TPC-H shapes, window frames, pivot, skew handling
+# --------------------------------------------------------------------------
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the canonical predicate-pushdown showcase — all
+    four filters are plain column predicates on scan columns, so they
+    reach the parquet reader (PushedFilters) and only 3 columns are
+    read (ReadSchema); the agg is a single map-side partial sum of
+    exact 1e4-scaled longs."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                scaled(F.col("l_extendedprice") * F.col("l_discount"), 4)
+            ).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer — big
+    fact⋈fact equi-join (orders⋈lineitem, SMJ/AQE's call), customer
+    joined on custkey, tiny nation broadcast, top-20 tie-broken."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                scaled(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                    4,
+                )
+            ).alias("revenue_e4")
+        )
+        .orderBy(F.desc("revenue_e4"), "c_custkey")
+        .limit(20)
+    )
+
+
+def w05_ntile_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window surface beyond w01-w04: ntile quartiles, percent_rank,
+    cume_dist, and first/last_value over an explicit ROWS frame. The
+    ordering key (c_acctbal, c_custkey) is unique so every function is
+    deterministic; percent_rank/cume_dist are single IEEE divisions of
+    exact integer rank counts (hash-identical cross-engine)."""
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .withColumn("quartile", F.ntile(4).over(w).cast("bigint"))
+        .withColumn("pct_rank", F.percent_rank().over(w))
+        .withColumn("cume", F.cume_dist().over(w))
+        .withColumn("run_min_bal", F.first("c_acctbal").over(wf))
+        .withColumn("cur_bal", F.last("c_acctbal").over(wf))
+    )
+
+
+def g04_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide group-count): order counts per priority × status.
+    Explicit pivot values keep the plan one-pass (no distinct-values
+    pre-query) and make output columns static for the oracle."""
+    piv = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).cast("bigint").alias(f"n_{s.lower()}")
+            for s in ("O", "F", "P")
+        ],
+    ).orderBy("o_orderpriority")
+
+
+def j09_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation: events.event_type has very few
+    distinct values (every row lands on ~5 reducers in the naive plan),
+    so stage 1 pre-aggregates on (event_type, salt16) spreading each hot
+    key over 16 reducers, and stage 2 merges the 16 partials per key.
+    Result is identical to the direct groupBy (the oracle proves it);
+    only the shuffle distribution changes. Long sums are order-free so
+    the two-stage split is exact."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(16))
+    )
+    partial = ev.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(cents(F.col("value"))).alias("psum"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("psum").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def a08_median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete median (lower) of customer balance per nation.
+
+    percentile/quantile built-ins interpolate differently per engine,
+    so the median is computed structurally: the row at position
+    ceil(n/2) in the unique (c_acctbal, c_custkey) order — identical
+    in any engine, no float interpolation."""
+    w = Window.partitionBy("c_nationkey").orderBy("bal_cents", "c_custkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            cents(F.col("c_acctbal")).alias("bal_cents"),
+            "c_custkey",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("c_nationkey")))
+        .filter(F.col("rn") == F.ceil(F.col("n") / 2))
+        .select("c_nationkey", F.col("bal_cents").alias("median_cents"))
+        .orderBy("c_nationkey")
+    )
+
+
 SPECS = [
     QuerySpec(
         "p01_project_sort",
@@ -1002,6 +1143,89 @@ SPECS = [
                array_to_string(list_sort(string_split(p_type, ' ')), '_')
                  AS sorted_words
         FROM part
+        """,
+    ),
+    QuerySpec(
+        "q6_forecast_revenue",
+        q6_forecast_revenue,
+        f"""
+        SELECT CAST(sum({sql_scaled('l_extendedprice * l_discount', 4)})
+                 AS BIGINT) AS revenue_e4,
+               count(1) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+          AND l_shipdate <  TIMESTAMP '1995-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """,
+    ),
+    QuerySpec(
+        "q10_returned_items",
+        q10_returned_items,
+        f"""
+        SELECT c_custkey, c_name, n_name,
+               CAST(sum({sql_scaled('l_extendedprice * (1.0 - l_discount)', 4)})
+                 AS BIGINT) AS revenue_e4
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue_e4 DESC, c_custkey LIMIT 20
+        """,
+    ),
+    QuerySpec(
+        "w05_ntile_frames",
+        w05_ntile_frames,
+        """
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume,
+               first_value(c_acctbal) OVER
+                 (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS run_min_bal,
+               last_value(c_acctbal) OVER
+                 (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cur_bal
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        """,
+    ),
+    QuerySpec(
+        "g04_pivot",
+        g04_pivot,
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+               CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+               CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+    ),
+    QuerySpec(
+        "j09_salted_skew_agg",
+        j09_salted_skew_agg,
+        f"""
+        SELECT event_type, count(1) AS n,
+               CAST(sum({sql_cents('value')}) AS BIGINT) AS sum_cents
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+    ),
+    QuerySpec(
+        "a08_median_disc",
+        a08_median_disc,
+        f"""
+        SELECT c_nationkey, bal_cents AS median_cents FROM (
+          SELECT c_nationkey, {sql_cents('c_acctbal')} AS bal_cents,
+                 row_number() OVER (PARTITION BY c_nationkey
+                                    ORDER BY {sql_cents('c_acctbal')}, c_custkey)
+                   AS rn,
+                 count(1) OVER (PARTITION BY c_nationkey) AS n
+          FROM customer)
+        WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+        ORDER BY c_nationkey
         """,
     ),
 ]

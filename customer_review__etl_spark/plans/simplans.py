@@ -150,32 +150,52 @@ def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def s03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates share ≥1 of
-    2 LSH bands (3 planes each), verified by exact cosine ≥ 0.4."""
+    2 LSH bands (3 planes each), verified by exact cosine ≥ 0.4.
+
+    Candidates come from a hash equi-join on the exploded
+    (band_idx, bucket) key — an OR-of-band-equalities join condition
+    would force an all-pairs nested loop. Only (vec_id, band, bucket)
+    triples are shuffled for candidate generation; the 64-dim vectors
+    are joined back solely for the per-candidate cosine check."""
     emb = _emb(spark, sf_dir).select(
         "vec_id",
         "embedding",
         _bucket_col(3, first_plane=0).alias("band0"),
         _bucket_col(3, first_plane=3).alias("band1"),
-    )
-    right = emb.select(
+    ).cache()
+    bands = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.col("band0").alias("bv")),
+                F.struct(F.lit(1).alias("band"), F.col("band1").alias("bv")),
+            )
+        ).alias("e"),
+    ).select("vec_id", "e.band", "e.bv")
+    b2 = bands.select(
         F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("band0").alias("band0_b"),
-        F.col("band1").alias("band1_b"),
+        F.col("band").alias("band_b"),
+        F.col("bv").alias("bv_b"),
     )
-    cand = emb.join(
-        right,
-        (
-            (F.col("band0") == F.col("band0_b"))
-            | (F.col("band1") == F.col("band1_b"))
+    cand = (
+        bands.join(
+            b2,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bv") == F.col("bv_b"))
+            & (F.col("vec_id") < F.col("vec_b")),
         )
-        & (F.col("vec_id") < F.col("vec_b")),
+        .select(F.col("vec_id").alias("vec_a"), "vec_b")
+        .distinct()
     )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     return (
-        cand.select(
-            F.col("vec_id").alias("vec_a"),
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
             "vec_b",
-            cosine_similarity(F.col("embedding"), F.col("emb_b")).alias("cos"),
+            cosine_similarity(F.col("emb_a"), F.col("emb_b")).alias("cos"),
         )
         .filter(F.col("cos") >= NEAR_COS)
         .orderBy("vec_a", "vec_b")

@@ -74,3 +74,38 @@ def test_q1_shuffle_minimal(spark):
 def test_entry_smoke(spark):
     rows = entrymod.entry(spark).collect()
     assert len(rows) > 0
+
+
+def test_q6_all_filters_pushed(spark):
+    plan = _plan(relational.q6_forecast_revenue(spark, SF_DIR))
+    pushed = plan.split("PushedFilters")[1][:400]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema  # only 5 of 11 cols read
+
+
+def test_q10_broadcasts_nation_only(spark):
+    plan = _plan(relational.q10_returned_items(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "l_returnflag" in plan.split("PushedFilters")[1][:300]
+
+
+def test_salted_agg_two_stage(spark):
+    """j09 must aggregate on (event_type, salt) before the final merge:
+    two distinct groupings, each with partial+final HashAggregate."""
+    plan = _plan(relational.j09_salted_skew_agg(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 4
+    assert "salt" in plan
+
+
+def test_banded_neardup_joins_are_hash_joins(spark):
+    """d03/s03 candidate generation must be equi-joins (hash/SMJ), never
+    BroadcastNestedLoopJoin — the OR-of-bands form would be all-pairs."""
+    from customer_review__etl_spark.plans import dedupplans, simplans
+
+    for fn in (dedupplans.d03_simhash_near_dup, simplans.s03_embedding_neardup):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        spark.catalog.clearCache()
