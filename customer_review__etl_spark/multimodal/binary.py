@@ -68,6 +68,36 @@ def fake_decode(blob: bytes) -> tuple[int, int, int, float]:
     )
 
 
+FRAME_STRIDE = 10  # sample every 10th frame
+
+
+def frame_sample(df_blob: DataFrame) -> DataFrame:
+    """Video-style frame sampling plumbing: derive the frame count from
+    blob metadata (stand-in: 1 + n_bytes % 60; a real container parses
+    the header), generate every FRAME_STRIDE-th index JVM-side with
+    `sequence`, and explode to one row per sampled frame.
+
+    The blob itself is NOT carried through the explode — at scale the
+    per-frame decode joins frame indices back to blobs inside one
+    mapInPandas pass (extract_features' batch path), so media bytes are
+    never replicated per frame nor shuffled."""
+    n_frames = (F.length("blob").cast("long") % 60 + 1).alias("n_frames")
+    return (
+        df_blob.select("doc_id", n_frames)
+        .select(
+            "doc_id",
+            "n_frames",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.col("n_frames") - 1,
+                    F.lit(FRAME_STRIDE).cast("long"),
+                )
+            ).alias("frame_idx"),
+        )
+    )
+
+
 def extract_features(df_blob: DataFrame, real: bool = False) -> DataFrame:
     """mapInPandas decode pass over the binary column.
 

@@ -27,6 +27,12 @@ def mm02_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.extract_features(_blobs(spark, sf_dir))
 
 
+def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: metadata-derived frame count → strided
+    index explode, media bytes never replicated (see binary.frame_sample)."""
+    return B.frame_sample(_blobs(spark, sf_dir))
+
+
 SPECS = [
     QuerySpec(
         "mm01_binary_meta",
@@ -41,4 +47,17 @@ SPECS = [
         """,
     ),
     QuerySpec("mm02_decode_features", mm02_decode_features, None),
+    QuerySpec(
+        "mm03_frame_sample",
+        mm03_frame_sample,
+        f"""
+        WITH meta AS (
+          SELECT doc_id,
+                 octet_length(encode(text))::BIGINT % 60 + 1 AS n_frames
+          FROM documents
+        )
+        SELECT doc_id, n_frames, CAST(_u.frame_idx AS BIGINT) AS frame_idx
+        FROM meta, UNNEST(range(0, n_frames, {B.FRAME_STRIDE})) AS _u(frame_idx)
+        """,
+    ),
 ]

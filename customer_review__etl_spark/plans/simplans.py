@@ -202,6 +202,65 @@ def s03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 8  # s04 IVF coarse-quantizer size (vec_id < 8 seed points)
+IVF_TOPK = 3
+
+
+def s04_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest of 8
+    deterministic centroids (the vec_id<8 seed vectors), then answer
+    each query (vec_id<16) from its own inverted list only.
+
+    The centroid table is tiny and broadcast for assignment — one
+    map-side pass over the collection, no shuffle of embeddings; the
+    probe join shuffles on the integer cell id. At 100 TB the
+    centroids come from a sampled k-means (pyspark.ml KMeans) and
+    n_centroids grows to √N, but the plan shape is identical."""
+    emb = _emb(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    wassign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cent_id")
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cent_id",
+            cosine_similarity(F.col("embedding"), F.col("cent_emb")).alias("ccos"),
+        )
+        .withColumn("rn", F.row_number().over(wassign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cell").alias("q_cell"),
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("cell").alias("n_cell"),
+    )
+    wtop = Window.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
+    return (
+        q.join(
+            c,
+            (F.col("q_cell") == F.col("n_cell"))
+            & (F.col("q_id") != F.col("n_id")),
+        )
+        .select(
+            "q_id",
+            "n_id",
+            cosine_similarity(F.col("q_emb"), F.col("n_emb")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= IVF_TOPK)
+        .select("q_id", "n_id", "cos", "rn")
+    )
+
+
 _SQL_COS = (
     "CASE WHEN sqrt(list_dot_product({a}, {a})) * "
     "sqrt(list_dot_product({b}, {b})) = 0 THEN 0.0 "
@@ -276,6 +335,39 @@ SPECS = [
          AND a.vec_id < b.vec_id
         WHERE {_cos('a.v', 'b.v')} >= {NEAR_COS}
         ORDER BY vec_a, vec_b
+        """,
+    ),
+    QuerySpec(
+        "s04_ivf_ann",
+        s04_ivf_ann,
+        f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+                 WHERE vec_id < {N_CENTROIDS}),
+        assigned AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, cent.cent_id AS cell,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {_cos('e.v', 'cent.cv')} DESC, cent.cent_id) AS rn
+            FROM e CROSS JOIN cent)
+          WHERE rn = 1
+        ),
+        pairs AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                 {_cos('q.v', 'c.v')} AS cos
+          FROM assigned q JOIN assigned c
+            ON q.cell = c.cell AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < {N_QUERIES}
+        ),
+        ranked AS (
+          SELECT q_id, n_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, n_id) AS rn
+          FROM pairs
+        )
+        SELECT q_id, n_id, cos, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= {IVF_TOPK}
         """,
     ),
 ]

@@ -85,6 +85,30 @@ def st04_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("wstart", "event_type")
 
 
+def st05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on (user_id, event_type) via
+    dropDuplicatesWithinWatermark → append sink. State is bounded by
+    the 1-hour watermark; over a fully-available backlog the surviving
+    keys are exactly the distinct keys, which the SQL oracle checks."""
+    out = jobs.run_available_now(
+        jobs.dedup_within_watermark(jobs.stream_events(spark, sf_dir)),
+        output_mode="append",
+    )
+    return out.select("user_id", "event_type").orderBy("user_id", "event_type")
+
+
+def st06_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user cumulative count / exact cents sum / cents max, updated
+    per micro-batch; keep-latest collapse makes the final table
+    batch-equivalent, which the SQL oracle certifies."""
+    out = jobs.run_update_collect(
+        jobs.stateful_user_stats(jobs.stream_events(spark, sf_dir)),
+        keys=["user_id"],
+    )
+    return out.orderBy("user_id")
+
+
 _ST01_SQL = f"""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
        count(1) AS n,
@@ -135,4 +159,22 @@ SPECS = [
         """,
     ),
     QuerySpec("st04_stream_tumbling", st04_stream_tumbling, _ST01_SQL),
+    QuerySpec(
+        "st05_stream_dedup",
+        st05_stream_dedup,
+        """
+        SELECT DISTINCT user_id, event_type FROM events
+        ORDER BY user_id, event_type
+        """,
+    ),
+    QuerySpec(
+        "st06_stateful_stats",
+        st06_stateful_stats,
+        f"""
+        SELECT user_id, count(1) AS n,
+               CAST(sum({sql_cents('value')}) AS BIGINT) AS sum_cents,
+               CAST(max({sql_cents('value')}) AS BIGINT) AS max_cents
+        FROM events GROUP BY user_id ORDER BY user_id
+        """,
+    ),
 ]

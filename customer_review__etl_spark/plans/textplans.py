@@ -144,6 +144,37 @@ def t07_positional_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer classes, restricted to ASCII so Java
+# (Spark) and RE2 (DuckDB) regex engines agree codepoint-for-codepoint:
+# optional leading space + letter-run | digit-run | punct-run.
+BPE_WORD = " ?[a-z]+"
+BPE_NUM = " ?[0-9]+"
+BPE_PUNCT = r" ?[!-/:-@\[-`{-~]+"
+BPE_PATTERN = f"{BPE_WORD}|{BPE_NUM}|{BPE_PUNCT}"
+
+
+def t08_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex (the GPT-2
+    pre-tokenization shape: space-attached letter/digit/punct runs),
+    alongside the plain whitespace count — the two standard "how many
+    tokens is this corpus" estimators for training-data budgeting.
+    All regexp_extract_all + size: JVM-side, one narrow map."""
+    low = F.lower(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.regexp_extract_all(low, F.lit(BPE_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpeish"),
+        F.size(F.regexp_extract_all(low, F.lit(BPE_WORD), 0))
+        .cast("long")
+        .alias("n_word_runs"),
+        F.size(F.regexp_extract_all(low, F.lit(BPE_NUM), 0))
+        .cast("long")
+        .alias("n_num_runs"),
+        T.token_count(F.col("text")).cast("long").alias("n_whitespace"),
+    )
+
+
 _LANGS_SQL = ", ".join(
     f"""len(list_filter({sql_raw_tokens("lower(text)")},
         _t -> list_contains([{", ".join(f"'{m}'" for m in markers)}], _t)))::BIGINT
@@ -226,6 +257,21 @@ SPECS = [
                  AS BIGINT) AS poshash,
                len(toks)::BIGINT AS n_tokens
         FROM t WHERE len(toks) > 0
+        """,
+    ),
+    QuerySpec(
+        "t08_bpe_token_count",
+        t08_bpe_token_count,
+        f"""
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))::BIGINT
+                 AS n_bpeish,
+               len(regexp_extract_all(lower(text), '{BPE_WORD}'))::BIGINT
+                 AS n_word_runs,
+               len(regexp_extract_all(lower(text), '{BPE_NUM}'))::BIGINT
+                 AS n_num_runs,
+               len({sql_raw_tokens('text')})::BIGINT AS n_whitespace
+        FROM documents
         """,
     ),
 ]

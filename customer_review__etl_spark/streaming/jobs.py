@@ -107,6 +107,90 @@ def dedup_within_watermark(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, exact cents sum, cents max), emitted as the updated
+    cumulative state each micro-batch.
+
+    This is the escape hatch for stateful logic Spark's built-in
+    windows can't express; state per key is three longs, so executor
+    state stays O(distinct users). Batches arrive as an Arrow iterator
+    — the loop never materializes a whole group in memory."""
+    import pandas as pd  # local import keeps module import light
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id BIGINT, n BIGINT, sum_cents BIGINT, max_cents BIGINT"
+    )
+    state_schema = "n BIGINT, sum_cents BIGINT, max_cents BIGINT"
+
+    def fn(key, pdfs, state: GroupState):
+        n, s, mx = state.get if state.exists else (0, 0, None)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            c = (pdf["value"] * 100).round().astype("int64")
+            n += len(pdf)
+            s += int(c.sum())
+            bmax = int(c.max())
+            mx = bmax if mx is None else max(mx, bmax)
+        state.update((n, s, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n": [n],
+                "sum_cents": [s],
+                "max_cents": [mx],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_update_collect(stream_df: DataFrame, keys: list[str]) -> DataFrame:
+    """Execute an update-mode stateful stream with AvailableNow,
+    landing each micro-batch (tagged with its batch id) in a temp
+    parquet sink, and return one row per key: the latest emission.
+
+    foreachBatch + parquet keeps the data plane distributed (no
+    driver-side collect); the keep-latest window collapses multi-batch
+    re-emissions deterministically, so the result is independent of how
+    AvailableNow chops the input into batches."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    out_dir = tempfile.mkdtemp(prefix="stream_upd_")
+    spark = stream_df.sparkSession
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy(*keys).orderBy(F.desc("batch_id"))
+    out = (
+        spark.read.parquet(out_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "batch_id")
+    )
+    # Materialize before deleting the backing files.
+    final = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return final
+
+
 def run_available_now(
     stream_df: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:

@@ -41,3 +41,15 @@ def test_binary_meta_matches_text_bytes(spark):
         docs.select("doc_id", "text"), "doc_id"
     ).collect():
         assert r["n_bytes"] == len(r["text"].encode("utf-8"))
+
+
+def test_frame_sample_strided(spark):
+    docs = B.with_blob(tables.load(spark, SF_DIR, "documents")).limit(20)
+    rows = B.frame_sample(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_rows in by_doc.values():
+        n_frames = doc_rows[0]["n_frames"]
+        idx = sorted(r["frame_idx"] for r in doc_rows)
+        assert idx == list(range(0, n_frames, B.FRAME_STRIDE))

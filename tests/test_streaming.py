@@ -52,3 +52,19 @@ def test_dedup_within_watermark(spark):
     # With the whole (finite) file inside one watermark horizon per key
     # arrival order, streaming dedup keeps ≥ distinct-keys and ≤ input.
     assert out.select("user_id", "event_type").distinct().count() == n_keys
+
+
+def test_stateful_stats_equals_batch(spark):
+    """applyInPandasWithState per-user stats == the batch groupBy."""
+    out = SP.st06_stateful_stats(spark, SF_DIR)
+    ev = tables.load(spark, SF_DIR, "events")
+    batch = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+            F.max(F.round(F.col("value") * 100).cast("long")).alias("max_cents"),
+        )
+    )
+    cols = ["user_id", "n", "sum_cents", "max_cents"]
+    assert _rows(out, cols) == _rows(batch, cols)

@@ -85,3 +85,15 @@ def test_lang_scores_count_markers(spark):
     row = out.collect()[0]
     assert row["en"] == 4  # the, and, the, is
     assert row["fr"] == 0
+
+
+def test_bpe_pattern_classes(spark):
+    from customer_review__etl_spark.plans.textplans import BPE_PATTERN
+
+    df = spark.createDataFrame([("ab12, cd-3 ee",)], "text STRING")
+    out = df.select(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), 0)
+        .alias("t")
+    ).collect()[0]["t"]
+    # letter-run, digit-run, punct-run, space-attached runs
+    assert out == ["ab", "12", ",", " cd", "-", "3", " ee"]
