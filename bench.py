@@ -32,6 +32,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "a01_group_count",
     "w03_running_sum",
     "j02_inner_equi",
@@ -64,6 +66,15 @@ def main() -> int:
 
     spark = get_spark("bench")
     qs = entrymod.queries()
+
+    # Warm the JVM paths the timings shouldn't charge to the first
+    # query: whole-stage codegen compilation and the noop sink. Touches
+    # no benchmark data.
+    from pyspark.sql import functions as F
+
+    _materialize(
+        spark.range(100000).groupBy(F.pmod("id", F.lit(7)).alias("g")).count()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

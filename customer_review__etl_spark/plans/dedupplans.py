@@ -45,7 +45,7 @@ HAMMING_MAX = 3    # simhash near-dup threshold (of 64 bits)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tables.load(spark, sf_dir, "documents")
+    return tables.load_parallel(spark, sf_dir, "documents")
 
 
 # --------------------------------------------------------------------------

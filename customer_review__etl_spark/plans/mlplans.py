@@ -19,7 +19,7 @@ from . import QuerySpec
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tables.load(spark, sf_dir, "documents")
+    return tables.load_parallel(spark, sf_dir, "documents")
 
 
 def ml01_lda_themes(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -12,7 +12,7 @@ from . import QuerySpec
 
 
 def _blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return B.with_blob(tables.load(spark, sf_dir, "documents"))
+    return B.with_blob(tables.load_parallel(spark, sf_dir, "documents"))
 
 
 def mm01_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

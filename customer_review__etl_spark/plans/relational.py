@@ -604,6 +604,26 @@ def f02_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f03_json_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON + map scalar surface: from_json with an explicit schema on
+    events.props, plus map construction/access — everything scalarized
+    so the oracle compares engine-neutral values."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        parsed["k"].cast("bigint").alias("k_parsed"),
+        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k_path"),
+        F.to_json(F.struct(F.col("user_id").alias("u"))).alias("as_json"),
+        F.element_at(m, "type").alias("m_type"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Extended surface: more TPC-H shapes, window frames, pivot, skew handling
 # --------------------------------------------------------------------------
@@ -1143,6 +1163,19 @@ SPECS = [
                array_to_string(list_sort(string_split(p_type, ' ')), '_')
                  AS sorted_words
         FROM part
+        """,
+    ),
+    QuerySpec(
+        "f03_json_map_funcs",
+        f03_json_map_funcs,
+        """
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k_parsed,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+               '{"u":' || user_id || '}' AS as_json,
+               event_type AS m_type,
+               CAST(2 AS INTEGER) AS n_keys
+        FROM events
         """,
     ),
     QuerySpec(

@@ -46,7 +46,7 @@ NEAR_COS = 0.4   # s03 near-pair threshold (matches testdata's top tail)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tables.load(spark, sf_dir, "embeddings")
+    return tables.load_parallel(spark, sf_dir, "embeddings")
 
 
 def _plane_dot_expr(p: int, planes_per_unit: int = 64) -> str:

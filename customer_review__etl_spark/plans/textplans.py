@@ -36,7 +36,7 @@ TOPK_WORDS = 50
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tables.load(spark, sf_dir, "documents")
+    return tables.load_parallel(spark, sf_dir, "documents")
 
 
 def t01_text_chain(spark: SparkSession, sf_dir: str) -> DataFrame:

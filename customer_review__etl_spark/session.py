@@ -62,6 +62,17 @@ def get_spark(app_name: str = "customer-review-etl-spark") -> SparkSession:
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Scan-split sizing is data-scale-relative: the local testdata is
+        # one small parquet file per table (sf0.1 lineitem ≈ 10 MB), so
+        # the 128m cluster default makes every scan a single task and
+        # leaves 31 of 32 cores idle. 1m splits the file across cores
+        # (measured 3-6× on scan-heavy queries). A 100 TB deployment
+        # reads many ≥128 MB files and should unset this (default 128m
+        # keeps task count = file-chunk count there).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

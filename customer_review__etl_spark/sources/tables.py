@@ -51,6 +51,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """load() + guarantee enough partitions for CPU-heavy derivations.
+
+    A small compressed parquet (one row group) scans as ONE task, so
+    per-row text/vector work (regex, shingling, 64-dim folds) runs on
+    one core no matter how many exist. Redistributing a sub-MB input is
+    ~free and unlocks every core. When the scan already has >= cores
+    partitions — every real-scale input — this is a no-op: no shuffle
+    is ever added to a big scan.
+    """
+    df = load(spark, sf_dir, name)
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        df = df.repartition(want)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
 
