@@ -45,15 +45,21 @@ STOPWORDS = [
     "won", "wouldn",
 ]
 
-# Minimal per-language marker words for the n-gram/stopword language-ID
-# heuristic (public-knowledge approach: score by marker-word hits).
+# Minimal per-language marker words for the language-ID heuristic
+# (public-knowledge approach: score by marker-word hits). Only
+# whitespace-tokenized languages belong here — Chinese is NOT
+# whitespace-tokenized, so it is detected by script instead (CJK
+# codepoint count, see lang_scores), never by romanized marker words.
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "is"],
     "es": ["el", "la", "de", "que", "y"],
     "de": ["der", "die", "und", "das", "ist"],
     "fr": ["le", "la", "et", "les", "des"],
-    "zh": ["de", "shi", "le", "zai", "he"],
 }
+
+# CJK Unified Ideographs block (U+4E00–U+9FFF): one char of this script
+# is stronger evidence of zh than any marker-word count.
+CJK_RANGE = "一-鿿"
 
 
 def normalize_text(col: Column) -> Column:
@@ -135,10 +141,14 @@ def quality_score_cols(text: Column) -> dict[str, Column]:
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
-    """Marker-word hit counts per language, for the language-ID heuristic."""
+    """Per-language evidence counts for the language-ID heuristic:
+    marker-word hits for whitespace-tokenized languages, CJK codepoint
+    count for zh (Chinese text has no whitespace token boundaries, so
+    marker words structurally cannot fire on it)."""
     toks = raw_tokens(F.lower(text))
     out: dict[str, Column] = {}
     for lang, markers in LANG_MARKERS.items():
         marker_arr = F.array(*[F.lit(m) for m in markers])
         out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+    out["zh"] = F.length(F.regexp_replace(text, f"[^{CJK_RANGE}]", ""))
     return out

@@ -624,6 +624,37 @@ def f03_json_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def u01_grouped_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U surface (SURVEY §2.9): grouped-map applyInPandas — per-group
+    min-max normalization of event value.
+
+    The normalization itself IS expressible with window functions (the
+    oracle proves it); it is deliberately implemented as an Arrow-batched
+    grouped-map to exercise the custom-UDF path end-to-end. Inputs are
+    exact integer cents so the one float op per row is a single IEEE
+    division that both engines compute bit-identically. Group state is
+    one pandas frame per event_type — bounded by the largest group, the
+    documented applyInPandas constraint (skewed groups want the window
+    form instead)."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents(F.col("value")).alias("v_cents")
+    )
+    schema = "event_id BIGINT, event_type STRING, v_cents BIGINT, v_norm DOUBLE"
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo = pdf["v_cents"].min()
+        rng = pdf["v_cents"].max() - lo
+        if rng == 0:
+            pdf["v_norm"] = 0.0
+        else:
+            pdf["v_norm"] = (pdf["v_cents"] - lo) / rng
+        return pdf
+
+    return ev.groupBy("event_type").applyInPandas(norm, schema)
+
+
 # --------------------------------------------------------------------------
 # Extended surface: more TPC-H shapes, window frames, pivot, skew handling
 # --------------------------------------------------------------------------
@@ -1176,6 +1207,23 @@ SPECS = [
                event_type AS m_type,
                CAST(2 AS INTEGER) AS n_keys
         FROM events
+        """,
+    ),
+    QuerySpec(
+        "u01_grouped_minmax",
+        u01_grouped_minmax,
+        f"""
+        WITH base AS (
+          SELECT event_id, event_type, {sql_cents('value')} AS v_cents,
+                 min({sql_cents('value')}) OVER (PARTITION BY event_type) AS lo,
+                 max({sql_cents('value')}) OVER (PARTITION BY event_type) AS hi
+          FROM events
+        )
+        SELECT event_id, event_type, v_cents,
+               CASE WHEN hi = lo THEN 0.0
+                    ELSE (v_cents - lo)::DOUBLE / (hi - lo)::DOUBLE
+               END AS v_norm
+        FROM base
         """,
     ),
     QuerySpec(

@@ -93,14 +93,15 @@ def t04_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def t05_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language-ID heuristic with a fixed tie-break order
-    (first language in LANG_MARKERS order wins ties)."""
+    """Language-ID heuristic: marker-word hits for Latin-script
+    languages, CJK codepoint count for zh, fixed tie-break order
+    (first language in score order wins ties)."""
     scores = T.lang_scores(F.col("text"))
     df = _docs(spark, sf_dir).select(
         "doc_id",
         *[c.cast("long").alias(f"sc_{lang}") for lang, c in scores.items()],
     )
-    langs = list(T.LANG_MARKERS)
+    langs = list(scores)
     best = F.greatest(*[F.col(f"sc_{lang}") for lang in langs])
     pred = F.lit(None).cast("string")
     for lang in reversed(langs):
@@ -180,9 +181,10 @@ _LANGS_SQL = ", ".join(
         _t -> list_contains([{", ".join(f"'{m}'" for m in markers)}], _t)))::BIGINT
         AS sc_{lang}"""
     for lang, markers in T.LANG_MARKERS.items()
-)
+) + f", length(regexp_replace(text, '[^{T.CJK_RANGE}]', '', 'g'))::BIGINT AS sc_zh"
+_ALL_LANGS = [*T.LANG_MARKERS, "zh"]
 _PRED_SQL = "CASE " + " ".join(
-    f"WHEN sc_{lang} = best THEN '{lang}'" for lang in T.LANG_MARKERS
+    f"WHEN sc_{lang} = best THEN '{lang}'" for lang in _ALL_LANGS
 ) + " END"
 
 SPECS = [

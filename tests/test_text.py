@@ -97,3 +97,17 @@ def test_bpe_pattern_classes(spark):
     ).collect()[0]["t"]
     # letter-run, digit-run, punct-run, space-attached runs
     assert out == ["ab", "12", ",", " cd", "-", "3", " ee"]
+
+
+def test_lang_id_zh_by_script(spark):
+    """Chinese has no whitespace token boundaries — detection must come
+    from CJK codepoints, not romanized marker words."""
+    scores = T.lang_scores(F.col("text"))
+    df = spark.createDataFrame(
+        [("这是一个中文句子",), ("the cat and the dog",)], "text STRING"
+    )
+    rows = df.select(
+        scores["zh"].alias("zh"), scores["en"].alias("en")
+    ).collect()
+    assert rows[0]["zh"] == 8 and rows[0]["en"] == 0
+    assert rows[1]["zh"] == 0 and rows[1]["en"] > 0
