@@ -45,6 +45,11 @@ HAMMING_MAX = 3    # simhash near-dup threshold (of 64 bits)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "documents")
+
+
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repartitioned load for the CPU-heavy shingle/bit-sum paths."""
     return tables.load_parallel(spark, sf_dir, "documents")
 
 
@@ -76,7 +81,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens have no shingles and exit the near-dup path."""
     tk = T.raw_tokens(T.normalize_text(F.col("text")))
     return (
-        _docs(spark, sf_dir)
+        _docs_par(spark, sf_dir)
         .select("doc_id", tk.alias("tk"))
         .filter(F.size("tk") >= 3)
         .select(
@@ -204,7 +209,7 @@ def _simhash_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     before aggregation — the 64 per-bit sums then read precomputed
     nibble columns instead of re-hashing the token 64 times."""
     toks = (
-        _docs(spark, sf_dir)
+        _docs_par(spark, sf_dir)
         .select(
             "doc_id",
             F.explode(
@@ -311,7 +316,7 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-3-gram Jaccard pairs, blocked by (lang, length/100
     bucket): candidates come from a gram equi-join inside each block,
     verified by exact Jaccard from distinct-gram counts ≥ 0.4."""
-    base = _docs(spark, sf_dir).select(
+    base = _docs_par(spark, sf_dir).select(
         "doc_id",
         "lang",
         T.normalize_text(F.col("text")).alias("norm"),

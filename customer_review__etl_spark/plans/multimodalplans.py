@@ -12,6 +12,11 @@ from . import QuerySpec
 
 
 def _blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return B.with_blob(tables.load(spark, sf_dir, "documents"))
+
+
+def _blobs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repartitioned load for the Python decode path."""
     return B.with_blob(tables.load_parallel(spark, sf_dir, "documents"))
 
 
@@ -24,7 +29,7 @@ def mm01_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm02_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract via mapInPandas (deterministic stub
     decoder; real decoders plug into the same batch path)."""
-    return B.extract_features(_blobs(spark, sf_dir))
+    return B.extract_features(_blobs_par(spark, sf_dir))
 
 
 def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -36,6 +36,11 @@ TOPK_WORDS = 50
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "documents")
+
+
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repartitioned load for the Python-stemmer and explode-heavy paths."""
     return tables.load_parallel(spark, sf_dir, "documents")
 
 
@@ -52,7 +57,7 @@ def t02_stemmed_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1-F7 complete: the reference's full preprocess_text including
     Porter stemming (cleaner.py:148). Python hop — rows-only oracle;
     stem correctness is pinned by published Porter vectors in pytest."""
-    return _docs(spark, sf_dir).select(
+    return _docs_par(spark, sf_dir).select(
         "doc_id",
         F.concat_ws(" ", stem_tokens(T.clean_tokens(F.col("text")))).alias(
             "processed"
@@ -65,7 +70,7 @@ def t03_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     one driver-side string for the word cloud (dashboard.py:36); the
     equivalent the word cloud consumes is top-K word frequencies."""
     return (
-        _docs(spark, sf_dir)
+        _docs_par(spark, sf_dir)
         .select(F.explode(T.clean_tokens(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))

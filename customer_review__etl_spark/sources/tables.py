@@ -51,19 +51,41 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _size_bytes(conf_val: str) -> int:
+    """Parse a Spark byte conf ('1m', '128k', '134217728')."""
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    v = conf_val.strip().lower().removesuffix("b")
+    if v and v[-1] in units:
+        return int(float(v[:-1]) * units[v[-1]])
+    return int(v)
+
+
 def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """load() + guarantee enough partitions for CPU-heavy derivations.
 
     A small compressed parquet (one row group) scans as ONE task, so
     per-row text/vector work (regex, shingling, 64-dim folds) runs on
     one core no matter how many exist. Redistributing a sub-MB input is
-    ~free and unlocks every core. When the scan already has >= cores
-    partitions — every real-scale input — this is a no-op: no shuffle
+    ~free and unlocks every core. When the scan already yields >= cores
+    split-chunks — every real-scale input — this is a no-op: no shuffle
     is ever added to a big scan.
+
+    The smallness probe is an O(1) file-size stat (local paths; remote
+    object stores skip the stat and the repartition — at that scale
+    inputs are multi-file anyway), never a plan/RDD materialization.
     """
+    import os
+
     df = load(spark, sf_dir, name)
     want = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
+    max_pb = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    try:
+        n_splits = os.path.getsize(f"{sf_dir}/{name}.parquet") // max_pb + 1
+    except OSError:
+        return df
+    if n_splits < want:
         df = df.repartition(want)
     return df
 
