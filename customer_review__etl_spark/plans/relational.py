@@ -669,8 +669,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -707,6 +707,99 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue_e4"), "c_custkey")
         .limit(20)
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts for orders with at least
+    one lineitem — an EXISTS subquery expressed as a left-semi join
+    (no duplication of the orders side, lineitem never projected)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts (high/low priority) per
+    return flag — one pass, two map-side conditional sums, no second
+    scan or join for the CASE split."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_count"),
+            F.sum(1 - high).alias("low_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-revenue share — conditional aggregation
+    over a fact⋈dim join; both sums are exact scaled longs and the
+    share is one final IEEE division."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp_ntz"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = scaled(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4)
+    promo = F.col("p_type").startswith("ECONOMY")
+    agg = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(promo, rev).otherwise(F.lit(0))).alias("promo_e4"),
+            F.sum(rev).alias("total_e4"),
+        )
+    )
+    return agg.select(
+        "promo_e4",
+        "total_e4",
+        (
+            F.lit(100.0) * F.col("promo_e4").cast("double")
+            / F.col("total_e4").cast("double")
+        ).alias("promo_pct"),
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with any order above a quantity
+    threshold — aggregate-then-HAVING on the fact table first (shrinks
+    to the rare keys), then joins only the survivors."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(cents(F.col("l_quantity"))).alias("sum_qty_cents"))
+        .filter(F.col("sum_qty_cents") > 200 * 100)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", cents(F.col("o_totalprice")).alias("total_cents")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_date"),
+            "total_cents",
+            "sum_qty_cents",
+        )
+        .orderBy(F.desc("total_cents"), "o_orderkey")
+        .limit(100)
     )
 
 
@@ -1234,8 +1327,8 @@ SPECS = [
                  AS BIGINT) AS revenue_e4,
                count(1) AS n_rows
         FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-          AND l_shipdate <  TIMESTAMP '1995-01-01'
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
           AND l_discount BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
         """,
@@ -1254,6 +1347,70 @@ SPECS = [
         WHERE l_returnflag = 'R'
         GROUP BY c_custkey, c_name, n_name
         ORDER BY revenue_e4 DESC, c_custkey LIMIT 20
+        """,
+    ),
+    QuerySpec(
+        "q4_order_priority",
+        q4_order_priority,
+        """
+        SELECT o_orderpriority, count(1) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+    ),
+    QuerySpec(
+        "q12_shipmode_priority",
+        q12_shipmode_priority,
+        """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+    ),
+    QuerySpec(
+        "q14_promo_revenue",
+        q14_promo_revenue,
+        f"""
+        WITH j AS (
+          SELECT p_type,
+                 {sql_scaled('l_extendedprice * (1.0 - l_discount)', 4)} AS rev_e4
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate <  TIMESTAMP '1995-04-01'
+        )
+        SELECT CAST(sum(CASE WHEN p_type LIKE 'ECONOMY%' THEN rev_e4 ELSE 0 END)
+                 AS BIGINT) AS promo_e4,
+               CAST(sum(rev_e4) AS BIGINT) AS total_e4,
+               100.0 * sum(CASE WHEN p_type LIKE 'ECONOMY%' THEN rev_e4 ELSE 0
+                           END)::DOUBLE / sum(rev_e4)::DOUBLE AS promo_pct
+        FROM j
+        """,
+    ),
+    QuerySpec(
+        "q18_large_orders",
+        q18_large_orders,
+        f"""
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(sum({sql_cents('l_quantity')}) AS BIGINT) AS sum_qty_cents
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum({sql_cents('l_quantity')}) > 20000
+        )
+        SELECT c_custkey, c_name, o_orderkey,
+               CAST(o_orderdate AS DATE) AS o_date,
+               {sql_cents('o_totalprice')} AS total_cents,
+               sum_qty_cents
+        FROM big
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_cents DESC, o_orderkey LIMIT 100
         """,
     ),
     QuerySpec(

@@ -160,10 +160,13 @@ def run_update_collect(stream_df: DataFrame, keys: list[str]) -> DataFrame:
     AvailableNow chops the input into batches."""
     import shutil
     import tempfile
+    from pathlib import Path
 
     from pyspark.sql.window import Window
 
-    out_dir = tempfile.mkdtemp(prefix="stream_upd_")
+    scratch = Path(__file__).resolve().parents[2] / ".tmp"
+    scratch.mkdir(exist_ok=True)
+    out_dir = tempfile.mkdtemp(prefix="stream_upd_", dir=scratch)
     spark = stream_df.sparkSession
 
     def sink(df: DataFrame, batch_id: int) -> None:
