@@ -46,8 +46,9 @@ SPECS = [
         SELECT doc_id,
                octet_length(encode(text))::BIGINT AS n_bytes,
                md5(text) AS digest,  -- == md5 of the UTF-8 bytes
-
-               lower(hex(encode(substr(text, 1, 4)))) AS magic_hex
+               -- first 4 BYTES (not chars): slice the hex string, since
+               -- DuckDB cannot slice blobs; 4 bytes == 8 hex digits
+               lower(substr(hex(encode(text)), 1, 8)) AS magic_hex
         FROM documents
         """,
     ),

@@ -198,7 +198,10 @@ SPECS = [
         t01_text_chain,
         f"""
         SELECT doc_id,
-               array_to_string({sql_clean_tokens("text")}, ' ') AS processed
+               -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+               -- concat_ws of an empty array is '' — '' is canonical
+               coalesce(array_to_string({sql_clean_tokens("text")}, ' '), '')
+                 AS processed
         FROM documents
         """,
     ),
