@@ -33,6 +33,12 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     Without the guard a zero vector divides by zero, which (ANSI off)
     silently yields NULL and drops rows from similarity joins. The
     DuckDB oracle twin mirrors the same rule.
+
+    The result is clamped to [-1, 1]: identical vectors can produce
+    1.0000000000000002 from the raw fold (float round-off), which is
+    out of range and diverges from DuckDB's clamped
+    list_cosine_similarity.
     """
     denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+    raw = F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+    return F.greatest(F.lit(-1.0), F.least(F.lit(1.0), raw))

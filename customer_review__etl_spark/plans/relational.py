@@ -960,7 +960,10 @@ SPECS = [
         p11_derived_json,
         """
         SELECT event_id,
-               CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k,
+               -- TRY_CAST+nullif: no-match yields '' and DuckDB CAST('')
+               -- errors, while Spark's non-ANSI cast yields NULL
+               TRY_CAST(nullif(regexp_extract(props, '"k": (\\d+)', 1), '')
+                 AS INTEGER) AS k,
                upper(event_type) AS event_type_uc
         FROM events
         """,
@@ -1294,8 +1297,15 @@ SPECS = [
         f03_json_map_funcs,
         """
         SELECT event_id,
-               CAST(json_extract(props, '$.k') AS BIGINT) AS k_parsed,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+               -- json_valid guard: Spark's from_json/get_json_object
+               -- return NULL on malformed JSON (incl. leading-zero
+               -- ints); DuckDB json_extract raises — guard + TRY_CAST
+               CASE WHEN props IS NOT NULL AND json_valid(props)
+                    THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END AS k_parsed,
+               CASE WHEN props IS NOT NULL AND json_valid(props)
+                    THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END AS k_path,
                '{"u":' || user_id || '}' AS as_json,
                event_type AS m_type,
                CAST(2 AS INTEGER) AS n_keys

@@ -70,15 +70,88 @@ def _multiset(cols, rows):
     )
 
 
-@pytest.mark.parametrize("name", DOCS_ONLY_QUERIES)
-def test_edge_corpus_matches_oracle(spark, edge_dir, name):
+_TS = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes):
+    return _TS + datetime.timedelta(minutes=minutes)
+
+
+EDGE_EVENTS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    (0, _ts(0), 1, "purchase", 10.25, '{"k": 1}'),
+    (1, _ts(1), 1, "purchase", -3.75, '{"k": 22}'),     # negative money
+    (2, _ts(2), 1, None, 0.0, '{"k": 3}'),              # NULL type
+    (3, _ts(2), 1, "view", 0.01, "not json at all"),    # invalid JSON
+    (4, _ts(2), 2, "view", 1000000000.25, None),        # NULL props, big value
+    (5, _ts(2), 2, "view", 1000000000.25, "{}"),        # missing key
+    (6, _ts(200), 2, "view", 5.5, '{"k": 0}'),          # second session
+    (7, _ts(200), 2, "view", 5.5, '{"k": -9}'),         # dup ts+key
+    (8, _ts(65), 3, "refund", 0.07, '{"k": 007}'),      # leading-zero int
+]
+
+EVENTS_ONLY_QUERIES = [
+    "p03_dedup_keep_first", "p08_filter_eq", "p11_derived_json",
+    "a01_group_count", "a05_distinct_sort", "f03_json_map_funcs",
+    "j09_salted_skew_agg", "u01_grouped_minmax",
+    "st01_tumbling_window", "st02_sliding_window", "st03_session_window",
+]
+
+
+def _zeros(n=64):
+    return [0.0] * n
+
+
+def _unit(i, n=64):
+    v = [0.0] * n
+    v[i % n] = 1.0
+    return v
+
+
+def _ramp(seed, n=64):
+    return [((seed * 31 + d * 7) % 13 - 6) / 3.0 for d in range(n)]
+
+
+EDGE_EMBEDDINGS = (
+    [(0, _zeros(), 0)]                                   # zero vector
+    + [(i, _unit(i), i % 3) for i in range(1, 6)]        # axis units
+    + [(6, _ramp(6), 0), (7, _ramp(6), 1)]               # exact duplicates
+    + [(i, _ramp(i), i % 3) for i in range(8, 40)]
+)
+
+EMB_ONLY_QUERIES = ["s01_cosine_topk", "s02_ann_lsh", "s03_embedding_neardup",
+                    "s04_ivf_ann"]
+
+
+@pytest.fixture(scope="module")
+def edge_events_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_ev")
+    spark.createDataFrame(
+        EDGE_EVENTS,
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def edge_emb_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_emb")
+    spark.createDataFrame(
+        EDGE_EMBEDDINGS, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def _compare(spark, sf_dir, name, view):
     spec = all_queries()[name]
-    sdf = spec.fn(spark, edge_dir)
+    sdf = spec.fn(spark, sf_dir)
     scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
 
     con = duckdb.connect()
     con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM '{edge_dir}/documents.parquet/*.parquet'"
+        f"CREATE VIEW {view} AS "
+        f"SELECT * FROM '{sf_dir}/{view}.parquet/*.parquet'"
     )
     cur = con.execute(spec.oracle)
     ocols = [c[0] for c in cur.description]
@@ -86,3 +159,18 @@ def test_edge_corpus_matches_oracle(spark, edge_dir, name):
 
     assert sorted(scols) == sorted(ocols)
     assert _multiset(scols, srows) == _multiset(ocols, orows), name
+
+
+@pytest.mark.parametrize("name", DOCS_ONLY_QUERIES)
+def test_edge_corpus_matches_oracle(spark, edge_dir, name):
+    _compare(spark, edge_dir, name, "documents")
+
+
+@pytest.mark.parametrize("name", EVENTS_ONLY_QUERIES)
+def test_edge_events_match_oracle(spark, edge_events_dir, name):
+    _compare(spark, edge_events_dir, name, "events")
+
+
+@pytest.mark.parametrize("name", EMB_ONLY_QUERIES)
+def test_edge_embeddings_match_oracle(spark, edge_emb_dir, name):
+    _compare(spark, edge_emb_dir, name, "embeddings")
