@@ -31,6 +31,7 @@ class QuerySpec:
 def build_registry() -> dict[str, QuerySpec]:
     from . import (
         dedupplans,
+        ioplans,
         mlplans,
         multimodalplans,
         relational,
@@ -48,6 +49,7 @@ def build_registry() -> dict[str, QuerySpec]:
         streamplans,
         mlplans,
         multimodalplans,
+        ioplans,
     ):
         for spec in mod.SPECS:
             if spec.name in registry:
