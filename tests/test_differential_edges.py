@@ -166,6 +166,53 @@ def test_edge_corpus_matches_oracle(spark, edge_dir, name):
     _compare(spark, edge_dir, name, "documents")
 
 
+# ---------------------------------------------------------------------------
+# Seeded fuzz corpus: 300 random documents over a hostile alphabet
+# (whitespace runs, punctuation, digits, accents, CJK, long tokens).
+# Deterministic (fixed seed) so failures reproduce exactly.
+# ---------------------------------------------------------------------------
+
+_FUZZ_ALPHABET = (
+    ["the", "and", "cat", "dog", "a", "ab", "xyz", "stemming", "relational",
+     "caresses", "ponies", "running", "flies", "denied", "agreed"]
+    + ["123", "0", "007", "x9y", "3.14"]
+    + ["!!!", "...", "?!", ",", ";", "#tag", "(par)", "[br]"]
+    + ["café", "über", "naïve", "中文", "文本", "ññ"]
+    + [" ", "  ", "\t", "\n"]
+    + ["w" * 40]
+)
+
+
+def _fuzz_doc(rng):
+    n = rng.randint(0, 30)
+    return "".join(
+        rng.choice(_FUZZ_ALPHABET) + rng.choice([" ", " ", "  ", "\t", ""])
+        for _ in range(n)
+    )
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(spark, tmp_path_factory):
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (i, _fuzz_doc(rng), rng.choice(["en", "es", "zh"]), "fuzz", 0)
+        for i in range(300)
+    ]
+    d = tmp_path_factory.mktemp("fuzz_sf")
+    spark.createDataFrame(
+        rows,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", DOCS_ONLY_QUERIES)
+def test_fuzz_corpus_matches_oracle(spark, fuzz_dir, name):
+    _compare(spark, fuzz_dir, name, "documents")
+
+
 @pytest.mark.parametrize("name", EVENTS_ONLY_QUERIES)
 def test_edge_events_match_oracle(spark, edge_events_dir, name):
     _compare(spark, edge_events_dir, name, "events")
