@@ -41,7 +41,9 @@ HEADLINE = [
     "t04_quality_scores",
     "d01_exact_dedup",
     "d02_minhash_near_dup",
+    "d03_simhash_near_dup",
     "s01_cosine_topk",
+    "s02_ann_lsh",
     "st01_tumbling_window",
 ]
 

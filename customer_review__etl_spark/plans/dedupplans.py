@@ -98,24 +98,65 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Universal-hash family for the minhash signatures: one md5 per shingle
+# decoded to two 32-bit ints (a, b), then h_s = (a * P_s + b) mod M — 16
+# integer mixes instead of 16 md5 calls per shingle row (~4× cheaper on
+# the signature stage). M = 2^32-5 (prime); P_s < 2^30 keeps a*P_s+b
+# under 2^62: exact wrap-free int64 in both engines.
+MINHASH_M = 4294967291
+MINHASH_PS = [(2654435761 + 40503 * s) % (2 ** 30) | 1 for s in range(N_HASHES)]
+
+
+def _hex32(expr_digest: str, offset: int) -> str:
+    """Engine-neutral SQL: decode 8 hex digits of `expr_digest` starting
+    at 1-based `offset` into a non-negative int64 (ASCII arithmetic, no
+    conv()/unhex() — identical text runs on Spark and DuckDB)."""
+    terms = " + ".join(
+        f"({_hexdigit_to_int('any', f'substr({expr_digest}, {offset + i}, 1)')}"
+        f" * CAST({16 ** (7 - i)} AS BIGINT))"  # INT32 literal would overflow
+        for i in range(8)
+    )
+    return f"(CAST({terms} AS BIGINT))"
+
+
 def _minhash_sigs(sh: DataFrame) -> DataFrame:
-    """16 deterministic minhashes: min over shingles of md5('<seed>:'+sh).
-    Lexicographic min over lowercase hex is engine-neutral."""
+    """16 deterministic minhashes per doc: min over shingles of the
+    universal hash (a·P_s + b) mod M of the shingle's md5."""
+    with_ab = sh.withColumn("dg", F.md5("sh")).select(
+        "doc_id",
+        F.expr(_hex32("dg", 1)).alias("ha"),
+        F.expr(_hex32("dg", 9)).alias("hb"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"h{s}")
-        for s in range(N_HASHES)
+        F.min(F.expr(f"(ha * {p} + hb) % {MINHASH_M}")).alias(f"h{s}")
+        for s, p in enumerate(MINHASH_PS)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return with_ab.groupBy("doc_id").agg(*aggs)
+
+
+BAND_K = 1000003  # chain multiplier; x*K < 2^32 * 2^20 — wrap-free int64
+
+
+def _band_hash_expr(b: int) -> str:
+    """Engine-neutral SQL: fold band b's 4 signature ints into one
+    bucket key via x -> (x*K + h) mod M."""
+    rows_per_band = N_HASHES // N_BANDS
+    x = f"h{b * rows_per_band}"
+    for r in range(1, rows_per_band):
+        x = f"(({x} * {BAND_K} + h{b * rows_per_band + r}) % {MINHASH_M})"
+    return x
 
 
 def _bands(sigs: DataFrame) -> DataFrame:
-    """4 bands of 4 signature rows each, hashed to one 128-bit key."""
-    rows_per_band = N_HASHES // N_BANDS
+    """4 bands of 4 signature ints each, folded to one integer key —
+    the LSH shuffle moves (long, long) pairs, nothing wider."""
     entries: list[Column] = []
     for b in range(N_BANDS):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
         entries.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*cols)).alias("bh"))
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(_band_hash_expr(b)).alias("bh"),
+            )
         )
     return sigs.select(
         "doc_id", F.explode(F.array(*entries)).alias("e")
@@ -385,18 +426,19 @@ e AS (SELECT doc_id, _u.sh FROM shl, UNNEST(shingles) AS _u(sh))
 """
 
 _SIG_COLS = ", ".join(
-    f"min(md5('{s}:' || sh)) AS h{s}" for s in range(N_HASHES)
+    f"min((ha * {p} + hb) % {MINHASH_M}) AS h{s}"
+    for s, p in enumerate(MINHASH_PS)
 )
 _BAND_ROWS = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, "
-    f"md5(h{4 * b} || h{4 * b + 1} || h{4 * b + 2} || h{4 * b + 3}) AS bh "
-    "FROM sigs"
+    f"SELECT doc_id, {b} AS band, {_band_hash_expr(b)} AS bh FROM sigs"
     for b in range(N_BANDS)
 )
 
 _D02_SQL = f"""
 WITH {_SHINGLES_CTE},
-sigs AS (SELECT doc_id, {_SIG_COLS} FROM e GROUP BY doc_id),
+eab AS (SELECT doc_id, sh, {_hex32('md5(sh)', 1)} AS ha,
+               {_hex32('md5(sh)', 9)} AS hb FROM e),
+sigs AS (SELECT doc_id, {_SIG_COLS} FROM eab GROUP BY doc_id),
 bands AS ({_BAND_ROWS}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
