@@ -624,6 +624,20 @@ def f03_json_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a09_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A7 scale path: sketch aggregates — HLL++ count-distinct and
+    KLL-style approx percentiles. At 100 TB these replace their exact
+    twins (a02/a08): one pass, mergeable fixed-size state, no giant
+    hash tables. ⊘ rows-only for the oracle (sketch internals are
+    engine-specific); tests/test_plans.py pins each estimate within
+    rel_sd/tolerance of the exact answer."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median_price"),
+        F.percentile_approx("o_totalprice", 0.99, 10000).alias("approx_p99_price"),
+    )
+
+
 def u01_grouped_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U surface (SURVEY §2.9): grouped-map applyInPandas — per-group
     min-max normalization of event value.
@@ -1312,6 +1326,7 @@ SPECS = [
         FROM events
         """,
     ),
+    QuerySpec("a09_approx_stats", a09_approx_stats, None),
     QuerySpec(
         "u01_grouped_minmax",
         u01_grouped_minmax,

@@ -28,6 +28,7 @@ def test_contract_consistency():
         "ml02_topic_top_words",
         "ml04_classifier_metrics",
         "mm02_decode_features",
+        "a09_approx_stats",
     }
 
 
@@ -98,6 +99,24 @@ def test_salted_agg_two_stage(spark):
     plan = _plan(relational.j09_salted_skew_agg(spark, SF_DIR))
     assert plan.count("HashAggregate") >= 4
     assert "salt" in plan
+
+
+def test_approx_stats_within_tolerance(spark):
+    """a09's sketches must land near the exact answers they replace."""
+    from pyspark.sql import functions as F
+
+    from customer_review__etl_spark.sources import tables
+
+    row = relational.a09_approx_stats(spark, SF_DIR).collect()[0]
+    o = tables.load(spark, SF_DIR, "orders")
+    exact = o.agg(
+        F.countDistinct("o_custkey").alias("nd"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    ).collect()[0]
+    assert abs(row["approx_customers"] - exact["nd"]) <= 0.05 * exact["nd"]
+    assert abs(row["approx_median_price"] - exact["p50"]) <= 0.02 * exact["p50"]
+    assert abs(row["approx_p99_price"] - exact["p99"]) <= 0.02 * exact["p99"]
 
 
 def test_banded_neardup_joins_are_hash_joins(spark):
