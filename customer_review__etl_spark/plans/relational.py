@@ -624,6 +624,25 @@ def f03_json_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w06_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame window: 4-row moving average of order value per
+    customer (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW). The average is
+    an exact integer cents sum over the frame divided by the exact
+    frame count — one IEEE division, hash-identical cross-engine."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(-3, Window.currentRow)
+    c = cents(F.col("o_totalprice"))
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        c.alias("price_cents"),
+        (
+            F.sum(c).over(wf).cast("double")
+            / F.count(F.lit(1)).over(wf).cast("double")
+        ).alias("moving_avg_cents"),
+    )
+
+
 def a09_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A7 scale path: sketch aggregates — HLL++ count-distinct and
     KLL-style approx percentiles. At 100 TB these replace their exact
@@ -1324,6 +1343,19 @@ SPECS = [
                event_type AS m_type,
                CAST(2 AS INTEGER) AS n_keys
         FROM events
+        """,
+    ),
+    QuerySpec(
+        "w06_moving_avg",
+        w06_moving_avg,
+        f"""
+        SELECT o_orderkey, o_custkey,
+               {sql_cents('o_totalprice')} AS price_cents,
+               sum({sql_cents('o_totalprice')}) OVER w::DOUBLE
+                 / count(1) OVER w::DOUBLE AS moving_avg_cents
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         """,
     ),
     QuerySpec("a09_approx_stats", a09_approx_stats, None),

@@ -109,6 +109,24 @@ def st06_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id")
 
 
+def st07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream enriched by a static broadcast dimension (the streaming
+    J1), then windowed per category; unmatched types → 'other'."""
+    out = jobs.run_available_now(
+        jobs.stream_static_join(jobs.stream_events(spark, sf_dir))
+    )
+    return out.withColumn(
+        "wstart", F.col("wstart").cast("timestamp_ntz")
+    ).orderBy("wstart", "category")
+
+
+# CASE generated from the same dict the streaming job broadcasts, so
+# the two sides cannot drift.
+_CATEGORY_CASE = "CASE " + " ".join(
+    f"WHEN event_type = '{k}' THEN '{v}'"
+    for k, v in jobs.EVENT_CATEGORIES.items()
+) + " ELSE 'other' END"
+
 _ST01_SQL = f"""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
        count(1) AS n,
@@ -175,6 +193,16 @@ SPECS = [
                CAST(sum({sql_cents('value')}) AS BIGINT) AS sum_cents,
                CAST(max({sql_cents('value')}) AS BIGINT) AS max_cents
         FROM events GROUP BY user_id ORDER BY user_id
+        """,
+    ),
+    QuerySpec(
+        "st07_stream_static_join",
+        st07_stream_static_join,
+        f"""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+               {_CATEGORY_CASE} AS category,
+               count(1) AS n
+        FROM events GROUP BY wstart, category ORDER BY wstart, category
         """,
     ),
 ]

@@ -44,12 +44,19 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_confs(spark)
     # The file stream source wants a directory; glob-filter to the one
     # events file inside the sf dir.
-    raw = (
-        spark.readStream.schema(_RAW_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    # events.parquet is a single FILE in the driver layout but a
+    # DIRECTORY of part files when written by Spark (test fixtures).
+    # The streaming file source rejects a bare file as basePath, and a
+    # pathGlobFilter on the parent silently matches zero part files in
+    # the directory case — so branch on the actual layout.
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    reader = spark.readStream.schema(_RAW_SCHEMA).format("parquet")
+    if os.path.isdir(path):
+        raw = reader.load(path)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
     # Watermarks require TIMESTAMP (not NTZ); with the session timezone
     # pinned to UTC (ensure_confs) the instant semantics are identical,
     # and batch-facing plans cast back to NTZ at the boundary.
@@ -104,6 +111,38 @@ def dedup_within_watermark(events: DataFrame) -> DataFrame:
     duplicates arriving within the watermark horizon are dropped."""
     return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
+    )
+
+
+# Static event-type → category dimension for the stream-static join
+# (the streaming analogue of the reference's topic→theme map, J1).
+EVENT_CATEGORIES = {
+    "click": "engagement",
+    "view": "engagement",
+    "purchase": "revenue",
+    "refund": "revenue",
+    "signup": "growth",
+}
+
+
+def stream_static_join(events: DataFrame) -> DataFrame:
+    """Stream-static broadcast join + windowed agg: each micro-batch
+    joins the (tiny, broadcast) static dimension with no streaming
+    state beyond the window aggregation itself — the idiomatic way to
+    enrich a stream against slowly-changing reference data."""
+    spark = events.sparkSession
+    dim = spark.createDataFrame(
+        list(EVENT_CATEGORIES.items()), "event_type STRING, category STRING"
+    )
+    return (
+        events.join(F.broadcast(dim), "event_type", "left")
+        .withWatermark("ts", WATERMARK)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.coalesce(F.col("category"), F.lit("other")).alias("category"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("wstart"), "category", "n")
     )
 
 

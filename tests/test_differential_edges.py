@@ -95,6 +95,7 @@ EVENTS_ONLY_QUERIES = [
     "a01_group_count", "a05_distinct_sort", "f03_json_map_funcs",
     "j09_salted_skew_agg", "u01_grouped_minmax",
     "st01_tumbling_window", "st02_sliding_window", "st03_session_window",
+    "st07_stream_static_join",
 ]
 
 
@@ -125,10 +126,27 @@ EMB_ONLY_QUERIES = ["s01_cosine_topk", "s02_ann_lsh", "s03_embedding_neardup",
 
 @pytest.fixture(scope="module")
 def edge_events_dir(spark, tmp_path_factory):
+    """Writes events.ts as epoch NANOS (long) — the driver's physical
+    layout (TIMESTAMP(NANOS) read under nanosAsLong) — so both the
+    batch loader's conversion and the streaming source's BIGINT schema
+    take the same path they take on the real corpus."""
     d = tmp_path_factory.mktemp("edge_ev")
+    epoch = datetime.datetime(1970, 1, 1)
+
+    def nanos(ts):
+        delta = ts - epoch
+        return (
+            (delta.days * 86400 + delta.seconds) * 1_000_000_000
+            + delta.microseconds * 1_000
+        )
+
+    rows = [
+        (eid, nanos(ts), uid, et, v, props)
+        for (eid, ts, uid, et, v, props) in EDGE_EVENTS
+    ]
     spark.createDataFrame(
-        EDGE_EVENTS,
-        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        rows,
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, "
         "event_type STRING, value DOUBLE, props STRING",
     ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
     return str(d)
@@ -149,10 +167,16 @@ def _compare(spark, sf_dir, name, view):
     scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
 
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW {view} AS "
-        f"SELECT * FROM '{sf_dir}/{view}.parquet/*.parquet'"
-    )
+    src = f"SELECT * FROM '{sf_dir}/{view}.parquet/*.parquet'"
+    if view == "events":
+        # Fixture stores ts as epoch nanos (the driver's physical
+        # layout); present it to the oracle as TIMESTAMP like DuckDB
+        # does natively for TIMESTAMP(NANOS) files.
+        src = (
+            "SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+            f"FROM ({src})"
+        )
+    con.execute(f"CREATE VIEW {view} AS {src}")
     cur = con.execute(spec.oracle)
     ocols = [c[0] for c in cur.description]
     orows = cur.fetchall()
