@@ -59,7 +59,9 @@ def io02_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         src = tables.load(spark, sf_dir, "supplier")
         sinks.write_parquet(src, out, partition_by=["s_nationkey"])
-        df = spark.read.parquet(out).select(*src.columns)
+        # Explicit schema: a zero-row partitioned write leaves nothing
+        # to infer from, and the engine never relies on inference anyway.
+        df = spark.read.schema(src.schema).parquet(out).select(*src.columns)
         df = df.withColumn(
             "s_nationkey", df["s_nationkey"].cast("int")
         )

@@ -190,7 +190,11 @@ def a03_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "orders")
     return df.agg(
         *[
-            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+            # coalesce: SUM over zero rows is NULL, but "no rows" has
+            # exactly 0 nulls (and the oracle's count(*)-count(c) is 0)
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(
+                f"nulls_{c}"
+            )
             for c in df.columns
         ]
     )
@@ -1268,6 +1272,9 @@ SPECS = [
                CAST(GROUPING(c_nationkey) AS INTEGER) AS g_nat,
                count(1) AS n
         FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+        -- Spark emits no grand-total row over EMPTY input (DuckDB
+        -- does, per standard); count>0 removes exactly that row
+        HAVING count(1) > 0
         """,
     ),
     QuerySpec(
@@ -1279,6 +1286,7 @@ SPECS = [
                CAST(GROUPING(CAST(date_trunc('day', ts) AS DATE)) AS INTEGER) AS g_day,
                count(1) AS n
         FROM events GROUP BY CUBE (event_type, CAST(date_trunc('day', ts) AS DATE))
+        HAVING count(1) > 0  -- see g01: Spark empty-input semantics
         """,
     ),
     QuerySpec(
@@ -1288,6 +1296,7 @@ SPECS = [
         SELECT o_orderstatus, o_orderpriority, count(1) AS n
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        HAVING count(1) > 0  -- see g01: Spark empty-input semantics
         """,
     ),
     QuerySpec(
