@@ -95,13 +95,17 @@ def clean_tokens(col: Column) -> Column:
 
 
 def raw_tokens(col: Column) -> Column:
-    """Whitespace tokens of raw text, empties removed.
+    """Whitespace tokens of raw text, empties removed; NULL ≡ empty.
 
     Splits on ``\\s+`` and drops empty strings so repeated / leading /
     trailing whitespace never yields phantom tokens (single-space split
-    would inflate counts and skew downstream ratios).
+    would inflate counts and skew downstream ratios). NULL input
+    coalesces to '' → zero tokens, never a NULL array (whose size() is
+    engine-dependent).
     """
-    return F.filter(F.split(col, r"\s+"), lambda t: F.length(t) > 0)
+    return F.filter(
+        F.split(F.coalesce(col, F.lit("")), r"\s+"), lambda t: F.length(t) > 0
+    )
 
 
 def token_count(col: Column) -> Column:
@@ -150,5 +154,7 @@ def lang_scores(text: Column) -> dict[str, Column]:
     for lang, markers in LANG_MARKERS.items():
         marker_arr = F.array(*[F.lit(m) for m in markers])
         out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
-    out["zh"] = F.length(F.regexp_replace(text, f"[^{CJK_RANGE}]", ""))
+    out["zh"] = F.length(
+        F.regexp_replace(F.coalesce(text, F.lit("")), f"[^{CJK_RANGE}]", "")
+    )
     return out

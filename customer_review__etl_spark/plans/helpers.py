@@ -76,9 +76,11 @@ def sql_normalize(expr: str) -> str:
 
 
 def sql_raw_tokens(expr: str) -> str:
-    """DuckDB twin of text.raw_tokens: \\s+ split, empties dropped."""
+    """DuckDB twin of text.raw_tokens: \\s+ split, empties dropped,
+    NULL ≡ empty (zero tokens, never a NULL list)."""
     return (
-        rf"list_filter(string_split_regex({expr}, '\s+'), _t -> len(_t) > 0)"
+        rf"list_filter(string_split_regex(coalesce({expr}, ''), '\s+'), "
+        rf"_t -> len(_t) > 0)"
     )
 
 

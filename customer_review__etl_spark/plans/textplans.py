@@ -165,7 +165,7 @@ def t08_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     alongside the plain whitespace count — the two standard "how many
     tokens is this corpus" estimators for training-data budgeting.
     All regexp_extract_all + size: JVM-side, one narrow map."""
-    low = F.lower(F.col("text"))
+    low = F.lower(F.coalesce(F.col("text"), F.lit("")))
     return _docs(spark, sf_dir).select(
         "doc_id",
         F.size(F.regexp_extract_all(low, F.lit(BPE_PATTERN), 0))
@@ -186,7 +186,10 @@ _LANGS_SQL = ", ".join(
         _t -> list_contains([{", ".join(f"'{m}'" for m in markers)}], _t)))::BIGINT
         AS sc_{lang}"""
     for lang, markers in T.LANG_MARKERS.items()
-) + f", length(regexp_replace(text, '[^{T.CJK_RANGE}]', '', 'g'))::BIGINT AS sc_zh"
+) + (
+    f", length(regexp_replace(coalesce(text, ''), '[^{T.CJK_RANGE}]', '', 'g'))"
+    "::BIGINT AS sc_zh"
+)
 _ALL_LANGS = [*T.LANG_MARKERS, "zh"]
 _PRED_SQL = "CASE " + " ".join(
     f"WHEN sc_{lang} = best THEN '{lang}'" for lang in _ALL_LANGS
@@ -274,11 +277,11 @@ SPECS = [
         t08_bpe_token_count,
         f"""
         SELECT doc_id,
-               len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))::BIGINT
+               len(regexp_extract_all(lower(coalesce(text, '')), '{BPE_PATTERN}'))::BIGINT
                  AS n_bpeish,
-               len(regexp_extract_all(lower(text), '{BPE_WORD}'))::BIGINT
+               len(regexp_extract_all(lower(coalesce(text, '')), '{BPE_WORD}'))::BIGINT
                  AS n_word_runs,
-               len(regexp_extract_all(lower(text), '{BPE_NUM}'))::BIGINT
+               len(regexp_extract_all(lower(coalesce(text, '')), '{BPE_NUM}'))::BIGINT
                  AS n_num_runs,
                len({sql_raw_tokens('text')})::BIGINT AS n_whitespace
         FROM documents

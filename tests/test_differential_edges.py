@@ -31,6 +31,7 @@ EDGE_DOCS = [
     (12, "a b c d e f g h i j k l m", "en", "web", 25),  # all len<=2
     (13, "plain lowercase words here", "en", "mirror", 26),  # exact dup of 0
     (14, "plain lowercase words there", "en", "web", 27),  # near dup of 0
+    (15, None, "en", "web", 0),  # NULL text
 ]
 
 DOCS_ONLY_QUERIES = [
