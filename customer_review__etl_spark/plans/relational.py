@@ -747,6 +747,38 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per part, the supplier offering the minimum cost
+    — the correlated subquery (`cost = (SELECT min(cost) ...)`)
+    rewritten as a window keep-first, which computes every part's
+    answer in ONE pass instead of re-executing the subquery per row.
+    Unique tie-break (cost, suppkey, orderkey, linenumber) makes the
+    surviving row deterministic."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        cents(F.col("l_extendedprice")).alias("cost_cents"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        "cost_cents", "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    best = (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_partkey", "l_suppkey", "cost_cents")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        best.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_partkey", "s_suppkey", "s_name", "n_name", "cost_cents")
+        .orderBy("l_partkey")
+    )
+
+
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: order-priority counts for orders with at least
     one lineitem — an EXISTS subquery expressed as a left-semi join
@@ -1413,6 +1445,28 @@ SPECS = [
         WHERE l_returnflag = 'R'
         GROUP BY c_custkey, c_name, n_name
         ORDER BY revenue_e4 DESC, c_custkey LIMIT 20
+        """,
+    ),
+    QuerySpec(
+        "q2_min_cost_supplier",
+        q2_min_cost_supplier,
+        f"""
+        WITH best AS (
+          SELECT l_partkey, l_suppkey, cost_cents FROM (
+            SELECT l_partkey, l_suppkey,
+                   {sql_cents('l_extendedprice')} AS cost_cents,
+                   row_number() OVER (
+                     PARTITION BY l_partkey
+                     ORDER BY {sql_cents('l_extendedprice')}, l_suppkey,
+                              l_orderkey, l_linenumber) AS rn
+            FROM lineitem)
+          WHERE rn = 1
+        )
+        SELECT l_partkey, s_suppkey, s_name, n_name, cost_cents
+        FROM best
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        ORDER BY l_partkey
         """,
     ),
     QuerySpec(
