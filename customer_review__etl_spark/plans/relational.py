@@ -391,6 +391,48 @@ def j06_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_BUCKET = 50.0  # j10 bucket width == j06's interval width
+
+
+def j10_bucketed_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j06's range join rewritten scale-safe: bucketize the axis at the
+    interval width, explode each interval to its ≤2 covered buckets,
+    hash equi-join on the bucket, then apply the exact range predicate.
+
+    Identical result set to j06 (the oracle is the same declarative
+    range join), but the physical plan is a shuffle/broadcast HASH join
+    on an integer key instead of a nested loop over all pairs — the
+    difference between O(n·m) and O(n+m+matches) at 100 TB. A bucket
+    the interval doesn't actually cover only produces rows the exact
+    post-filter removes."""
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", (F.col("s_acctbal") / 10).alias("lo")
+    )
+    sb = supp.select(
+        "s_suppkey",
+        "lo",
+        F.explode(
+            F.array(
+                F.floor(F.col("lo") / RANGE_BUCKET),
+                F.floor(F.col("lo") / RANGE_BUCKET) + 1,
+            )
+        ).alias("bucket"),
+    )
+    pb = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        F.floor(F.col("p_retailprice") / RANGE_BUCKET).alias("bucket"),
+    )
+    return (
+        pb.join(sb, "bucket")
+        .filter(
+            (F.col("p_retailprice") >= F.col("lo"))
+            & (F.col("p_retailprice") < F.col("lo") + RANGE_BUCKET)
+        )
+        .select("s_suppkey", "p_partkey", "p_retailprice")
+    )
+
+
 def j07_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RIGHT join: all nations kept, unmatched suppliers → NULL counts."""
     supp = _t(spark, sf_dir, "supplier")
@@ -1190,6 +1232,16 @@ SPECS = [
     QuerySpec(
         "j06_theta_range",
         j06_theta_range,
+        """
+        SELECT s_suppkey, p_partkey, p_retailprice
+        FROM part JOIN supplier
+          ON p_retailprice >= s_acctbal / 10
+         AND p_retailprice <  s_acctbal / 10 + 50
+        """,
+    ),
+    QuerySpec(
+        "j10_bucketed_range",
+        j10_bucketed_range,
         """
         SELECT s_suppkey, p_partkey, p_retailprice
         FROM part JOIN supplier

@@ -119,6 +119,16 @@ def test_approx_stats_within_tolerance(spark):
     assert abs(row["approx_p99_price"] - exact["p99"]) <= 0.02 * exact["p99"]
 
 
+def test_bucketed_range_join_is_hash_join(spark):
+    """j10 must produce j06's exact rows through a hash join, not BNLJ."""
+    plan = _plan(relational.j10_bucketed_range(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    j06 = sorted(map(tuple, relational.j06_theta_range(spark, SF_DIR).collect()))
+    j10 = sorted(map(tuple, relational.j10_bucketed_range(spark, SF_DIR).collect()))
+    assert j06 == j10
+
+
 def test_banded_neardup_joins_are_hash_joins(spark):
     """d03/s03 candidate generation must be equi-joins (hash/SMJ), never
     BroadcastNestedLoopJoin — the OR-of-bands form would be all-pairs."""
