@@ -120,6 +120,44 @@ def st07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("wstart", "category")
 
 
+def st08_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled resample (the hypertable-rollup shape): 1-hour bins
+    per event_type over the table's full time span, with empty bins
+    materialized as zero rows — groupBy(window) alone silently drops
+    them, which breaks downstream charting/diffing.
+
+    The bin spine is generated (sequence over the min..max span), not
+    scanned: one tiny aggregate for the bounds, a generated axis cross
+    the 5-value type dimension, then a left join of the real counts.
+    The spine is O(span/step × types) — independent of row count."""
+    ev = _events(spark, sf_dir).select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    )
+    bounds = ev.agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = (
+        bounds.select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("wstart")
+        )
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    counts = ev.groupBy(
+        F.col("h").alias("wstart"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.join(counts, ["wstart", "event_type"], "left")
+        .select(
+            "wstart",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+        .orderBy("wstart", "event_type")
+    )
+
+
 # CASE generated from the same dict the streaming job broadcasts, so
 # the two sides cannot drift.
 _CATEGORY_CASE = "CASE " + " ".join(
@@ -203,6 +241,27 @@ SPECS = [
                {_CATEGORY_CASE} AS category,
                count(1) AS n
         FROM events GROUP BY wstart, category ORDER BY wstart, category
+        """,
+    ),
+    QuerySpec(
+        "st08_gapfill_resample",
+        st08_gapfill_resample,
+        """
+        WITH b AS (SELECT min(date_trunc('hour', ts)) AS lo,
+                          max(date_trunc('hour', ts)) AS hi FROM events),
+        spine AS (
+          SELECT _g.wstart, t.event_type
+          FROM b, UNNEST(generate_series(b.lo, b.hi, INTERVAL '1 hour'))
+                 AS _g(wstart),
+               (SELECT DISTINCT event_type FROM events) t
+        ),
+        c AS (SELECT date_trunc('hour', ts) AS wstart, event_type,
+                     count(1) AS n
+              FROM events GROUP BY wstart, event_type)
+        SELECT s.wstart, s.event_type, coalesce(c.n, 0) AS n
+        FROM spine s LEFT JOIN c
+          ON s.wstart = c.wstart AND s.event_type = c.event_type
+        ORDER BY s.wstart, s.event_type
         """,
     ),
 ]

@@ -96,7 +96,7 @@ EVENTS_ONLY_QUERIES = [
     "a01_group_count", "a05_distinct_sort", "f03_json_map_funcs",
     "j09_salted_skew_agg", "u01_grouped_minmax",
     "st01_tumbling_window", "st02_sliding_window", "st03_session_window",
-    "st07_stream_static_join",
+    "st07_stream_static_join", "st08_gapfill_resample",
 ]
 
 
