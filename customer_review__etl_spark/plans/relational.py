@@ -391,6 +391,82 @@ def j06_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue between two nation pairs — the same
+    dimension table joined twice under different aliases (customer's
+    nation vs supplier's nation), both broadcast; the disjunctive
+    nation-pair predicate is evaluated after the joins on the tiny
+    joined columns, never against the fact scan."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        scaled(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+        ).alias("rev_e4"),
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    # any cross-nation pair; intra-nation trade excluded
+    pair = F.col("supp_nation") != F.col("cust_nation")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev_e4").alias("revenue_e4"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunction predicate bands over a
+    fact⋈dim join. Catalyst extracts the common l_quantity bounds from
+    the disjunction and pushes them into the parquet scan, so the OR
+    structure prunes I/O instead of forcing a full read."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity",
+        scaled(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+        ).alias("rev_e4"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_size")
+    band = (
+        (
+            F.col("p_type").startswith("SMALL")
+            & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11)
+            & (F.col("p_size") <= 5)
+        )
+        | (
+            F.col("p_type").startswith("MEDIUM")
+            & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20)
+            & (F.col("p_size") <= 10)
+        )
+        | (
+            F.col("p_type").startswith("ECONOMY")
+            & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30)
+            & (F.col("p_size") <= 15)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(band)
+        .agg(
+            F.sum("rev_e4").alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 RANGE_BUCKET = 50.0  # j10 bucket width == j06's interval width
 
 
@@ -1237,6 +1313,41 @@ SPECS = [
         FROM part JOIN supplier
           ON p_retailprice >= s_acctbal / 10
          AND p_retailprice <  s_acctbal / 10 + 50
+        """,
+    ),
+    QuerySpec(
+        "q7_volume_shipping",
+        q7_volume_shipping,
+        f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(sum({sql_scaled('l_extendedprice * (1.0 - l_discount)', 4)})
+                 AS BIGINT) AS revenue_e4
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+        """,
+    ),
+    QuerySpec(
+        "q19_disjunctive_pred",
+        q19_disjunctive_pred,
+        f"""
+        SELECT CAST(sum({sql_scaled('l_extendedprice * (1.0 - l_discount)', 4)})
+                 AS BIGINT) AS revenue_e4,
+               count(1) AS n_rows
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_type LIKE 'SMALL%'  AND l_quantity BETWEEN 1  AND 11
+               AND p_size <= 5)
+           OR (p_type LIKE 'MEDIUM%' AND l_quantity BETWEEN 10 AND 20
+               AND p_size <= 10)
+           OR (p_type LIKE 'ECONOMY%' AND l_quantity BETWEEN 20 AND 30
+               AND p_size <= 15)
         """,
     ),
     QuerySpec(
