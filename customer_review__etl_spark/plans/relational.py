@@ -1063,6 +1063,10 @@ def a08_median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_nationkey").orderBy("bal_cents", "c_custkey")
     return (
         _t(spark, sf_dir, "customer")
+        # NULL balances are excluded like any aggregate would (a NULL
+        # sort key would otherwise become the "lowest" value and make
+        # the median NULL under Spark's ASC-NULLS-FIRST)
+        .filter(F.col("c_acctbal").isNotNull())
         .select(
             "c_nationkey",
             cents(F.col("c_acctbal")).alias("bal_cents"),
@@ -1558,7 +1562,8 @@ SPECS = [
                sum({sql_cents('o_totalprice')}) OVER w::DOUBLE
                  / count(1) OVER w::DOUBLE AS moving_avg_cents
         FROM orders
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate NULLS FIRST, o_orderkey
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         """,
     ),
@@ -1711,7 +1716,8 @@ SPECS = [
                  (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS cur_bal
         FROM customer
-        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal NULLS FIRST, c_custkey)
         """,
     ),
     QuerySpec(
@@ -1744,7 +1750,7 @@ SPECS = [
                                     ORDER BY {sql_cents('c_acctbal')}, c_custkey)
                    AS rn,
                  count(1) OVER (PARTITION BY c_nationkey) AS n
-          FROM customer)
+          FROM customer WHERE c_acctbal IS NOT NULL)
         WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
         ORDER BY c_nationkey
         """,

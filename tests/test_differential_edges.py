@@ -97,6 +97,8 @@ EVENTS_ONLY_QUERIES = [
     "j09_salted_skew_agg", "u01_grouped_minmax",
     "st01_tumbling_window", "st02_sliding_window", "st03_session_window",
     "st07_stream_static_join", "st08_gapfill_resample",
+    "j01_broadcast_theme_label", "w02_lag_lead", "w03_running_sum",
+    "set01_union_all", "set02_intersect", "set03_except_all",
 ]
 
 
