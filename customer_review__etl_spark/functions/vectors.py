@@ -42,3 +42,19 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     denom = l2_norm(a) * l2_norm(b)
     raw = F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
     return F.greatest(F.lit(-1.0), F.least(F.lit(1.0), raw))
+
+
+def cosine_from_norms(
+    a: Column, b: Column, nrm_a: Column, nrm_b: Column
+) -> Column:
+    """cosine_similarity with both L2 norms precomputed per INPUT row
+    (before the candidate join), so per-pair work drops from three
+    O(d) folds to one dot product — the scale path for similarity
+    joins, where each vector appears in many candidate pairs.
+
+    Bit-identical to cosine_similarity: the same sqrt-of-fold values
+    multiplied in the same order, just evaluated once per row instead
+    of once per pair."""
+    denom = nrm_a * nrm_b
+    raw = F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+    return F.greatest(F.lit(-1.0), F.least(F.lit(1.0), raw))

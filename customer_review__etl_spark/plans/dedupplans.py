@@ -16,9 +16,11 @@ Scale notes (100 TB manners):
   d03: 4×16-bit SimHash chunks), so the pair space is the union of
   small per-bucket cliques, never all-pairs. Exact Jaccard runs only on
   candidates, via an equi-join on shingle — no array broadcast.
-- d04's candidate join is blocked by (lang, length bucket); at 100 TB
-  add a rare-gram prefilter (drop grams with doc-frequency above a cap)
-  which only shrinks the candidate set deterministically.
+- d04's candidate join is blocked by (lang, length bucket) AND a
+  rare-gram prefilter (grams with within-block doc-frequency above
+  NGRAM_DF_CAP never generate candidates — a deterministic shrink,
+  mirrored in the oracle); exact Jaccard then runs on candidates from
+  each doc's full gram set.
 
 Reference tie-in: the reference dedups reviews exactly once
 (cleaner.py:99-101, 128→13 rows, the P3 keep-first path — see
@@ -353,16 +355,18 @@ def d03_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-3-gram Jaccard pairs, blocked by (lang, length/100
-    bucket): candidates come from a gram equi-join inside each block,
-    verified by exact Jaccard from distinct-gram counts ≥ 0.4."""
+NGRAM_DF_CAP = 64  # max docs per (lang, lbucket, gram) usable as candidates
+
+
+def _d04_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct char-3-grams per doc with the (lang, length/100) block
+    keys: (doc_id, lang, lbucket, g)."""
     base = _docs_par(spark, sf_dir).select(
         "doc_id",
         "lang",
         T.normalize_text(F.col("text")).alias("norm"),
     ).withColumn("lbucket", F.floor(F.length("norm") / 100))
-    grams = base.filter(F.length("norm") >= 3).select(
+    return base.filter(F.length("norm") >= 3).select(
         "doc_id",
         "lang",
         "lbucket",
@@ -375,14 +379,33 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    n = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _d04_candidates(grams: DataFrame, df_cap: int | None) -> DataFrame:
+    """Candidate pairs: docs sharing ≥1 RARE gram within a block.
+
+    The rare-gram prefilter drops grams whose within-block doc
+    frequency exceeds `df_cap` before the self-join. High-DF grams
+    (`the`, `ing`) otherwise make per-block candidates quadratic in
+    block size — the round-2 scale-killer. The shrink is deterministic
+    (a pure predicate on gram DF), mirrored exactly in the oracle SQL;
+    per block per gram the candidate fan-out is now ≤ C(cap, 2).
+    Recall trade (documented): a pair sharing ONLY common grams is not
+    found — near-dups at jaccard ≥ 0.4 share many grams, so in
+    practice some rare gram survives (pinned by the edge test)."""
+    keys = ["lang", "lbucket", "g"]
+    if df_cap is not None:
+        gdf = grams.groupBy(*keys).agg(F.count(F.lit(1)).alias("df"))
+        grams = grams.join(
+            gdf.filter(F.col("df") <= df_cap).drop("df"), keys
+        )
     gb = grams.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
         F.col("lbucket").alias("lbucket_b"),
         F.col("g").alias("g_b"),
     )
-    inter = (
+    return (
         grams.join(
             gb,
             (F.col("g") == F.col("g_b"))
@@ -390,7 +413,32 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("lbucket") == F.col("lbucket_b"))
             & (F.col("doc_id") < F.col("doc_b")),
         )
-        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+
+
+def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard pairs, blocked by (lang, length/100
+    bucket): candidates come from a RARE-gram equi-join inside each
+    block (within-block doc frequency ≤ NGRAM_DF_CAP, see
+    _d04_candidates), then exact Jaccard is verified from the FULL
+    distinct-gram sets of each candidate pair, keep ≥ 0.4 — the d02
+    shape: cheap blocked candidates, exact verification on candidates
+    only."""
+    grams = _d04_grams(spark, sf_dir).cache()
+    cand = _d04_candidates(grams, NGRAM_DF_CAP)
+    n = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
+    gb2 = grams.select(F.col("doc_id").alias("doc_b2"), F.col("g").alias("g_b"))
+    inter = (
+        cand.join(ga, "doc_a")
+        .join(
+            gb2,
+            (F.col("doc_b") == F.col("doc_b2"))
+            & (F.col("g_a") == F.col("g_b")),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     na = n.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
@@ -506,11 +554,20 @@ g AS (
         FROM base WHERE length(norm) >= 3),
        UNNEST(grams) AS _u(g)
 ),
+gdf AS (SELECT lang, lbucket, g, count(*) AS df FROM g GROUP BY 1, 2, 3),
+rare AS (SELECT g.doc_id, g.lang, g.lbucket, g.g
+         FROM g JOIN gdf ON g.lang = gdf.lang AND g.lbucket = gdf.lbucket
+                        AND g.g = gdf.g
+         WHERE gdf.df <= {NGRAM_DF_CAP}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM rare a JOIN rare b
+           ON a.g = b.g AND a.lang = b.lang AND a.lbucket = b.lbucket
+          AND a.doc_id < b.doc_id),
 n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-          FROM g a JOIN g b
-            ON a.g = b.g AND a.lang = b.lang AND a.lbucket = b.lbucket
-           AND a.doc_id < b.doc_id
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+          FROM cand c
+          JOIN g ga ON ga.doc_id = c.doc_a
+          JOIN g gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
           GROUP BY 1, 2)
 SELECT i.doc_a, i.doc_b,
        i.inter::DOUBLE / (na.n + nb.n - i.inter)::DOUBLE AS jaccard

@@ -731,16 +731,23 @@ def f03_json_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.props, plus map construction/access — everything scalarized
     so the oracle compares engine-neutral values."""
     ev = _t(spark, sf_dir, "events")
-    parsed = F.from_json(F.col("props"), "k INT")
+    # BIGINT, not INT: the oracle TRY_CASTs to BIGINT, so a props value
+    # like {"k": 3000000000} must parse here too, not overflow to NULL.
+    parsed = F.from_json(F.col("props"), "k BIGINT")
     m = F.create_map(
         F.lit("type"), F.col("event_type"),
         F.lit("uid"), F.col("user_id").cast("string"),
     )
     return ev.select(
         "event_id",
-        parsed["k"].cast("bigint").alias("k_parsed"),
+        parsed["k"].alias("k_parsed"),
         F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k_path"),
-        F.to_json(F.struct(F.col("user_id").alias("u"))).alias("as_json"),
+        # NULL-guard: to_json drops NULL fields ('{}'), but the oracle's
+        # string concat is NULL on NULL user_id — agree on NULL.
+        F.when(
+            F.col("user_id").isNotNull(),
+            F.to_json(F.struct(F.col("user_id").alias("u"))),
+        ).alias("as_json"),
         F.element_at(m, "type").alias("m_type"),
         F.size(F.map_keys(m)).alias("n_keys"),
     )
@@ -790,11 +797,20 @@ def u01_grouped_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     division that both engines compute bit-identically. Group state is
     one pandas frame per event_type — bounded by the largest group, the
     documented applyInPandas constraint (skewed groups want the window
-    form instead)."""
+    form instead).
+
+    NULL values are filtered JVM-side (mirrored in the oracle's WHERE):
+    a NULL reaches pandas as NaN, min/max skip it, and v_norm would come
+    back NaN — a real double the multiset compare distinguishes from the
+    SQL NULL the oracle produces."""
     import pandas as pd
 
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id", "event_type", cents(F.col("value")).alias("v_cents")
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id", "event_type", cents(F.col("value")).alias("v_cents")
+        )
     )
     schema = "event_id BIGINT, event_type STRING, v_cents BIGINT, v_norm DOUBLE"
 
@@ -920,7 +936,13 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan or join for the CASE split."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    # coalesce: isin() on a NULL priority yields NULL, which sum() would
+    # silently drop from BOTH counts; the oracle's CASE ... ELSE 1 puts
+    # NULL priorities in low_count, so pin that here too.
+    high = F.coalesce(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long"),
+        F.lit(0),
+    )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_returnflag")
@@ -1577,6 +1599,7 @@ SPECS = [
                  min({sql_cents('value')}) OVER (PARTITION BY event_type) AS lo,
                  max({sql_cents('value')}) OVER (PARTITION BY event_type) AS hi
           FROM events
+          WHERE value IS NOT NULL
         )
         SELECT event_id, event_type, v_cents,
                CASE WHEN hi = lo THEN 0.0

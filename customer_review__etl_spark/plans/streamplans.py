@@ -88,10 +88,15 @@ def st04_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def st05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup on (user_id, event_type) via
     dropDuplicatesWithinWatermark → append sink. State is bounded by
-    the 1-hour watermark; over a fully-available backlog the surviving
-    keys are exactly the distinct keys, which the SQL oracle checks."""
+    the 1-hour watermark. The backlog is pinned to a single micro-batch
+    (single_batch=True): only then are the surviving keys exactly the
+    distinct keys the SQL oracle checks — a multi-batch replay may
+    evict state past the watermark and re-emit late duplicates (the
+    documented within-horizon semantics, see jobs.dedup_within_watermark)."""
     out = jobs.run_available_now(
-        jobs.dedup_within_watermark(jobs.stream_events(spark, sf_dir)),
+        jobs.dedup_within_watermark(
+            jobs.stream_events(spark, sf_dir, single_batch=True)
+        ),
         output_mode="append",
     )
     return out.select("user_id", "event_type").orderBy("user_id", "event_type")
@@ -102,7 +107,7 @@ def st06_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user cumulative count / exact cents sum / cents max, updated
     per micro-batch; keep-latest collapse makes the final table
     batch-equivalent, which the SQL oracle certifies."""
-    out = jobs.run_update_collect(
+    out = jobs.run_update_latest(
         jobs.stateful_user_stats(jobs.stream_events(spark, sf_dir)),
         keys=["user_id"],
     )

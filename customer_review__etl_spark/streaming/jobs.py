@@ -38,9 +38,17 @@ WATERMARK = "1 hour"
 SESSION_GAP = "30 minutes"
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession, sf_dir: str, single_batch: bool = False
+) -> DataFrame:
     """readStream over the events parquet with the same ts conversion
-    as the batch loader (sources/tables.py)."""
+    as the batch loader (sources/tables.py).
+
+    ``single_batch=True`` pins the whole backlog into ONE micro-batch
+    (maxFilesPerTrigger far above any fixture file count). Jobs whose
+    batch-equivalence claim only holds for single-batch replay — the
+    watermarked stream dedup (st05), where a multi-batch replay could
+    evict state past the watermark and re-emit keys — must pass it."""
     ensure_confs(spark)
     # The file stream source wants a directory; glob-filter to the one
     # events file inside the sf dir.
@@ -53,6 +61,8 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = f"{sf_dir}/events.parquet"
     reader = spark.readStream.schema(_RAW_SCHEMA).format("parquet")
+    if single_batch:
+        reader = reader.option("maxFilesPerTrigger", 1_000_000)
     if os.path.isdir(path):
         raw = reader.load(path)
     else:
@@ -108,7 +118,14 @@ def session_counts(events: DataFrame) -> DataFrame:
 
 def dedup_within_watermark(events: DataFrame) -> DataFrame:
     """Streaming dedup on (user_id, event_type) with bounded state:
-    duplicates arriving within the watermark horizon are dropped."""
+    duplicates arriving within the watermark horizon are dropped.
+
+    Exact-distinct output is only guaranteed when the backlog replays
+    as one micro-batch (build `events` with single_batch=True): across
+    batches the 1h watermark can evict a key's state, so a duplicate
+    arriving ≥1h later re-emits — which is the documented streaming
+    semantics (dedup within the horizon), not a bug, but it fails a
+    DISTINCT oracle."""
     return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
@@ -154,7 +171,15 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
     This is the escape hatch for stateful logic Spark's built-in
     windows can't express; state per key is three longs, so executor
     state stays O(distinct users). Batches arrive as an Arrow iterator
-    — the loop never materializes a whole group in memory."""
+    — the loop never materializes a whole group in memory.
+
+    Cents are computed JVM-side with cents() BEFORE the UDF (like u01):
+    pandas' .round() is half-to-even while cents()/sql_cents round
+    half-up, so an exact .5 (1.125 → 112.5) would diverge from the
+    batch/oracle twins; and a NULL value reaching pandas as NaN would
+    crash astype('int64'). Inside the UDF, NULL cents arrive as NaN
+    (Arrow nullable long → float64) — they count toward n (SQL count(1)
+    semantics) but are dropped from sum/max (SQL aggregate semantics)."""
     import pandas as pd  # local import keeps module import light
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -164,15 +189,19 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
     state_schema = "n BIGINT, sum_cents BIGINT, max_cents BIGINT"
 
     def fn(key, pdfs, state: GroupState):
-        n, s, mx = state.get if state.exists else (0, 0, None)
+        # s/mx stay None until a non-NULL value arrives — SQL aggregate
+        # semantics (sum/max over all-NULL is NULL, not 0).
+        n, s, mx = state.get if state.exists else (0, None, None)
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            c = (pdf["value"] * 100).round().astype("int64")
             n += len(pdf)
-            s += int(c.sum())
-            bmax = int(c.max())
-            mx = bmax if mx is None else max(mx, bmax)
+            c = pdf["v_cents"].dropna()
+            if len(c):
+                c = c.astype("int64")
+                s = (s or 0) + int(c.sum())
+                bmax = int(c.max())
+                mx = bmax if mx is None else max(mx, bmax)
         state.update((n, s, mx))
         yield pd.DataFrame(
             {
@@ -183,29 +212,30 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
             }
         )
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    keyed = events.select(
+        "user_id", cents(F.col("value")).alias("v_cents")
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
 
 
-def run_update_collect(stream_df: DataFrame, keys: list[str]) -> DataFrame:
+def run_update_latest(stream_df: DataFrame, keys: list[str]) -> DataFrame:
     """Execute an update-mode stateful stream with AvailableNow,
-    landing each micro-batch (tagged with its batch id) in a temp
+    landing each micro-batch (tagged with its batch id) in a per-run
     parquet sink, and return one row per key: the latest emission.
 
-    foreachBatch + parquet keeps the data plane distributed (no
-    driver-side collect); the keep-latest window collapses multi-batch
-    re-emissions deterministically, so the result is independent of how
+    foreachBatch + parquet keeps the data plane distributed end-to-end:
+    the sink dir outlives this call (scratch.run_scratch — swept by the
+    NEXT run), so the returned DataFrame is a LAZY keep-latest window
+    over the sink files, never an O(distinct keys) driver collect. The
+    keep-latest collapse makes the result independent of how
     AvailableNow chops the input into batches."""
-    import shutil
-    import tempfile
-    from pathlib import Path
-
     from pyspark.sql.window import Window
 
-    scratch = Path(__file__).resolve().parents[2] / ".tmp"
-    scratch.mkdir(exist_ok=True)
-    out_dir = tempfile.mkdtemp(prefix="stream_upd_", dir=scratch)
+    from ..scratch import run_scratch
+
+    out_dir = run_scratch("stream_upd_")
     spark = stream_df.sparkSession
 
     def sink(df: DataFrame, batch_id: int) -> None:
@@ -221,16 +251,12 @@ def run_update_collect(stream_df: DataFrame, keys: list[str]) -> DataFrame:
     )
     q.awaitTermination()
     w = Window.partitionBy(*keys).orderBy(F.desc("batch_id"))
-    out = (
+    return (
         spark.read.parquet(out_dir)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn", "batch_id")
     )
-    # Materialize before deleting the backing files.
-    final = spark.createDataFrame(out.collect(), out.schema)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    return final
 
 
 def run_available_now(

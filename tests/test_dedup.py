@@ -62,6 +62,41 @@ def test_exact_jaccard_value(spark, tmp_path):
     assert abs(out[0]["jaccard"] - 7 / 9) < 1e-12
 
 
+def test_d04_rare_gram_cap_shrinks_candidates(spark, tmp_path):
+    """Stopword-gram-heavy corpus: many docs share only the common gram
+    block (' th'/'the'/'he ' from 'the'); one planted near-dup pair
+    shares rare grams too. The DF cap must (a) cut the candidate count
+    versus the uncapped join and (b) still surface the true near-dup."""
+    common = " ".join(["the"] * 30)             # only common grams
+    near_a = "zanzibar quokka xylophone " * 6   # rare grams
+    near_b = "zanzibar quokka xylophoze " * 6   # ~1 char off
+    rows = [(i, common, "en", "s", len(common)) for i in range(20)]
+    rows += [(100, near_a, "en", "s", len(near_a)),
+             (101, near_b, "en", "s", len(near_b))]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    d = str(tmp_path / "mini4")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    grams = D._d04_grams(spark, d).cache()
+    uncapped = D._d04_candidates(grams, None).count()
+    capped = D._d04_candidates(grams, 10).count()
+    # 20 identical common docs → C(20,2)=190 uncapped candidates from
+    # shared 'the' grams alone; DF cap 10 drops those grams (df=20).
+    assert capped < uncapped
+    assert uncapped >= 190
+    assert capped <= uncapped - 190 + 1  # the common clique is gone
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.d04_ngram_jaccard(spark, d).collect()
+    }
+    assert (100, 101) in pairs  # rare-gram near-dup still found
+    grams.unpersist()
+
+
 def test_simhash_identical_docs_zero_hamming(spark, tmp_path):
     t = "quick brown fox jumps over lazy dog again and again"
     df = spark.createDataFrame(
