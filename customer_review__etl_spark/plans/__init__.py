@@ -67,13 +67,14 @@ PRIORITY: tuple[str, ...] = (
     "t03_topk_words",
     "t04_quality_scores",
     "t05_lang_id",
-    "t06_fingerprint",
     "t08_bpe_token_count",
-    # deduplication
+    # deduplication (t06_fingerprint's md5 path is already head-covered
+    # by d01; the cluster collapse d05 takes its slot)
     "d01_exact_dedup",
     "d02_minhash_near_dup",
     "d03_simhash_near_dup",
     "d04_ngram_jaccard",
+    "d05_neardup_clusters",
     # similarity search
     "s01_cosine_topk",
     "s02_ann_lsh",

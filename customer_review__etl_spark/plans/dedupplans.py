@@ -460,6 +460,87 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# d05: near-dup cluster collapse (connected components + keep-first)
+# --------------------------------------------------------------------------
+
+CC_MAX_ITERS = 25  # label-propagation cap ≫ any real component diameter
+
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """Min-label propagation to fixpoint over an undirected edge list
+    (src, dst): returns (node, lbl) where lbl is the smallest node id
+    in the node's connected component.
+
+    Each iteration is one distributed join + min-aggregate; labels are
+    monotonically non-increasing, so the total label sum is a fixpoint
+    certificate (unchanged sum ⟺ no label moved — one O(1) scalar read
+    per iteration, not a row-level diff). localCheckpoint truncates the
+    growing lineage each round. Iterations are bounded by component
+    DIAMETER, not size — near-dup clusters are shallow (dup families),
+    so this converges in a handful of rounds; a graph with huge
+    diameters would want GraphX/GraphFrames or hash-to-min instead
+    (documented scale alternative)."""
+    both = edges.union(edges.select(F.col("dst"), F.col("src"))).toDF(
+        "src", "dst"
+    )
+    labels = (
+        both.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    prev = labels.agg(F.sum("lbl")).collect()[0][0]  # O(1) scalar read
+    if prev is None:  # no edges at all — nothing to propagate
+        return labels
+    for _ in range(CC_MAX_ITERS):
+        prop = both.join(labels, both["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), F.col("lbl")
+        )
+        labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        cur = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur == prev:
+            return labels
+        prev = cur
+    raise RuntimeError(
+        f"connected_components did not converge in {CC_MAX_ITERS} rounds"
+    )
+
+
+def d05_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse d02's near-dup PAIRS into clusters and pick each
+    cluster's keep-first survivor — the step that turns pair mining
+    into an actual dedup decision, mirroring the reference's exact
+    keep-first (cleaner.py:99-101) at near-dup level.
+
+    Output is the full dedup map: every document with the id of its
+    cluster representative (lowest doc_id in its connected component;
+    singletons map to themselves) and a survivor flag. Downstream, a
+    semi-join on survivor=1 IS the deduplicated corpus."""
+    pairs = d02_minhash_near_dup(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(pairs)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return (
+        docs.join(labels, docs["doc_id"] == labels["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lbl"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn(
+            "survivor",
+            (F.col("doc_id") == F.col("cluster_id")).cast("int"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # DuckDB oracle twins
 # --------------------------------------------------------------------------
 
@@ -482,8 +563,9 @@ _BAND_ROWS = " UNION ALL ".join(
     for b in range(N_BANDS)
 )
 
-_D02_SQL = f"""
-WITH {_SHINGLES_CTE},
+# CTE chain shared by d02 (pairs + jaccard) and d05 (recursive closure
+# over the same pairs).
+_D02_CTES = f"""{_SHINGLES_CTE},
 eab AS (SELECT doc_id, sh, {_hex32('md5(sh)', 1)} AS ha,
                {_hex32('md5(sh)', 9)} AS hb FROM e),
 sigs AS (SELECT doc_id, {_SIG_COLS} FROM eab GROUP BY doc_id),
@@ -496,14 +578,43 @@ inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
           FROM cand c
           JOIN e ea ON ea.doc_id = c.doc_a
           JOIN e eb ON eb.doc_id = c.doc_b AND eb.sh = ea.sh
-          GROUP BY c.doc_a, c.doc_b)
+          GROUP BY c.doc_a, c.doc_b)"""
+
+_D02_BODY = f"""
 SELECT i.doc_a, i.doc_b,
        i.inter::DOUBLE / (na.n + nb.n - i.inter)::DOUBLE AS jaccard
 FROM inter i
 JOIN n na ON na.doc_id = i.doc_a
 JOIN n nb ON nb.doc_id = i.doc_b
-WHERE i.inter::DOUBLE / (na.n + nb.n - i.inter)::DOUBLE >= {JACCARD_MIN}
+WHERE i.inter::DOUBLE / (na.n + nb.n - i.inter)::DOUBLE >= {JACCARD_MIN}"""
+
+_D02_SQL = f"""
+WITH {_D02_CTES}
+{_D02_BODY}
 ORDER BY doc_a, doc_b
+"""
+
+# d05 oracle: min-label transitive closure over the d02 pairs. `reach`
+# enumerates every (node, reachable node) pair over the bidirectional
+# edge set (UNION dedups, so it terminates); the cluster id is the
+# smallest reachable doc_id (or the doc's own, whichever is lower).
+_D05_SQL = f"""
+WITH RECURSIVE {_D02_CTES},
+pairs AS ({_D02_BODY}),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach (a, b) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+),
+cluster AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a)
+SELECT doc.doc_id,
+       least(doc.doc_id, coalesce(c.mn, doc.doc_id)) AS cluster_id,
+       CAST(doc.doc_id = least(doc.doc_id, coalesce(c.mn, doc.doc_id))
+            AS INTEGER) AS survivor
+FROM documents doc LEFT JOIN cluster c ON c.doc_id = doc.doc_id
+ORDER BY doc.doc_id
 """
 
 _SUM_COLS = ", ".join(
@@ -593,4 +704,5 @@ SPECS = [
     QuerySpec("d02_minhash_near_dup", d02_minhash_near_dup, _D02_SQL),
     QuerySpec("d03_simhash_near_dup", d03_simhash_near_dup, _D03_SQL),
     QuerySpec("d04_ngram_jaccard", d04_ngram_jaccard, _D04_SQL),
+    QuerySpec("d05_neardup_clusters", d05_neardup_clusters, _D05_SQL),
 ]

@@ -107,3 +107,42 @@ def test_simhash_identical_docs_zero_hamming(spark, tmp_path):
     df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
     out = D.d03_simhash_near_dup(spark, d).collect()
     assert len(out) == 1 and out[0]["hamming"] == 0
+
+
+def test_connected_components_transitive_chain(spark):
+    """1-2-3 is a PATH (no direct 1-3 edge): the collapse must still
+    put all three in cluster 1 — plus an unrelated 2-node component
+    and the empty-edges path."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src BIGINT, dst BIGINT"
+    )
+    got = {r["node"]: r["lbl"] for r in D.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    empty = spark.createDataFrame([], "src BIGINT, dst BIGINT")
+    assert D.connected_components(empty).count() == 0
+
+
+def test_d05_collapses_neardup_chain(spark, tmp_path):
+    """Three docs where doc0~doc1 and doc1~doc2 are near-dup pairs:
+    d05 must put all three in cluster 0 with doc0 the only survivor,
+    and leave the unrelated doc9 a singleton survivor."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near1 = base.replace("kappa", "lambda", 1)
+    near2 = near1.replace("alpha", "omega", 1)
+    other = "one two three four five six seven eight nine ten " * 3
+    df = spark.createDataFrame(
+        [(0, base, "en", "s", len(base)),
+         (1, near1, "en", "s", len(near1)),
+         (2, near2, "en", "s", len(near2)),
+         (9, other, "en", "s", len(other))],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    d = str(tmp_path / "mini5")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: (r["cluster_id"], r["survivor"])
+           for r in D.d05_neardup_clusters(spark, d).collect()}
+    assert out[0] == (0, 1)
+    assert out[1] == (0, 0)
+    assert out[2] == (0, 0)
+    assert out[9] == (9, 1)

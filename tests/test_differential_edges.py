@@ -39,7 +39,7 @@ DOCS_ONLY_QUERIES = [
     "t05_lang_id", "t06_fingerprint", "t07_positional_hash",
     "t08_bpe_token_count",
     "d01_exact_dedup", "d02_minhash_near_dup", "d03_simhash_near_dup",
-    "d04_ngram_jaccard",
+    "d04_ngram_jaccard", "d05_neardup_clusters",
     "mm01_binary_meta", "mm03_frame_sample",
 ]
 
