@@ -30,6 +30,8 @@ pipelines per the north star in BASELINE.json.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -355,7 +357,11 @@ def d03_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-NGRAM_DF_CAP = 64  # max docs per (lang, lbucket, gram) usable as candidates
+# Max docs per (lang, lbucket, gram) usable as candidates. Corpus-tunable
+# via env (set before import; the oracle SQL snapshots the same value):
+# larger corpora/blocks want a larger cap for recall, at quadratic
+# candidate cost per gram — fan-out per block per gram is ≤ C(cap, 2).
+NGRAM_DF_CAP = int(os.environ.get("SPARK_GRAFT_NGRAM_DF_CAP", "64"))
 
 
 def _d04_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,7 +431,14 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     _d04_candidates), then exact Jaccard is verified from the FULL
     distinct-gram sets of each candidate pair, keep ≥ 0.4 — the d02
     shape: cheap blocked candidates, exact verification on candidates
-    only."""
+    only.
+
+    RECALL CAVEAT (by design, mirrored in the oracle): a true pair at
+    jaccard ≥ 0.4 that shares ONLY grams commoner than NGRAM_DF_CAP in
+    its block is never considered — the cap trades unbounded worst-case
+    recall for bounded candidate fan-out. In practice near-dups share
+    rare grams (typos, names, numbers); tune the cap per corpus via
+    SPARK_GRAFT_NGRAM_DF_CAP."""
     grams = _d04_grams(spark, sf_dir).cache()
     cand = _d04_candidates(grams, NGRAM_DF_CAP)
     n = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -463,23 +476,28 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # d05: near-dup cluster collapse (connected components + keep-first)
 # --------------------------------------------------------------------------
 
-CC_MAX_ITERS = 25  # label-propagation cap ≫ any real component diameter
+CC_MAX_ITERS = 50  # with pointer-jumping, covers diameters up to ~2**50
 
 
 def connected_components(edges: DataFrame) -> DataFrame:
-    """Min-label propagation to fixpoint over an undirected edge list
-    (src, dst): returns (node, lbl) where lbl is the smallest node id
-    in the node's connected component.
+    """Min-label propagation with pointer jumping to fixpoint over an
+    undirected edge list (src, dst): returns (node, lbl) where lbl is
+    the smallest node id in the node's connected component.
 
-    Each iteration is one distributed join + min-aggregate; labels are
+    Each round does (1) one edge-propagation join + min-aggregate, and
+    (2) one pointer-jump join — every node shortcuts to the label of
+    its current label (the label is always itself a node id, so it is
+    always resolvable). The jump makes label paths halve each round,
+    so convergence is O(log diameter) rounds rather than O(diameter):
+    CC_MAX_ITERS=50 therefore covers chains of length ~2**50 — no real
+    corpus, however adversarial, can exhaust it (the hostile-chain
+    crash mode flagged in round-3 ADVICE is gone; `tests/test_dedup.py`
+    pins a chain longer than the old 25-round cap). Labels are
     monotonically non-increasing, so the total label sum is a fixpoint
     certificate (unchanged sum ⟺ no label moved — one O(1) scalar read
     per iteration, not a row-level diff). localCheckpoint truncates the
-    growing lineage each round. Iterations are bounded by component
-    DIAMETER, not size — near-dup clusters are shallow (dup families),
-    so this converges in a handful of rounds; a graph with huge
-    diameters would want GraphX/GraphFrames or hash-to-min instead
-    (documented scale alternative)."""
+    growing lineage each round. GraphX/GraphFrames large-star/small-star
+    remains the named alternative for graphs too big for this loop."""
     both = edges.union(edges.select(F.col("dst"), F.col("src"))).toDF(
         "src", "dst"
     )
@@ -500,6 +518,19 @@ def connected_components(edges: DataFrame) -> DataFrame:
             labels.union(prop)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
+        )
+        # pointer jump: shortcut each node to its label's own label
+        jump = labels.select(
+            F.col("node").alias("j_node"), F.col("lbl").alias("j_lbl")
+        )
+        labels = (
+            labels.join(jump, labels["lbl"] == jump["j_node"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("j_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
             .localCheckpoint()
         )
         cur = labels.agg(F.sum("lbl")).collect()[0][0]

@@ -1562,12 +1562,28 @@ SPECS = [
         SELECT event_id,
                -- json_valid guard: Spark's from_json/get_json_object
                -- return NULL on malformed JSON (incl. leading-zero
-               -- ints); DuckDB json_extract raises — guard + TRY_CAST
+               -- ints); DuckDB json_extract raises — guard + TRY_CAST.
+               -- k_parsed mirrors from_json('k BIGINT') STRICT typed
+               -- semantics: only true JSON integers parse (no
+               -- string->long coercion, no double/bool coercion), so
+               -- gate on json_type — quoted "123" is NULL both sides.
                CASE WHEN props IS NOT NULL AND json_valid(props)
+                         AND json_type(props, '$.k') IN ('BIGINT','UBIGINT')
                     THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
                END AS k_parsed,
-               CASE WHEN props IS NOT NULL AND json_valid(props)
-                    THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+               -- k_path mirrors get_json_object().cast('bigint')
+               -- string-coercion semantics: integer strings parse
+               -- exactly; decimal strings TRUNCATE (Spark) — DuckDB's
+               -- TRY_CAST rounds, so route non-integer shapes through
+               -- trunc(double) to agree.
+               CASE WHEN props IS NOT NULL AND json_valid(props) THEN
+                 CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                                          '^\\s*-?\\d+\\s*$')
+                      THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                      ELSE TRY_CAST(trunc(TRY_CAST(
+                             json_extract_string(props, '$.k') AS DOUBLE))
+                           AS BIGINT)
+                 END
                END AS k_path,
                '{"u":' || user_id || '}' AS as_json,
                event_type AS m_type,

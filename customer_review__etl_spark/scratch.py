@@ -8,10 +8,18 @@ driver, a scale-killer flagged in round 2 (VERDICT "What's wrong" #1/#2).
 
 Instead, every process gets ONE run directory under ``<repo>/.tmp``;
 directories left by PREVIOUS runs are swept lazily the first time this
-process asks for scratch space (the live run's dir is never touched).
-Plans can therefore return a LAZY DataFrame over their scratch files —
-the data plane stays distributed — while disk usage stays bounded to
-one run's footprint plus the current one.
+process asks for scratch space. Plans can therefore return a LAZY
+DataFrame over their scratch files — the data plane stays distributed —
+while disk usage stays bounded to the live runs' footprint.
+
+Sweep safety (two concurrent processes, e.g. bench overlapping pytest):
+run dirs embed their owner PID (``run_<pid>_<hex>``); the sweep skips
+any dir whose owner process is still alive, and as a belt-and-braces
+fallback also skips dirs modified within the last ``_GRACE_SEC``
+seconds (covers unparseable names and PID reuse races). A dir is only
+removed when its owner is provably dead AND it has been idle past the
+grace window — so a live run's files can never be deleted out from
+under a lazy DataFrame that still plans to scan them.
 
 At cluster scale the base would be a job-scoped object-store prefix
 (e.g. ``s3a://bucket/tmp/{app_id}/``) with a storage lifecycle rule
@@ -20,30 +28,66 @@ doing the sweeping; the per-run-prefix pattern is identical.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
+import time
 import uuid
 from pathlib import Path
 
 _BASE = Path(__file__).resolve().parents[1] / ".tmp"
-_RUN = f"run_{uuid.uuid4().hex[:12]}"
+_RUN = f"run_{os.getpid()}_{uuid.uuid4().hex[:12]}"
+_GRACE_SEC = 6 * 3600  # never sweep dirs idle less than this
 _swept = False
+
+
+def _owner_pid(name: str) -> int | None:
+    """Parse the owner PID out of a ``run_<pid>_<hex>`` dir name."""
+    parts = name.split("_")
+    if len(parts) >= 3 and parts[0] == "run" and parts[1].isdigit():
+        return int(parts[1])
+    return None
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _sweepable(stale: Path, now: float) -> bool:
+    """True only if the dir's owner is dead AND it is idle past grace."""
+    try:
+        if now - stale.stat().st_mtime < _GRACE_SEC:
+            return False
+    except OSError:
+        return False
+    pid = _owner_pid(stale.name)
+    if pid is not None and _pid_alive(pid):
+        return False
+    return True
 
 
 def run_scratch(prefix: str) -> str:
     """A fresh scratch dir under this process's run directory.
 
-    The returned directory outlives the calling query (cleaned by the
-    NEXT process's first call), so callers may hand back lazy
-    DataFrames over files inside it.
+    The returned directory outlives the calling query (cleaned by a
+    LATER process's first call, once this process is dead and the grace
+    window has passed), so callers may hand back lazy DataFrames over
+    files inside it.
     """
     global _swept
     root = _BASE / _RUN
     if not _swept:
         _swept = True
         if _BASE.exists():
+            now = time.time()
             for stale in _BASE.iterdir():
-                if stale.name != _RUN:
+                if stale.name != _RUN and _sweepable(stale, now):
                     shutil.rmtree(stale, ignore_errors=True)
     root.mkdir(parents=True, exist_ok=True)
     return tempfile.mkdtemp(prefix=prefix, dir=root)

@@ -123,6 +123,18 @@ def test_connected_components_transitive_chain(spark):
     assert D.connected_components(empty).count() == 0
 
 
+def test_connected_components_long_chain(spark):
+    """A 60-node path — longer than the old 25-round propagation cap.
+    Pointer jumping makes rounds O(log diameter), so this must
+    converge (round-3 ADVICE: hostile chains used to crash d05)."""
+    n = 60
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src BIGINT, dst BIGINT"
+    )
+    got = {r["node"]: r["lbl"] for r in D.connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
 def test_d05_collapses_neardup_chain(spark, tmp_path):
     """Three docs where doc0~doc1 and doc1~doc2 are near-dup pairs:
     d05 must put all three in cluster 0 with doc0 the only survivor,

@@ -89,6 +89,14 @@ EDGE_EVENTS = [
     (6, _ts(200), 2, "view", 5.5, '{"k": 0}'),          # second session
     (7, _ts(200), 2, "view", 5.5, '{"k": -9}'),         # dup ts+key
     (8, _ts(65), 3, "refund", 0.07, '{"k": 007}'),      # leading-zero int
+    # f03 typed-vs-string JSON parse semantics (round-3 ADVICE): quoted
+    # numerics coerce on the get_json_object path but NOT via from_json
+    (9, _ts(66), 3, "refund", 0.08, '{"k": "123"}'),    # quoted int
+    (10, _ts(67), 3, "refund", 0.09, '{"k": 1.5}'),     # double (trunc)
+    (11, _ts(68), 3, "refund", 0.10, '{"k": "abc"}'),   # non-numeric str
+    (12, _ts(69), 3, "refund", 0.11, '{"k": true}'),    # bool
+    (13, _ts(70), 3, "refund", 0.12,
+     '{"k": 12345678901234567890}'),                    # > int64 max
 ]
 
 EVENTS_ONLY_QUERIES = [
