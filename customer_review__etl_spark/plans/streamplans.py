@@ -92,12 +92,13 @@ def st05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (single_batch=True): only then are the surviving keys exactly the
     distinct keys the SQL oracle checks — a multi-batch replay may
     evict state past the watermark and re-emit late duplicates (the
-    documented within-horizon semantics, see jobs.dedup_within_watermark)."""
-    out = jobs.run_available_now(
+    documented within-horizon semantics, see jobs.dedup_within_watermark).
+    Output is O(distinct user × type) — it exits through the parquet
+    foreachBatch sink (jobs.run_append), never driver memory."""
+    out = jobs.run_append(
         jobs.dedup_within_watermark(
             jobs.stream_events(spark, sf_dir, single_batch=True)
-        ),
-        output_mode="append",
+        )
     )
     return out.select("user_id", "event_type").orderBy("user_id", "event_type")
 
