@@ -138,6 +138,43 @@ def md5_split(df: DataFrame, key_col: str, train_frac_hex: str = "cd") -> DataFr
     )
 
 
+def stratified_split(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    train_num: int = 4,
+    train_den: int = 5,
+) -> DataFrame:
+    """M6 with the reference's ``stratify=y`` parity (cleaner.py:246-248,
+    SURVEY §7 risk (e)): rank rows WITHIN each stratum by md5(key) — a
+    deterministic pseudo-random permutation — and train the first
+    ⌊n·train_num/train_den⌋. Per-stratum train fraction is exact within
+    one row, unlike a per-stratum hash THRESHOLD whose binomial drift
+    (≈±4 pts at n=100) defeats the point of stratifying. Pure integer
+    comparison (rn·den ≤ cnt·num): no float rounding to diverge
+    cross-engine.
+
+    Scale: one shuffle on strata_col + a per-stratum sort of 32-char
+    digests. Dominant-language skew makes single strata large; at that
+    scale either pre-salt the sort or switch to the sort-free global
+    hash threshold (md5_split) whose drift is negligible for huge
+    strata — the two are the small-strata/huge-strata halves of the
+    same M6 contract."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(key_col).cast("string"))
+    rn = F.row_number().over(
+        Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(strata_col))
+    return df.withColumn(
+        "split",
+        F.when(
+            rn * F.lit(train_den) <= cnt * F.lit(train_num), F.lit("train")
+        ).otherwise(F.lit("test")),
+    )
+
+
 def fit_classifier(
     df_tokens_split: DataFrame, label_col: str = "lang"
 ) -> tuple[PipelineModel, DataFrame, DataFrame]:

