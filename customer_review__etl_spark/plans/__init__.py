@@ -35,18 +35,20 @@ class QuerySpec:
 # explicitly; everything else follows in module order and is covered by the
 # local differential harness (tools/verify_local.py) + pytest.
 PRIORITY: tuple[str, ...] = (
-    # relational core: scan/project/filter/dedup/cast
+    # relational core: scan/project/filter/dedup/cast (p02's plain
+    # projection is head-covered by p01; the correlated-aggregate
+    # family rep q17 takes its slot — round-3 VERDICT #4)
     "p01_project_sort",
-    "p02_drop_columns",
     "p03_dedup_keep_first",
     "p04_coerce_cast",
     "a01_group_count",
     "a08_median_disc",
-    # TPC-H headliners
+    # TPC-H headliners (q17 = correlated scalar-aggregate subquery)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q12_shipmode_priority",
+    "q17_small_qty_revenue",
     # join surface
     "j01_broadcast_theme_label",
     "j02_inner_equi",

@@ -1012,6 +1012,140 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — the correlated SCALAR-AGGREGATE subquery
+    ("rows below 20% of their group's average", the compare-each-row-
+    to-its-group-aggregate query a real user writes daily): revenue
+    from Brand#4 lineitems with quantity below 20% of that part's
+    average quantity, reported as avg_yearly = sum(price)/7.
+
+    Decorrelation: ONE per-part pre-aggregate (sum, count) joined back
+    to the fact rows — the subquery never re-executes per row. The
+    filtered part dim broadcasts; lineitem is touched twice (agg +
+    fact side) but each scan prunes to 3 columns and pushes the
+    partkey semi-filter down. The threshold compare is exact integer
+    math: qty < 0.2·(sum/cnt) ⟺ 5·qty·cnt < sum (cnt > 0) — no float
+    division to diverge cross-engine. Oracle twin is the CORRELATED
+    original (two scalar subqueries), so the differential gate proves
+    the rewrite, not just reproduces it."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        cents(F.col("l_quantity")).alias("qty_cents"),
+        cents(F.col("l_extendedprice")).alias("price_cents"),
+    )
+    brand_li = li.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    ).drop("p_partkey")
+    per_part = brand_li.groupBy("l_partkey").agg(
+        F.sum("qty_cents").alias("sum_qty_cents"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    small = brand_li.join(per_part, "l_partkey").filter(
+        F.col("qty_cents") * F.col("cnt") * F.lit(5) < F.col("sum_qty_cents")
+    )
+    return small.agg(
+        F.sum("price_cents").alias("sum_price_cents"),
+        (F.sum("price_cents").cast("double") / F.lit(700.0)).alias(
+            "avg_yearly"
+        ),
+    )
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — EXISTS + NOT-EXISTS over sibling rows: for
+    finalized ('F') orders, suppliers that were the ONLY supplier with
+    a returned ('R') item on a multi-supplier order, counted per
+    supplier.
+
+    Decorrelation: both correlated EXISTS collapse into ONE per-order
+    aggregate — n_supp = countDistinct(supplier) and n_bad_supp =
+    countDistinct(supplier | returned) — then a returned fact row
+    qualifies iff n_supp ≥ 2 (the EXISTS: some other supplier on the
+    order) and n_bad_supp = 1 (the NOT EXISTS: no OTHER supplier also
+    returned — the row's own supplier is in the bad set, so size 1
+    pins it as the only one). Two scans of lineitem, one shuffle each
+    on l_orderkey, supplier dim broadcast. The oracle twin is the
+    CORRELATED EXISTS/NOT-EXISTS original. (l_receiptdate/l_commitdate
+    don't exist in this schema; returnflag='R' is the per-row "late"
+    predicate.)"""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    fo_li = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).drop(
+        "o_orderkey"
+    )
+    per_order = fo_li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_bad_supp"),
+    )
+    qual = (
+        fo_li.filter(F.col("l_returnflag") == "R")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_bad_supp") == 1))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        qual.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — global scalar-aggregate threshold + NOT
+    EXISTS: per nation, the count and total balance of customers whose
+    balance exceeds the average positive balance and who have no
+    FINALIZED ('F') order (in this dataset every customer has ordered,
+    so the classic never-ordered predicate would be vacuously empty —
+    the status filter keeps the anti-join differential non-trivial).
+
+    The global threshold is ONE tiny aggregate row broadcast-cross-
+    joined to every customer — no driver collect, no re-executed
+    subquery. Exact integer compare: bal > sum/cnt ⟺ bal·cnt > sum.
+    NOT EXISTS is a left-anti join on custkey over the filtered
+    orders. Oracle twin is the correlated original."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", cents(F.col("c_acctbal")).alias("bal_cents")
+    )
+    thr = c.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("sum_pos"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    rich = c.crossJoin(F.broadcast(thr)).filter(
+        F.col("bal_cents") * F.col("n_pos") > F.col("sum_pos")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+    )
+    idle = rich.join(
+        o, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_cents").alias("total_bal_cents"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def w05_ntile_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window surface beyond w01-w04: ntile quartiles, percent_rank,
     cume_dist, and first/last_value over an explicit ROWS frame. The
@@ -1299,6 +1433,66 @@ SPECS = [
         SELECT e.event_id, CAST(e.user_id % 7 AS INTEGER) AS topic, l.theme
         FROM events e
         LEFT JOIN labels l ON CAST(e.user_id % 7 AS INTEGER) = l.topic
+        """,
+    ),
+    QuerySpec(
+        "q17_small_qty_revenue",
+        q17_small_qty_revenue,
+        f"""
+        SELECT CAST(sum(pc) AS BIGINT) AS sum_price_cents,
+               CAST(sum(pc) AS BIGINT)::DOUBLE / 700.0 AS avg_yearly
+        FROM (
+          SELECT {sql_cents('l1.l_extendedprice')} AS pc
+          FROM lineitem l1 JOIN part p ON p.p_partkey = l1.l_partkey
+          WHERE p.p_brand = 'Brand#4'
+            AND 5 * {sql_cents('l1.l_quantity')}
+                  * (SELECT count(*) FROM lineitem l2
+                     WHERE l2.l_partkey = l1.l_partkey)
+                < (SELECT CAST(sum({sql_cents('l2.l_quantity')}) AS BIGINT)
+                   FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+        ) t
+        """,
+    ),
+    QuerySpec(
+        "q21_waiting_supplier",
+        q21_waiting_supplier,
+        """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+        """,
+    ),
+    QuerySpec(
+        "q22_idle_customers",
+        q22_idle_customers,
+        f"""
+        SELECT c_nationkey,
+               count(*) AS numcust,
+               CAST(sum({sql_cents('c_acctbal')}) AS BIGINT)
+                 AS total_bal_cents
+        FROM customer
+        WHERE {sql_cents('c_acctbal')}
+                * (SELECT count(*) FROM customer c2
+                   WHERE {sql_cents('c2.c_acctbal')} > 0)
+              > (SELECT CAST(sum({sql_cents('c2.c_acctbal')}) AS BIGINT)
+                 FROM customer c2 WHERE {sql_cents('c2.c_acctbal')} > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderstatus = 'F')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
         """,
     ),
     QuerySpec(

@@ -156,3 +156,34 @@ def test_banded_neardup_joins_are_hash_joins(spark):
         plan = _plan(fn(spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
         spark.catalog.clearCache()
+
+
+def test_q17_decorrelated_broadcast_no_bnlj(spark):
+    """q17's correlated-subquery rewrite must broadcast the filtered
+    part dim and stay BNLJ-free — the pre-aggregate join IS the
+    decorrelation, so an all-pairs fallback would defeat it."""
+    plan = _plan(relational.q17_small_qty_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(p_brand,Brand#4)" in plan  # pushed to the part scan
+
+
+def test_q21_exists_rewrite_broadcast_no_bnlj(spark):
+    """q21's EXISTS/NOT-EXISTS → per-order aggregate rewrite: supplier
+    dim broadcast, order-status filter pushed, no BNLJ."""
+    plan = _plan(relational.q21_waiting_supplier(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EqualTo(o_orderstatus,F)" in plan  # pushed to the orders scan
+
+
+def test_q22_threshold_broadcast_anti_join(spark):
+    """q22: the global-aggregate threshold joins as a broadcast of ONE
+    row (never a shuffle of the customer side against it), and the
+    NOT-EXISTS is a genuine anti join."""
+    plan = _plan(relational.q22_idle_customers(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # the 1-row threshold must arrive via broadcast
+    assert "BroadcastExchange" in plan
