@@ -498,8 +498,14 @@ def connected_components(edges: DataFrame) -> DataFrame:
     per iteration, not a row-level diff). localCheckpoint truncates the
     growing lineage each round. GraphX/GraphFrames large-star/small-star
     remains the named alternative for graphs too big for this loop."""
-    both = edges.union(edges.select(F.col("dst"), F.col("src"))).toDF(
-        "src", "dst"
+    # Materialize the edge list ONCE: every propagation round joins
+    # against `both`, and without this the full upstream candidate
+    # pipeline (shingle/signature/band joins) would re-execute per
+    # round — ~10x the whole query's cost for a multi-round graph.
+    both = (
+        edges.union(edges.select(F.col("dst"), F.col("src")))
+        .toDF("src", "dst")
+        .localCheckpoint()
     )
     labels = (
         both.select(F.col("src").alias("node"))
@@ -556,6 +562,45 @@ def d05_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     labels = connected_components(pairs)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return (
+        docs.join(labels, docs["doc_id"] == labels["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lbl"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn(
+            "survivor",
+            (F.col("doc_id") == F.col("cluster_id")).cast("int"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def d06_unified_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION a real 100 TB pipeline ships: one survivor
+    map reflecting EVERY near-dup signal. The d02 (MinHash/shingle),
+    d03 (SimHash/token), and d04 (char-n-gram Jaccard) edge sets union
+    into a single connected-components pass, so a cluster can form
+    through mixed-signal chains (A~B by minhash, B~C by simhash — e.g.
+    a light edit chained to a word-order scramble) that any single
+    signal would leave split. Keep-first semantics as in d05: lowest
+    doc_id per component survives (cleaner.py:99-101 generalized).
+
+    Scale: the three candidate pipelines are independent (no barrier
+    between them until the tiny edge-list union); edges are (long,
+    long) pairs — document bodies never reach the CC join. CC cost is
+    bounded by the pointer-jumping loop (O(log diameter) rounds)."""
+    e2 = d02_minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    e3 = d03_simhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    e4 = d04_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        e2.union(e3)
+        .union(e4)
+        .distinct()
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    labels = connected_components(edges)
     docs = _docs(spark, sf_dir).select("doc_id")
     return (
         docs.join(labels, docs["doc_id"] == labels["node"], "left")
@@ -661,7 +706,7 @@ _CHUNK_COLS = ", ".join(
     for c in range(4)
 )
 
-_D03_SQL = f"""
+_D03_BODY = f"""
 WITH toks AS (
   SELECT doc_id, _u.tok
   FROM (SELECT doc_id,
@@ -680,10 +725,11 @@ FROM ch a JOIN ch b
  AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
     + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= {HAMMING_MAX}
-ORDER BY doc_a, doc_b
 """
 
-_D04_SQL = f"""
+_D03_SQL = _D03_BODY + "ORDER BY doc_a, doc_b\n"
+
+_D04_BODY = f"""
 WITH base AS (
   SELECT doc_id, lang, {sql_normalize('text')} AS norm FROM documents
 ),
@@ -717,7 +763,36 @@ FROM inter i
 JOIN n na ON na.doc_id = i.doc_a
 JOIN n nb ON nb.doc_id = i.doc_b
 WHERE i.inter::DOUBLE / (na.n + nb.n - i.inter)::DOUBLE >= {NGRAM_JACCARD_MIN}
-ORDER BY doc_a, doc_b
+"""
+
+_D04_SQL = _D04_BODY + "ORDER BY doc_a, doc_b\n"
+
+# d06 oracle: the same recursive min-label closure as d05, but over the
+# UNION of all three near-dup pair sets (each signal's full pipeline as
+# a parenthesized WITH-subquery — DuckDB scopes the inner CTE names, so
+# the colliding `toks` names don't clash).
+_D06_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM (WITH {_D02_CTES} {_D02_BODY})
+  UNION
+  SELECT doc_a, doc_b FROM ({_D03_BODY})
+  UNION
+  SELECT doc_a, doc_b FROM ({_D04_BODY})
+),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach (a, b) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+),
+cluster AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a)
+SELECT doc.doc_id,
+       least(doc.doc_id, coalesce(c.mn, doc.doc_id)) AS cluster_id,
+       CAST(doc.doc_id = least(doc.doc_id, coalesce(c.mn, doc.doc_id))
+            AS INTEGER) AS survivor
+FROM documents doc LEFT JOIN cluster c ON c.doc_id = doc.doc_id
+ORDER BY doc.doc_id
 """
 
 SPECS = [
@@ -736,4 +811,5 @@ SPECS = [
     QuerySpec("d03_simhash_near_dup", d03_simhash_near_dup, _D03_SQL),
     QuerySpec("d04_ngram_jaccard", d04_ngram_jaccard, _D04_SQL),
     QuerySpec("d05_neardup_clusters", d05_neardup_clusters, _D05_SQL),
+    QuerySpec("d06_unified_clusters", d06_unified_clusters, _D06_SQL),
 ]

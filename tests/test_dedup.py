@@ -158,3 +158,49 @@ def test_d05_collapses_neardup_chain(spark, tmp_path):
     assert out[1] == (0, 0)
     assert out[2] == (0, 0)
     assert out[9] == (9, 1)
+
+
+def test_d06_clusters_across_signals(spark, tmp_path):
+    """A cluster that exists ONLY by combining signals: A~B is a light
+    edit (MinHash/shingle pair), B~C is a word-order scramble of B —
+    invisible to order-sensitive shingles, but SimHash (a bag of
+    tokens) sees hamming 0. d05 (minhash-only) must leave C out; d06
+    must collapse all three. doc9 stays a singleton either way."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon " * 2
+    )
+    edit = base.replace("kappa", "koppa", 1)  # A~B: near-identical
+    toks = base.split()
+    scrambled = " ".join(toks[::-1])  # B~C: same bag, reversed order
+    other = "one two three four five six seven eight nine ten " * 4
+    df = spark.createDataFrame(
+        [(0, base, "en", "s", len(base)),
+         (1, edit, "en", "s", len(edit)),
+         (2, scrambled, "en", "s", len(scrambled)),
+         (9, other, "en", "s", len(other))],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    d = str(tmp_path / "mini6")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    # the scramble is a simhash pair (hamming 0) but NOT a minhash pair
+    mh = {(r["doc_a"], r["doc_b"])
+          for r in D.d02_minhash_near_dup(spark, d).collect()}
+    sh = {(r["doc_a"], r["doc_b"])
+          for r in D.d03_simhash_near_dup(spark, d).collect()}
+    assert (0, 2) not in mh and (1, 2) not in mh
+    assert (0, 2) in sh or (1, 2) in sh
+
+    d05 = {r["doc_id"]: r["cluster_id"]
+           for r in D.d05_neardup_clusters(spark, d).collect()}
+    assert d05[2] == 2  # minhash alone cannot reach the scramble
+    spark.catalog.clearCache()
+
+    d06 = {r["doc_id"]: (r["cluster_id"], r["survivor"])
+           for r in D.d06_unified_clusters(spark, d).collect()}
+    assert d06[0] == (0, 1)
+    assert d06[1] == (0, 0)
+    assert d06[2] == (0, 0)  # joined via the mixed-signal chain
+    assert d06[9] == (9, 1)
+    spark.catalog.clearCache()
