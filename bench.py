@@ -6,9 +6,23 @@ and no driver-side collect cost pollutes the numbers) and prints ONE
 JSON line:
 
     {"metric": "wall_sec_total", "value": N, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1,
+     "reps": 2, "sf_small": 0.01, "queries_small": {...},
+     "scale_ratio": {...}}
 
-Usage: python bench.py  (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+- Each query is timed `reps` times (default 2) and the MINIMUM kept:
+  ambient load in a shared sandbox inflates single-shot wall clock by
+  20-40% (the round-3 phantom regression); min-of-n is the standard
+  de-noising estimator for cold-cache-free throughput.
+- The same set also runs at a SMALL scale factor (default sf0.01) and
+  `scale_ratio` reports t_big/t_small per query — with 10x the rows, a
+  ratio well above 10 flags super-linear work (the 100TB red flag),
+  while ratios below 10 show fixed overhead still dominating.
+
+Usage: python bench.py
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+     SPARK_GRAFT_SF_SMALL_DIR (default /root/testdata/sf0.01; set empty
+     to skip the small block), SPARK_GRAFT_CPUS, SPARK_GRAFT_BENCH_REPS
 """
 
 from __future__ import annotations
@@ -25,26 +39,38 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from customer_review__etl_spark.session import get_spark  # noqa: E402
 
 # Headline set: one per operator family — scan+agg (q1), join+topk (q3),
-# multi-join (q5), group-count flagship (a01), window (w03), big equi
-# join (j02), text chain + top-K words, exact + near dedup, similarity
-# top-k. Names must exist in __spark_entry__.queries().
+# multi-join (q5), correlated-aggregate (q17), group-count flagship
+# (a01), windows (w03/w05), grouping sets (g04), equi + range joins
+# (j02/j10), text chain + top-K words, exact/minhash/simhash/ngram
+# dedup + cluster collapse, similarity (brute/LSH/IVF), streaming
+# window + session window, parquet IO roundtrip. Names must exist in
+# __spark_entry__.queries().
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q17_small_qty_revenue",
     "a01_group_count",
     "w03_running_sum",
+    "w05_ntile_frames",
+    "g04_pivot",
     "j02_inner_equi",
+    "j10_bucketed_range",
     "t03_topk_words",
     "t04_quality_scores",
     "d01_exact_dedup",
     "d02_minhash_near_dup",
     "d03_simhash_near_dup",
+    "d04_ngram_jaccard",
+    "d05_neardup_clusters",
     "s01_cosine_topk",
     "s02_ann_lsh",
+    "s04_ivf_ann",
     "st01_tumbling_window",
+    "st03_session_window",
+    "io02_parquet_roundtrip",
 ]
 
 
@@ -59,10 +85,34 @@ def _materialize(df) -> None:
         df.count()
 
 
+def _time_queries(spark, qs, sf_dir: str, reps: int) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            _materialize(fn(spark, sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
+    return timings
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
+    small_dir = os.environ.get(
+        "SPARK_GRAFT_SF_SMALL_DIR", "/root/testdata/sf0.01"
+    )
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
 
     import __spark_entry__ as entrymod
 
@@ -78,29 +128,26 @@ def main() -> int:
         spark.range(100000).groupBy(F.pmod("id", F.lit(7)).alias("g")).count()
     )
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        # Build once to warm metadata (file listing, schema inference),
-        # then time plan-build + execution.
-        t0 = time.time()
-        _materialize(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+    out: dict = {"metric": "wall_sec_total", "unit": "sec", "reps": reps}
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "wall_sec_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    if small_dir and os.path.isdir(small_dir) and small_dir != sf_dir:
+        small = _time_queries(spark, qs, small_dir, reps)
+        out["sf_small"] = _sf_of(small_dir)
+        out["queries_small"] = small
+    else:
+        small = {}
+
+    timings = _time_queries(spark, qs, sf_dir, reps)
+    out["value"] = round(sum(timings.values()), 3)
+    out["queries"] = timings
+    out["sf"] = _sf_of(sf_dir)
+    if small:
+        out["scale_ratio"] = {
+            n: round(timings[n] / small[n], 2)
+            for n in timings
+            if small.get(n)
+        }
+    print(json.dumps(out))
     return 0
 
 
