@@ -53,6 +53,31 @@ def io02_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("s_nationkey", df["s_nationkey"].cast("int"))
 
 
+def io03_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL roundtrip over `documents` — the training-data interchange
+    format. Free text (newlines, quotes, unicode) survives via JSON
+    string escaping; the hash gate certifies losslessness, which is
+    exactly the property a 100 TB corpus export needs. Doubles are
+    deliberately absent from this table (bigint + string columns), so
+    text-format roundtripping is exact by construction."""
+    out = run_scratch("io03_jsonl_")
+    src = tables.load(spark, sf_dir, "documents")
+    sinks.write_jsonl(src, out)
+    df = sinks.read_jsonl(spark, out, src.schema)
+    return df.select(*src.columns)
+
+
+def io04_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC roundtrip over `part` (the other built-in columnar format,
+    partitioned by p_brand): binary-exact for every primitive type,
+    partition column re-typed from directory values like io02."""
+    out = run_scratch("io04_orc_")
+    src = tables.load(spark, sf_dir, "part")
+    sinks.write_orc(src, out, partition_by=["p_brand"])
+    df = spark.read.schema(src.schema).orc(out).select(*src.columns)
+    return df
+
+
 SPECS = [
     QuerySpec(
         "io01_csv_roundtrip",
@@ -63,5 +88,15 @@ SPECS = [
         "io02_parquet_roundtrip",
         io02_parquet_roundtrip,
         "SELECT * FROM supplier",
+    ),
+    QuerySpec(
+        "io03_jsonl_roundtrip",
+        io03_jsonl_roundtrip,
+        "SELECT * FROM documents",
+    ),
+    QuerySpec(
+        "io04_orc_roundtrip",
+        io04_orc_roundtrip,
+        "SELECT * FROM part",
     ),
 ]

@@ -45,6 +45,35 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines sink — the interchange format of training-data
+    pipelines (one JSON doc per line, newline-safe via JSON string
+    escaping, splittable when compressed per-file)."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSON-lines source with ingest discipline: explicit schema (DDL
+    string or StructType) — inference over 100 TB of JSONL is a full
+    extra pass."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """ORC sink (built into Spark like parquet): the other columnar
+    interchange format, binary-exact for all primitive types."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    return spark.read.schema(schema).orc(path)
+
+
 def write_metrics_json(
     metrics: dict[str, Any], path: str, timestamp: str | None = None
 ) -> str:
