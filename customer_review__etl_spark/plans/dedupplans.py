@@ -441,41 +441,25 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     SPARK_GRAFT_NGRAM_DF_CAP."""
     grams = _d04_grams(spark, sf_dir).cache()
     cand = _d04_candidates(grams, NGRAM_DF_CAP)
-    # Exact-verify via per-doc gram ARRAYS, not an exploded join: the
-    # candidate⋈gram⋈gram form shuffles |cand|·|grams per doc| rows
-    # (~65M at sf0.1) into a pair-count aggregate; collapsing each
-    # doc's gram set to one array row first means candidates join
-    # against an O(#docs) table and the intersection is a JVM-side
-    # array_intersect per pair — no exploded shuffle, no giant groupBy
-    # (measured 12.7s → sub-second at sf0.1). Arrays are bounded by
-    # doc length (distinct 3-grams ≤ chars), so rows stay small at any
-    # corpus scale.
-    garr = grams.groupBy("doc_id").agg(
-        F.collect_set("g").alias("gs"), F.count(F.lit(1)).alias("n")
-    )
-    ga = garr.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("gs").alias("gs_a"),
-        F.col("n").alias("n_a"),
-    )
-    gb = garr.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("gs").alias("gs_b"),
-        F.col("n").alias("n_b"),
-    )
+    n = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
+    gb2 = grams.select(F.col("doc_id").alias("doc_b2"), F.col("g").alias("g_b"))
     inter = (
         cand.join(ga, "doc_a")
-        .join(gb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("gs_a", "gs_b")).alias("inter"),
-            "n_a",
-            "n_b",
+        .join(
+            gb2,
+            (F.col("doc_b") == F.col("doc_b2"))
+            & (F.col("g_a") == F.col("g_b")),
         )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
+    na = n.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     return (
-        inter.select(
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
             "doc_a",
             "doc_b",
             (
