@@ -39,8 +39,9 @@ DOCS_ONLY_QUERIES = [
     "t05_lang_id", "t06_fingerprint", "t07_positional_hash",
     "t08_bpe_token_count",
     "d01_exact_dedup", "d02_minhash_near_dup", "d03_simhash_near_dup",
-    "d04_ngram_jaccard", "d05_neardup_clusters",
+    "d04_ngram_jaccard", "d05_neardup_clusters", "d06_unified_clusters",
     "mm01_binary_meta", "mm03_frame_sample",
+    "ml05_stratified_split", "io03_jsonl_roundtrip",
 ]
 
 
@@ -178,16 +179,18 @@ def _compare(spark, sf_dir, name, view):
     scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
 
     con = duckdb.connect()
-    src = f"SELECT * FROM '{sf_dir}/{view}.parquet/*.parquet'"
-    if view == "events":
-        # Fixture stores ts as epoch nanos (the driver's physical
-        # layout); present it to the oracle as TIMESTAMP like DuckDB
-        # does natively for TIMESTAMP(NANOS) files.
-        src = (
-            "SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
-            f"FROM ({src})"
-        )
-    con.execute(f"CREATE VIEW {view} AS {src}")
+    views = [view] if isinstance(view, str) else view
+    for v in views:
+        src = f"SELECT * FROM '{sf_dir}/{v}.parquet/*.parquet'"
+        if v == "events":
+            # Fixture stores ts as epoch nanos (the driver's physical
+            # layout); present it to the oracle as TIMESTAMP like DuckDB
+            # does natively for TIMESTAMP(NANOS) files.
+            src = (
+                "SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+                f"FROM ({src})"
+            )
+        con.execute(f"CREATE VIEW {v} AS {src}")
     cur = con.execute(spec.oracle)
     ocols = [c[0] for c in cur.description]
     orows = cur.fetchall()
@@ -251,6 +254,84 @@ def test_fuzz_corpus_matches_oracle(spark, fuzz_dir, name):
 @pytest.mark.parametrize("name", EVENTS_ONLY_QUERIES)
 def test_edge_events_match_oracle(spark, edge_events_dir, name):
     _compare(spark, edge_events_dir, name, "events")
+
+
+# ---------------------------------------------------------------------------
+# Hostile TPC-H mini-fixture for the correlated-aggregate family
+# (q17/q21/q22): NULL keys/quantities, single-supplier orders, orders
+# where EVERY supplier is bad, non-F orders, NULL balances — the rows
+# where correlated EXISTS/aggregate semantics and their decorrelated
+# rewrites can drift apart.
+# ---------------------------------------------------------------------------
+
+_L = "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, " \
+    "l_quantity DOUBLE, l_extendedprice DOUBLE, l_returnflag STRING"
+EDGE_LINEITEM = [
+    # part 1 (Brand#4): quantities 1,10,10,10 → avg 7.75, 20% = 1.55:
+    # only the qty-1 row qualifies for q17
+    (100, 1, 1, 1.0, 11.11, "R"),
+    (100, 1, 2, 10.0, 22.22, "N"),
+    (101, 1, 1, 10.0, 33.33, "R"),
+    (101, 1, 2, 10.0, 44.44, "R"),
+    # part 3 (Brand#4): lone row can never be under 20% of its own avg
+    (102, 3, 1, 5.0, 55.55, "R"),
+    # part 2 (other brand): ignored by q17 regardless of quantity
+    (103, 2, 1, 0.01, 66.66, "R"),
+    # NULL partkey / NULL quantity / NULL suppkey rows
+    (104, None, 1, 1.0, 10.0, "R"),
+    (100, 1, None, 1.0, 10.0, "R"),
+    (105, 1, 2, None, 10.0, "N"),
+]
+_O = "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING"
+EDGE_ORDERS = [
+    (100, 1, "F"),   # multi-supplier, exactly one bad → q21 counts s1
+    (101, 2, "F"),   # multi-supplier, BOTH bad → no one counts
+    (102, 3, "F"),   # single supplier → fails EXISTS
+    (103, 4, "O"),   # not finalized → excluded
+    (104, 1, "F"),
+    (105, 5, "F"),
+    (106, None, "F"),  # NULL custkey: matches no customer in q22
+]
+EDGE_PART = [(1, "Brand#4"), (2, "Brand#9"), (3, "Brand#4")]
+EDGE_SUPPLIER = [(1, "S1"), (2, "S2")]
+_C = "c_custkey BIGINT, c_nationkey BIGINT, c_acctbal DOUBLE"
+EDGE_CUSTOMER = [
+    # avg positive balance = (100+300+200)/3 = 200
+    (1, 10, 100.0),    # below avg → out of q22
+    (2, 10, 300.0),    # above avg, has F orders → anti-joined away
+    (3, 20, 200.0),    # equal to avg (strict >) → out
+    (4, 20, 250.0),    # above avg via 250*3 > 600, only an 'O' order → kept
+    (5, None, 300.0),  # above avg, has F order 105 → out; NULL nation grp
+    (6, 30, -50.0),    # negative: excluded from the avg AND below it
+    (7, 30, 299.99),   # above avg, never ordered → kept
+    (8, 40, None),     # NULL balance: no side of the compare
+]
+
+TPCH_VIEWS = ["lineitem", "orders", "part", "supplier", "customer"]
+TPCH_ONLY_QUERIES = [
+    "q17_small_qty_revenue", "q21_waiting_supplier", "q22_idle_customers",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_tpch_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_tpch")
+    for name, rows, schema in (
+        ("lineitem", EDGE_LINEITEM, _L),
+        ("orders", EDGE_ORDERS, _O),
+        ("part", EDGE_PART, "p_partkey BIGINT, p_brand STRING"),
+        ("supplier", EDGE_SUPPLIER, "s_suppkey BIGINT, s_name STRING"),
+        ("customer", EDGE_CUSTOMER, _C),
+    ):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"{name}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", TPCH_ONLY_QUERIES)
+def test_edge_tpch_match_oracle(spark, edge_tpch_dir, name):
+    _compare(spark, edge_tpch_dir, name, TPCH_VIEWS)
 
 
 @pytest.mark.parametrize("name", EMB_ONLY_QUERIES)
