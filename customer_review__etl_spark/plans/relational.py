@@ -159,6 +159,24 @@ def p11_derived_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p12_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% Bernoulli sample of orders: keep rows whose
+    md5(o_orderkey) first 4 hex digits < 0x199a (6554/65536 ≈ 10.0%).
+    Content-addressed like the ml03 split — the corpus-subsampling a
+    training pipeline needs to be REPRODUCIBLE across runs, cluster
+    sizes, and engines, which `df.sample(0.1)` (partition-seeded RNG)
+    is not. Pure map-side predicate: no shuffle, pushes nothing but
+    scans pruned columns."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4)
+            < F.lit("199a")
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
 # --------------------------------------------------------------------------
 # A: aggregations (SURVEY §2.4)
 # --------------------------------------------------------------------------
@@ -1313,6 +1331,15 @@ SPECS = [
                  AS INTEGER) AS k,
                upper(event_type) AS event_type_uc
         FROM events
+        """,
+    ),
+    QuerySpec(
+        "p12_deterministic_sample",
+        p12_deterministic_sample,
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE substr(md5(o_orderkey::VARCHAR), 1, 4) < '199a'
         """,
     ),
     QuerySpec(
