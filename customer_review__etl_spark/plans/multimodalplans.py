@@ -1,6 +1,12 @@
 """Multimodal plans: binary-column metadata (SQL-checked) and the
-Arrow-batched decode/feature-extract pass (rows-only; the decoder is
-a deterministic stub — see multimodal/binary.py)."""
+Arrow-batched decode/feature-extract pass — ALSO fully SQL-checked:
+the stand-in decoder (multimodal/binary.py fake_decode) derives its
+fake (width, height, channels, luminance) from md5-digest bytes with
+pure integer arithmetic, so the oracle recomputes the identical values
+from the hex digest and the hash gate certifies the whole mapInPandas
+Arrow round-trip, not just row counts. (A REAL Pillow decoder would
+drop mm02 back to rows-only — the oracle checks the stub's contract,
+which is exactly the Spark-side plumbing under test.)"""
 
 from __future__ import annotations
 
@@ -9,6 +15,14 @@ from pyspark.sql import DataFrame, SparkSession
 from ..multimodal import binary as B
 from ..sources import tables
 from . import QuerySpec
+from .dedupplans import _hexdigit_to_int
+
+
+def _hexpair(dg: str, p: int) -> str:
+    """SQL: byte value of hex digest chars p, p+1 (1-based)."""
+    hi = _hexdigit_to_int("duckdb", f"substr({dg}, {p}, 1)")
+    lo = _hexdigit_to_int("duckdb", f"substr({dg}, {p + 1}, 1)")
+    return f"(16 * {hi} + {lo})"
 
 
 def _blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,7 +66,23 @@ SPECS = [
         FROM documents
         """,
     ),
-    QuerySpec("mm02_decode_features", mm02_decode_features, None),
+    QuerySpec(
+        "mm02_decode_features",
+        mm02_decode_features,
+        f"""
+        WITH h AS (SELECT doc_id, text, md5(text) AS dg FROM documents)
+        SELECT doc_id,
+               (CASE WHEN text IS NULL THEN 0
+                     ELSE 64 + {_hexpair('dg', 1)} % 192 END)::INT AS width,
+               (CASE WHEN text IS NULL THEN 0
+                     ELSE 64 + {_hexpair('dg', 3)} % 192 END)::INT AS height,
+               (CASE WHEN text IS NULL THEN 0
+                     ELSE 1 + {_hexpair('dg', 5)} % 4 END)::INT AS n_channels,
+               (CASE WHEN text IS NULL THEN 0.0
+                     ELSE {_hexpair('dg', 7)} / 255.0 END)::DOUBLE AS mean_lum
+        FROM h
+        """,
+    ),
     QuerySpec(
         "mm03_frame_sample",
         mm03_frame_sample,

@@ -40,7 +40,7 @@ DOCS_ONLY_QUERIES = [
     "t08_bpe_token_count",
     "d01_exact_dedup", "d02_minhash_near_dup", "d03_simhash_near_dup",
     "d04_ngram_jaccard", "d05_neardup_clusters", "d06_unified_clusters",
-    "mm01_binary_meta", "mm03_frame_sample",
+    "mm01_binary_meta", "mm02_decode_features", "mm03_frame_sample",
     "ml05_stratified_split", "io03_jsonl_roundtrip",
 ]
 

@@ -27,7 +27,6 @@ def test_contract_consistency():
         "ml01_lda_themes",
         "ml02_topic_top_words",
         "ml04_classifier_metrics",
-        "mm02_decode_features",
         "a09_approx_stats",
     }
 
