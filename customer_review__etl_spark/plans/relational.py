@@ -1081,16 +1081,21 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier.
 
     Decorrelation: both correlated EXISTS collapse into ONE per-order
-    aggregate — n_supp = countDistinct(supplier) and n_bad_supp =
-    countDistinct(supplier | returned) — then a returned fact row
-    qualifies iff n_supp ≥ 2 (the EXISTS: some other supplier on the
-    order) and n_bad_supp = 1 (the NOT EXISTS: no OTHER supplier also
-    returned — the row's own supplier is in the bad set, so size 1
-    pins it as the only one). Two scans of lineitem, one shuffle each
-    on l_orderkey, supplier dim broadcast. The oracle twin is the
-    CORRELATED EXISTS/NOT-EXISTS original. (l_receiptdate/l_commitdate
-    don't exist in this schema; returnflag='R' is the per-row "late"
-    predicate.)"""
+    aggregate — n_supp = countDistinct(supplier), n_bad_supp =
+    countDistinct(supplier | returned) — and an order qualifies iff
+    n_supp ≥ 2 (the EXISTS: some other supplier on the order) and
+    n_bad_supp = 1 (the NOT EXISTS: no OTHER supplier also returned).
+    Because a qualifying order has EXACTLY one bad supplier, the same
+    aggregate recovers both the supplier (max over the returned rows'
+    keys) and that supplier's returned-row count — so lineitem is
+    scanned ONCE, with no re-join of fact rows against the aggregate:
+    one shuffle on l_orderkey, then the (tiny) qualifying-orders set
+    joins the broadcast supplier dim. NULL-suppkey returned rows are
+    excluded from the count exactly as the correlated original drops
+    them at the supplier join (pinned by the edge fixture). Oracle
+    twin is the CORRELATED EXISTS/NOT-EXISTS original.
+    (l_receiptdate/l_commitdate don't exist in this schema;
+    returnflag='R' is the per-row "late" predicate.)"""
     o = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -1102,22 +1107,24 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     fo_li = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).drop(
         "o_orderkey"
     )
+    bad = F.col("l_returnflag") == "R"
+    bad_supp = F.when(bad, F.col("l_suppkey"))
     per_order = fo_li.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_bad_supp"),
+        F.countDistinct(bad_supp).alias("n_bad_supp"),
+        F.max(bad_supp).alias("bad_supp"),
+        F.sum(
+            F.when(bad & F.col("l_suppkey").isNotNull(), 1).otherwise(0)
+        ).alias("n_bad_rows"),
     )
-    qual = (
-        fo_li.filter(F.col("l_returnflag") == "R")
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_bad_supp") == 1))
+    qual = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_bad_supp") == 1)
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        qual.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        qual.join(F.broadcast(s), F.col("bad_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_bad_rows").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
