@@ -164,6 +164,26 @@ def st08_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st09_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join (view → same-user purchase within
+    1 hour: conversion attribution), run as a genuine two-sided
+    streaming join with watermarks on both sides, exiting through the
+    parquet append sink. Single-batch pin for the same reason as st05:
+    across micro-batches the watermark may evict a view before a
+    same-horizon purchase file arrives, which is the documented
+    streaming semantics but fails the batch-join oracle."""
+    out = jobs.run_append(
+        jobs.view_purchase_join(
+            jobs.stream_events(spark, sf_dir, single_batch=True)
+        )
+    )
+    return (
+        out.withColumn("v_ts", F.col("v_ts").cast("timestamp_ntz"))
+        .withColumn("p_ts", F.col("p_ts").cast("timestamp_ntz"))
+        .orderBy("view_id", "purchase_id")
+    )
+
+
 # CASE generated from the same dict the streaming job broadcasts, so
 # the two sides cannot drift.
 _CATEGORY_CASE = "CASE " + " ".join(
@@ -268,6 +288,19 @@ SPECS = [
         FROM spine s LEFT JOIN c
           ON s.wstart = c.wstart AND s.event_type = c.event_type
         ORDER BY s.wstart, s.event_type
+        """,
+    ),
+    QuerySpec(
+        "st09_stream_stream_join",
+        st09_stream_stream_join,
+        """
+        SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+               v.user_id, v.ts AS v_ts, p.ts AS p_ts
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+         AND v.event_type = 'view' AND p.event_type = 'purchase'
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '1 hour'
+        ORDER BY view_id, purchase_id
         """,
     ),
 ]

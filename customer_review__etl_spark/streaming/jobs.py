@@ -163,6 +163,46 @@ def stream_static_join(events: DataFrame) -> DataFrame:
     )
 
 
+def view_purchase_join(events: DataFrame) -> DataFrame:
+    """Stream-STREAM interval join: each view matched with the same
+    user's purchases arriving within the following hour (conversion
+    attribution).
+
+    Both sides carry watermarks (required for stream-stream joins: they
+    bound the buffered state — a view can be dropped once the
+    purchase-side watermark passes its ts + 1h, so executors hold
+    O(events within the horizon), not history). The time-range
+    condition gives Spark the state-expiry bound; the equi-key
+    (user_id) keeps the join a hash join per micro-batch. Inner
+    stream-stream joins emit in APPEND mode — pair rows are final when
+    matched, so run_append's parquet sink applies."""
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", WATERMARK)
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    return v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("view_id", "purchase_id", "user_id", "v_ts", "p_ts")
+
+
 def stateful_user_stats(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running (count, exact cents sum, cents max), emitted as the updated

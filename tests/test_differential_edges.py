@@ -98,6 +98,12 @@ EDGE_EVENTS = [
     (12, _ts(69), 3, "refund", 0.11, '{"k": true}'),    # bool
     (13, _ts(70), 3, "refund", 0.12,
      '{"k": 12345678901234567890}'),                    # > int64 max
+    # st09 view→purchase pairs: user 1's purchase 43 min after their
+    # view (in-horizon); user 2's purchase pairs with the two t=2 views
+    # but NOT the later t=200 views (purchase precedes them); user 3
+    # has refunds only — the join must stay empty there
+    (14, _ts(45), 1, "purchase", 7.50, None),
+    (15, _ts(30), 2, "purchase", 12.00, '{"k": 4}'),
 ]
 
 EVENTS_ONLY_QUERIES = [
@@ -106,6 +112,7 @@ EVENTS_ONLY_QUERIES = [
     "j09_salted_skew_agg", "u01_grouped_minmax",
     "st01_tumbling_window", "st02_sliding_window", "st03_session_window",
     "st07_stream_static_join", "st08_gapfill_resample",
+    "st09_stream_stream_join",
     "j01_broadcast_theme_label", "w02_lag_lead", "w03_running_sum",
     "set01_union_all", "set02_intersect", "set03_except_all",
 ]
