@@ -1171,6 +1171,299 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: per order year, the
+    fraction of ASIA-region ECONOMY-part revenue supplied by NATION_1.
+
+    The 8-table join tree orders itself around the two big-fact
+    shuffles (lineitem⋈orders on orderkey, then ⋈customer on custkey);
+    nation/region are hinted broadcasts (≤25 rows by schema), while
+    part/supplier/customer are left to AQE, which broadcasts them at
+    bench scale but can fall back to shuffle joins at 100 TB where
+    part alone is billions of rows. The share is two exact scaled-long
+    conditional sums and ONE final IEEE division. (Reference parity:
+    multi-dim revenue share; adapted to this schema's single-word
+    p_type and synthetic nation names.)"""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        scaled(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+        ).alias("vol_e4"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("bigint").alias("o_year")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    r = (
+        _t(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    nation_vol = F.when(F.col("sn_name") == "NATION_1", F.col("vol_e4")).otherwise(
+        F.lit(0)
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(nation_vol).alias("nation_e4"),
+            F.sum("vol_e4").alias("total_e4"),
+        )
+        .select(
+            "o_year",
+            "nation_e4",
+            "total_e4",
+            (
+                F.col("nation_e4").cast("double")
+                / F.col("total_e4").cast("double")
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-type profit by supplier nation and
+    order year for 'widget' parts. No partsupp table exists in this
+    schema, so supply cost is modeled as half the part's retail price
+    per unit: profit = extprice·(1−disc) − 0.5·retailprice·qty, an
+    exact scaled-long (6 decimals) so partial-aggregation order can't
+    perturb the sum. Name-filtered part prunes the fact early (the
+    LIKE is evaluated on the broadcast-or-AQE dim side, never per
+    lineitem row); nation is a hinted broadcast."""
+    amount = scaled(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity"),
+        6,
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("bigint").alias("o_year")
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("amount_e6", amount)
+        .groupBy("n_name", "o_year")
+        .agg(F.sum("amount_e6").alias("profit_e6"))
+        .orderBy("n_name", "o_year")
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — group aggregate vs GLOBAL scalar aggregate:
+    parts whose EUROPE-supplied value exceeds 0.1% of the total
+    EUROPE-supplied value. No partsupp table: per-part value is the
+    sum of lineitem extendedprice over EUROPE suppliers.
+
+    The global total re-aggregates the per-part sums (no second fact
+    scan) and arrives as a ONE-row broadcast cross join — the same
+    pattern as q22's threshold; the compare is exact long·1000 vs
+    long, no float epsilon. The per-part aggregate is cached so the
+    two consumers (threshold row + filtered output) share one shuffle."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", cents(F.col("l_extendedprice")).alias("val_cents")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = (
+        _t(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    per_part = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("val_cents").alias("value_cents"))
+        .cache()  # two consumers (threshold + output): ONE fact scan
+    )
+    total = per_part.agg(F.sum("value_cents").alias("grand_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * F.lit(1000) > F.col("grand_cents"))
+        .select("l_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), "l_partkey")
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — customer order-count distribution including
+    zero-order customers: LEFT OUTER join customer→orders (minus
+    '5-LOW'-priority orders, the analog of Q13's comment exclusion),
+    count per customer (count(o_orderkey) skips the null-extended
+    rows), then the distribution of those counts. Two shuffles total:
+    custkey, then c_count; both aggregations are map-side partial."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — supplier(s) with the maximum quarterly
+    revenue: the revenue view aggregates the date-pruned fact once,
+    the global max re-aggregates that result into ONE broadcast row
+    (q22/q11 pattern — no driver collect, no second fact scan), and
+    the equality filter keeps every tied supplier, exactly like the
+    correlated `= (SELECT max(...))` original. Revenue is an exact
+    scaled-long so ties are decided on integers, not float last-bits."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            scaled(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+            )
+        ).alias("total_rev_e4")
+    ).cache()  # two consumers (max row + equality filter): ONE fact scan
+    best = revenue.agg(F.max("total_rev_e4").alias("max_rev"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("total_rev_e4") == F.col("max_rev"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_e4")
+        .orderBy("s_suppkey")
+    )
+
+
+def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — supplier count per (brand, type, size) for a
+    size whitelist, excluding one brand, one type, and all suppliers
+    with negative balance (the complaints analog, a NOT-IN expressed
+    as a broadcast left-anti join — null-safe because s_suppkey is a
+    key). No partsupp table: the part↔supplier bridge is the DISTINCT
+    (l_partkey, l_suppkey) pairs of lineitem, which dedups BEFORE the
+    dim join so the countDistinct shuffle carries each pair once."""
+    # NOT-IN semantics: a NULL outer key yields NULL (dropped) in SQL,
+    # but a left-anti join KEEPS never-matching NULL keys — filter them
+    # so a parts group can't appear with supplier_cnt 0 (edge-pinned).
+    bridge = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey").isNotNull())
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#3")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        bridge.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — nested IN + correlated aggregate threshold:
+    suppliers who shipped MORE THAN HALF of some red part's total 1997
+    volume (no partsupp/availqty in this schema, so the excess-stock
+    predicate becomes a dominant-supplier predicate over the same
+    correlated per-part aggregate).
+
+    Decorrelation: one (partkey, suppkey) aggregate over the
+    name+date-pruned fact, the per-part total via a window over the
+    ALREADY-aggregated rows (same shuffle key — no second fact scan,
+    no re-join), the integer compare 2·pair > total, then a semi-join
+    into the supplier dim. Oracle twin keeps the correlated original."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .select("l_partkey", "l_suppkey", cents(F.col("l_quantity")).alias("qty_cents"))
+    )
+    pair = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qty_cents").alias("pair_qty"))
+    )
+    part_total = Window.partitionBy("l_partkey")
+    dominant = (
+        pair.withColumn("part_qty", F.sum("pair_qty").over(part_total))
+        .filter(F.lit(2) * F.col("pair_qty") > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
 def w05_ntile_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window surface beyond w01-w04: ntile quartiles, percent_rank,
     cume_dist, and first/last_value over an explicit ROWS frame. The
@@ -1527,6 +1820,141 @@ SPECS = [
                             AND o_orderstatus = 'F')
         GROUP BY c_nationkey
         ORDER BY c_nationkey
+        """,
+    ),
+    QuerySpec(
+        "q8_market_share",
+        q8_market_share,
+        f"""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CASE WHEN sn.n_name = 'NATION_1'
+                             THEN {sql_scaled('l_extendedprice * (1 - l_discount)', 4)}
+                             ELSE 0 END) AS BIGINT) AS nation_e4,
+               CAST(sum({sql_scaled('l_extendedprice * (1 - l_discount)', 4)}) AS BIGINT)
+                 AS total_e4,
+               CAST(sum(CASE WHEN sn.n_name = 'NATION_1'
+                             THEN {sql_scaled('l_extendedprice * (1 - l_discount)', 4)}
+                             ELSE 0 END) AS BIGINT)::DOUBLE
+                 / CAST(sum({sql_scaled('l_extendedprice * (1 - l_discount)', 4)}) AS BIGINT)::DOUBLE
+                 AS mkt_share
+        FROM lineitem
+        JOIN orders    ON l_orderkey = o_orderkey
+        JOIN customer  ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region    ON cn.n_regionkey = r_regionkey
+        JOIN supplier  ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN part      ON l_partkey = p_partkey
+        WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        GROUP BY 1 ORDER BY 1
+        """,
+    ),
+    QuerySpec(
+        "q9_product_profit",
+        q9_product_profit,
+        """
+        SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                                    - 0.5 * p_retailprice * l_quantity)
+                                   * 1000000) AS BIGINT)) AS BIGINT) AS profit_e6
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+    ),
+    QuerySpec(
+        "q11_important_stock",
+        q11_important_stock,
+        f"""
+        SELECT l_partkey,
+               CAST(sum({sql_cents('l_extendedprice')}) AS BIGINT) AS value_cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY l_partkey
+        HAVING CAST(sum({sql_cents('l_extendedprice')}) AS BIGINT) * 1000
+             > (SELECT CAST(sum({sql_cents('l_extendedprice')}) AS BIGINT)
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation   ON s_nationkey = n_nationkey
+                JOIN region   ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE')
+        ORDER BY value_cents DESC, l_partkey
+        """,
+    ),
+    QuerySpec(
+        "q13_customer_distribution",
+        q13_customer_distribution,
+        """
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+              GROUP BY c_custkey) t
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+        """,
+    ),
+    QuerySpec(
+        "q15_top_supplier",
+        q15_top_supplier,
+        f"""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(sum({sql_scaled('l_extendedprice * (1 - l_discount)', 4)}) AS BIGINT)
+                   AS total_rev_e4
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_rev_e4
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM revenue)
+        ORDER BY s_suppkey
+        """,
+    ),
+    QuerySpec(
+        "q16_parts_supplier",
+        q16_parts_supplier,
+        """
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+    ),
+    QuerySpec(
+        "q20_potential_promotion",
+        q20_potential_promotion,
+        f"""
+        SELECT s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+          SELECT l1.l_suppkey
+          FROM lineitem l1 JOIN part ON l1.l_partkey = p_partkey
+          WHERE p_name LIKE 'red%'
+            AND l1.l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l1.l_shipdate <  TIMESTAMP '1998-01-01'
+          GROUP BY l1.l_partkey, l1.l_suppkey
+          HAVING 2 * CAST(sum({sql_cents('l1.l_quantity')}) AS BIGINT)
+               > (SELECT CAST(sum({sql_cents('l2.l_quantity')}) AS BIGINT)
+                  FROM lineitem l2
+                  WHERE l2.l_partkey = l1.l_partkey
+                    AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+                    AND l2.l_shipdate <  TIMESTAMP '1998-01-01'))
+        ORDER BY s_name
         """,
     ),
     QuerySpec(

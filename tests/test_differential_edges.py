@@ -271,36 +271,64 @@ def test_edge_events_match_oracle(spark, edge_events_dir, name):
 # rewrites can drift apart.
 # ---------------------------------------------------------------------------
 
+_D95 = datetime.datetime(1995, 1, 15)
+_D96 = datetime.datetime(1996, 2, 1)   # inside q15's 1996-Q1 window
+_D97 = datetime.datetime(1997, 6, 1)   # inside q20's 1997 window
 _L = "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, " \
-    "l_quantity DOUBLE, l_extendedprice DOUBLE, l_returnflag STRING"
+    "l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, " \
+    "l_shipdate TIMESTAMP_NTZ, l_returnflag STRING"
 EDGE_LINEITEM = [
-    # part 1 (Brand#4): quantities 1,10,10,10 → avg 7.75, 20% = 1.55:
-    # only the qty-1 row qualifies for q17
-    (100, 1, 1, 1.0, 11.11, "R"),
-    (100, 1, 2, 10.0, 22.22, "N"),
-    (101, 1, 1, 10.0, 33.33, "R"),
-    (101, 1, 2, 10.0, 44.44, "R"),
-    # part 3 (Brand#4): lone row can never be under 20% of its own avg
-    (102, 3, 1, 5.0, 55.55, "R"),
+    # part 1 (Brand#4, 'red widget'): non-null quantities 1,10,10,10,1
+    # → only the qty-1 rows qualify for q17. 1997 rows drive q20:
+    # s2 ships 10 of part 1's 12 total → dominant (2·10 > 12)
+    (100, 1, 1, 1.0, 11.11, 0.1, _D97, "R"),
+    (100, 1, 2, 10.0, 22.22, 0.0, _D97, "N"),
+    (101, 1, 1, 10.0, 33.33, 0.05, _D96, "R"),
+    (101, 1, 2, 10.0, 44.44, None, _D96, "R"),   # NULL discount → NULL vol
+    # part 3 (Brand#4): quantities 5,2 — none under 20% of the avg
+    (102, 3, 1, 5.0, 55.55, 0.2, _D95, "R"),
+    # s3's 1996-Q1 revenue EXACTLY ties s1's (same price × discount):
+    # q15 must keep both tied suppliers
+    (106, 3, 3, 2.0, 33.33, 0.05, _D96, "N"),
     # part 2 (other brand): ignored by q17 regardless of quantity
-    (103, 2, 1, 0.01, 66.66, "R"),
-    # NULL partkey / NULL quantity / NULL suppkey rows
-    (104, None, 1, 1.0, 10.0, "R"),
-    (100, 1, None, 1.0, 10.0, "R"),
-    (105, 1, 2, None, 10.0, "N"),
+    (103, 2, 1, 0.01, 66.66, 0.0, None, "R"),    # NULL shipdate
+    # NULL partkey / NULL suppkey / NULL quantity rows
+    (104, None, 1, 1.0, 10.0, 0.0, _D97, "R"),
+    (100, 1, None, 1.0, 10.0, 0.0, _D97, "R"),
+    (105, 1, 2, None, 10.0, 0.1, _D97, "N"),
+    # NULL-partkey row from the one EUROPE supplier: q11 must emit a
+    # NULL part group in BOTH engines; orderkey 107 matches no order
+    (107, None, 2, 1.0, 5.0, 0.0, _D97, "N"),
 ]
-_O = "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING"
+_O = "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " \
+    "o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING"
 EDGE_ORDERS = [
-    (100, 1, "F"),   # multi-supplier, exactly one bad → q21 counts s1
-    (101, 2, "F"),   # multi-supplier, BOTH bad → no one counts
-    (102, 3, "F"),   # single supplier → fails EXISTS
-    (103, 4, "O"),   # not finalized → excluded
-    (104, 1, "F"),
-    (105, 5, "F"),
-    (106, None, "F"),  # NULL custkey: matches no customer in q22
+    (100, 1, "F", datetime.datetime(1997, 3, 1), "1-URGENT"),
+    (101, 2, "F", datetime.datetime(1996, 6, 1), "5-LOW"),   # q13 excludes
+    (102, 3, "F", datetime.datetime(1995, 2, 1), "3-MEDIUM"),
+    (103, 4, "O", None, "2-HIGH"),                # NULL orderdate
+    (104, 1, "F", datetime.datetime(1997, 8, 1), None),      # NULL priority
+    (105, 5, "F", datetime.datetime(1996, 9, 1), "4-NOT SPECIFIED"),
+    (106, None, "F", datetime.datetime(1995, 12, 31), "1-URGENT"),
 ]
-EDGE_PART = [(1, "Brand#4"), (2, "Brand#9"), (3, "Brand#4")]
-EDGE_SUPPLIER = [(1, "S1"), (2, "S2")]
+_P = "p_partkey BIGINT, p_name STRING, p_brand STRING, p_type STRING, " \
+    "p_size BIGINT, p_retailprice DOUBLE"
+EDGE_PART = [
+    (1, "red widget", "Brand#4", "ECONOMY", 4, 100.0),
+    (2, "blue bolt", "Brand#9", "PROMO", 9, 50.0),   # q16 excludes PROMO
+    (3, "small gear", "Brand#4", "LARGE", 19, None),  # NULL retail → q9 NULL
+]
+_S = "s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT, s_acctbal DOUBLE"
+EDGE_SUPPLIER = [
+    (1, "S1", 10, 100.0),
+    (2, "S2", 20, -5.0),   # negative balance: q16's bad list; EUROPE (q11)
+    (3, "S3", 40, None),   # NULL balance: NOT in the bad list (NULL < 0)
+]
+EDGE_NATION = [
+    (10, "NATION_1", 0), (20, "NATION_2", 1), (30, "NATION_3", 0),
+    (40, "NATION_4", None),  # NULL region: drops from region chains
+]
+EDGE_REGION = [(0, "ASIA"), (1, "EUROPE")]
 _C = "c_custkey BIGINT, c_nationkey BIGINT, c_acctbal DOUBLE"
 EDGE_CUSTOMER = [
     # avg positive balance = (100+300+200)/3 = 200
@@ -314,9 +342,17 @@ EDGE_CUSTOMER = [
     (8, 40, None),     # NULL balance: no side of the compare
 ]
 
-TPCH_VIEWS = ["lineitem", "orders", "part", "supplier", "customer"]
+TPCH_VIEWS = [
+    "lineitem", "orders", "part", "supplier", "customer", "nation", "region",
+]
 TPCH_ONLY_QUERIES = [
     "q17_small_qty_revenue", "q21_waiting_supplier", "q22_idle_customers",
+    # round-4 additions: the rest of the TPC-H family that reads only
+    # these seven tables, pinned on NULL keys/dates/prices/priorities
+    "q4_order_priority", "q8_market_share", "q9_product_profit",
+    "q11_important_stock", "q12_shipmode_priority",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_parts_supplier", "q20_potential_promotion",
 ]
 
 
@@ -326,9 +362,11 @@ def edge_tpch_dir(spark, tmp_path_factory):
     for name, rows, schema in (
         ("lineitem", EDGE_LINEITEM, _L),
         ("orders", EDGE_ORDERS, _O),
-        ("part", EDGE_PART, "p_partkey BIGINT, p_brand STRING"),
-        ("supplier", EDGE_SUPPLIER, "s_suppkey BIGINT, s_name STRING"),
+        ("part", EDGE_PART, _P),
+        ("supplier", EDGE_SUPPLIER, _S),
         ("customer", EDGE_CUSTOMER, _C),
+        ("nation", EDGE_NATION, "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"),
+        ("region", EDGE_REGION, "r_regionkey BIGINT, r_name STRING"),
     ):
         spark.createDataFrame(rows, schema).coalesce(1).write.mode(
             "overwrite"

@@ -186,3 +186,45 @@ def test_q22_threshold_broadcast_anti_join(spark):
     assert "CartesianProduct" not in plan
     # the 1-row threshold must arrive via broadcast
     assert "BroadcastExchange" in plan
+
+
+def test_tpch_round4_family_bnlj_free(spark):
+    """q8/q9/q13/q16/q20 are pure hash-join trees: no nested-loop or
+    cartesian fallback anywhere, and the dim filters reach the scans."""
+    for fn in (
+        relational.q8_market_share,
+        relational.q9_product_profit,
+        relational.q13_customer_distribution,
+        relational.q16_parts_supplier,
+        relational.q20_potential_promotion,
+    ):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_q8_q20_filters_pushed(spark):
+    """Selective dim/fact predicates must reach the parquet scans."""
+    p8 = _plan(relational.q8_market_share(spark, SF_DIR))
+    assert "EqualTo(p_type,ECONOMY)" in p8
+    assert "EqualTo(r_name,ASIA)" in p8
+    p20 = _plan(relational.q20_potential_promotion(spark, SF_DIR))
+    assert "StringStartsWith(p_name,red)" in p20
+    assert "GreaterThanOrEqual(l_shipdate," in p20
+
+
+def test_q11_q15_threshold_broadcast(spark):
+    """q11/q15's global scalar (total / max) must arrive as a ONE-row
+    broadcast — never a shuffle of the aggregate side against it."""
+    for fn in (relational.q11_important_stock, relational.q15_top_supplier):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "BroadcastExchange" in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_q16_anti_join_and_early_distinct(spark):
+    """q16: NOT-IN is a left-anti join, and the (part, supp) bridge
+    dedups BEFORE the dim join (HashAggregate below the join)."""
+    plan = _plan(relational.q16_parts_supplier(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
