@@ -364,9 +364,12 @@ def d03_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_DF_CAP = int(os.environ.get("SPARK_GRAFT_NGRAM_DF_CAP", "64"))
 
 
-def _d04_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct char-3-grams per doc with the (lang, length/100) block
-    keys: (doc_id, lang, lbucket, g)."""
+def _d04_gram_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc distinct char-3-gram ARRAY with the (lang, length/100)
+    block keys and the set size: (doc_id, lang, lbucket, grams, n).
+    One array row per doc — the compact form to cache (the exploded
+    stream is ~n× larger) and the free source of the per-doc gram
+    count the Jaccard denominator needs (no extra shuffle)."""
     base = _docs_par(spark, sf_dir).select(
         "doc_id",
         "lang",
@@ -376,52 +379,54 @@ def _d04_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "lbucket",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, length(norm) - 2), "
-                    "i -> substr(norm, i, 3))"
-                )
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, length(norm) - 2), "
+                "i -> substr(norm, i, 3))"
             )
-        ).alias("g"),
+        ).alias("grams"),
+    ).withColumn("n", F.size("grams").cast("long"))
+
+
+def _d04_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded view of _d04_gram_arrays: (doc_id, lang, lbucket, g)."""
+    return _d04_gram_arrays(spark, sf_dir).select(
+        "doc_id", "lang", "lbucket", F.explode("grams").alias("g")
     )
 
 
 def _d04_candidates(grams: DataFrame, df_cap: int | None) -> DataFrame:
     """Candidate pairs: docs sharing ≥1 RARE gram within a block.
 
-    The rare-gram prefilter drops grams whose within-block doc
-    frequency exceeds `df_cap` before the self-join. High-DF grams
-    (`the`, `ing`) otherwise make per-block candidates quadratic in
-    block size — the round-2 scale-killer. The shrink is deterministic
-    (a pure predicate on gram DF), mirrored exactly in the oracle SQL;
-    per block per gram the candidate fan-out is now ≤ C(cap, 2).
+    ONE shuffle: group the gram stream by (lang, lbucket, g), keep
+    groups of 2..df_cap docs, and expand each group's C(n,2) ordered
+    pairs JVM-side from the sorted doc list. The df_cap ≤ filter is
+    the rare-gram prefilter — high-DF grams (`the`, `ing`) otherwise
+    make per-block candidates quadratic in block size (the round-2
+    scale-killer); the shrink is deterministic (a pure predicate on
+    gram doc-frequency), mirrored exactly in the oracle SQL, and the
+    per-group expansion is bounded by C(df_cap, 2). (The previous
+    form — DF aggregate + join back + self-equi-join — shuffled the
+    gram stream three times for the same pair set.)
     Recall trade (documented): a pair sharing ONLY common grams is not
     found — near-dups at jaccard ≥ 0.4 share many grams, so in
     practice some rare gram survives (pinned by the edge test)."""
-    keys = ["lang", "lbucket", "g"]
+    groups = grams.groupBy("lang", "lbucket", "g").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
+    sized = groups.filter(F.size("ds") >= 2)
     if df_cap is not None:
-        gdf = grams.groupBy(*keys).agg(F.count(F.lit(1)).alias("df"))
-        grams = grams.join(
-            gdf.filter(F.col("df") <= df_cap).drop("df"), keys
-        )
-    gb = grams.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("lbucket").alias("lbucket_b"),
-        F.col("g").alias("g_b"),
+        sized = sized.filter(F.size("ds") <= df_cap)
+    pairs = sized.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(ds) - 2), "
+                "i -> transform(sequence(i + 1, size(ds) - 1), "
+                "j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))"
+            )
+        ).alias("p")
     )
-    return (
-        grams.join(
-            gb,
-            (F.col("g") == F.col("g_b"))
-            & (F.col("lang") == F.col("lang_b"))
-            & (F.col("lbucket") == F.col("lbucket_b"))
-            & (F.col("doc_id") < F.col("doc_b")),
-        )
-        .select(F.col("doc_id").alias("doc_a"), "doc_b")
-        .distinct()
-    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,9 +444,12 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall for bounded candidate fan-out. In practice near-dups share
     rare grams (typos, names, numbers); tune the cap per corpus via
     SPARK_GRAFT_NGRAM_DF_CAP."""
-    grams = _d04_grams(spark, sf_dir).cache()
+    arrays = _d04_gram_arrays(spark, sf_dir).cache()
+    grams = arrays.select(
+        "doc_id", "lang", "lbucket", F.explode("grams").alias("g")
+    )
     cand = _d04_candidates(grams, NGRAM_DF_CAP)
-    n = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    n = arrays.select("doc_id", "n")
     ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
     gb2 = grams.select(F.col("doc_id").alias("doc_b2"), F.col("g").alias("g_b"))
     inter = (
