@@ -52,6 +52,7 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "q17_small_qty_revenue",
+    "q8_market_share",
     "a01_group_count",
     "w03_running_sum",
     "w05_ntile_frames",

@@ -177,6 +177,42 @@ def p12_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p13_group_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic K-per-group sample (K=3 per market segment): the
+    eval-set builder — rank rows WITHIN each group by md5(key), a
+    content-addressed pseudo-random permutation, keep the first K.
+    Reproducible across runs, engines, and cluster sizes, unlike
+    `df.sample` (partition-seeded RNG).
+
+    Scale: a single window partitioned by segment caps parallelism at
+    #groups (5 here — the p06 skew shape), so the rank runs in TWO
+    stages: per-(group, salt16) top-K first — spreading each group
+    over 16 reducers and pruning to ≤ 16K rows per group — then the
+    exact top-K over that tiny survivor set. The global top-K is a
+    subset of the union of per-salt top-Ks, so the result is exactly
+    the single-window answer (the oracle computes that directly)."""
+    k = 3
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.md5(F.col("c_custkey").cast("string")).alias("h"),
+        F.pmod(F.xxhash64("c_custkey"), F.lit(16)).alias("salt"),
+    )
+    w1 = Window.partitionBy("c_mktsegment", "salt").orderBy("h", "c_custkey")
+    pruned = (
+        base.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("rn", "salt")
+    )
+    w2 = Window.partitionBy("c_mktsegment").orderBy("h", "c_custkey")
+    return (
+        pruned.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # A: aggregations (SURVEY §2.4)
 # --------------------------------------------------------------------------
@@ -1640,6 +1676,20 @@ SPECS = [
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders
         WHERE substr(md5(o_orderkey::VARCHAR), 1, 4) < '199a'
+        """,
+    ),
+    QuerySpec(
+        "p13_group_quota_sample",
+        p13_group_quota_sample,
+        """
+        SELECT c_custkey, c_mktsegment FROM (
+          SELECT c_custkey, c_mktsegment,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY md5(c_custkey::VARCHAR),
+                                             c_custkey) AS rn
+          FROM customer) t
+        WHERE rn <= 3
+        ORDER BY c_mktsegment, c_custkey
         """,
     ),
     QuerySpec(

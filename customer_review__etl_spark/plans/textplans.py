@@ -181,6 +181,61 @@ def t08_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Conservative scrub patterns valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround, no engine-specific classes.
+URL_RE = r"https?://\S+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def t09_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL scrub — the redaction pass a training-data pipeline runs
+    before tokenization: URLs then emails replaced with typed
+    placeholder tokens, plus match counts for scrub-rate monitoring.
+    Replacement order is significant (an email inside a URL is already
+    gone by the time the email pass runs) and is pinned identically in
+    the oracle. Pure regexp column ops: JVM-side, one narrow map, no
+    shuffle; NULL text stays NULL (metadata, not empty content)."""
+    txt = F.col("text")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(txt, URL_RE, "<URL>"), EMAIL_RE, "<EMAIL>"
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.regexp_count(txt, F.lit(URL_RE)).cast("long").alias("n_urls"),
+        F.regexp_count(txt, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+    )
+
+
+def t10_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition / boilerplate quality signals: unique-token ratio and
+    top-token frequency share (the classic Gopher/C4-style repetition
+    filters). The mode count is an O(unique·n) higher-order array fold
+    per doc — still JVM-side and shuffle-free; bounded because docs are
+    length-bounded. Zero-token docs yield NULL ratios (no content ≠
+    perfectly repetitive)."""
+    toks = T.raw_tokens(F.lower(F.col("text")))
+    base = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
+    n = F.size("toks").cast("long")
+    uniq = F.array_distinct("toks")
+    top = F.array_max(
+        F.transform(
+            uniq, lambda u: F.size(F.filter(F.col("toks"), lambda x: x == u))
+        )
+    ).cast("long")
+    return base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(uniq).cast("long").alias("n_unique"),
+        F.when(n == 0, F.lit(None))
+        .otherwise(F.size(uniq).cast("double") / n.cast("double"))
+        .alias("unique_ratio"),
+        F.when(n == 0, F.lit(None))
+        .otherwise(top.cast("double") / n.cast("double"))
+        .alias("top_ratio"),
+    )
+
+
 _LANGS_SQL = ", ".join(
     f"""len(list_filter({sql_raw_tokens("lower(text)")},
         _t -> list_contains([{", ".join(f"'{m}'" for m in markers)}], _t)))::BIGINT
@@ -285,6 +340,38 @@ SPECS = [
                  AS n_num_runs,
                len({sql_raw_tokens('text')})::BIGINT AS n_whitespace
         FROM documents
+        """,
+    ),
+    QuerySpec(
+        "t09_pii_scrub",
+        t09_pii_scrub,
+        f"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text, '{URL_RE}', '<URL>', 'g'),
+                              '{EMAIL_RE}', '<EMAIL>', 'g') AS scrubbed,
+               len(regexp_extract_all(text, '{URL_RE}'))::BIGINT AS n_urls,
+               len(regexp_extract_all(text, '{EMAIL_RE}'))::BIGINT AS n_emails
+        FROM documents
+        """,
+    ),
+    QuerySpec(
+        "t10_repetition_score",
+        t10_repetition_score,
+        f"""
+        WITH t AS (SELECT doc_id, {sql_raw_tokens("lower(text)")} AS toks
+                   FROM documents)
+        SELECT doc_id,
+               len(toks)::BIGINT AS n_tokens,
+               len(list_distinct(toks))::BIGINT AS n_unique,
+               CASE WHEN len(toks) = 0 THEN NULL ELSE
+                 len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE
+               END AS unique_ratio,
+               CASE WHEN len(toks) = 0 THEN NULL ELSE
+                 list_max(list_transform(list_distinct(toks),
+                   _u -> len(list_filter(toks, _x -> _x = _u))))::DOUBLE
+                 / len(toks)::DOUBLE
+               END AS top_ratio
+        FROM t
         """,
     ),
 ]

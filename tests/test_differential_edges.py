@@ -32,12 +32,17 @@ EDGE_DOCS = [
     (13, "plain lowercase words here", "en", "mirror", 26),  # exact dup of 0
     (14, "plain lowercase words there", "en", "web", 27),  # near dup of 0
     (15, None, "en", "web", 0),  # NULL text
+    # t09 scrub edges: plain email, email embedded in a URL (the URL
+    # pass must consume it first), bare-scheme junk, trailing-punct URL
+    (16, "mail me at jo.doe+x@ex-ample.co.uk or visit", "en", "web", 43),
+    (17, "see https://a.b/c?u=jo@ex.com&v=1 and http://x.io.", "en", "web", 50),
+    (18, "not-an-email @ nor http:// alone [at] a.b", "en", "web", 41),
 ]
 
 DOCS_ONLY_QUERIES = [
     "t01_text_chain", "t03_topk_words", "t04_quality_scores",
     "t05_lang_id", "t06_fingerprint", "t07_positional_hash",
-    "t08_bpe_token_count",
+    "t08_bpe_token_count", "t09_pii_scrub", "t10_repetition_score",
     "d01_exact_dedup", "d02_minhash_near_dup", "d03_simhash_near_dup",
     "d04_ngram_jaccard", "d05_neardup_clusters", "d06_unified_clusters",
     "mm01_binary_meta", "mm02_decode_features", "mm03_frame_sample",
@@ -108,6 +113,7 @@ EDGE_EVENTS = [
 
 EVENTS_ONLY_QUERIES = [
     "p03_dedup_keep_first", "p08_filter_eq", "p11_derived_json",
+    # (p13 is customer-based: covered in TPCH_ONLY_QUERIES)
     "a01_group_count", "a05_distinct_sort", "f03_json_map_funcs",
     "j09_salted_skew_agg", "u01_grouped_minmax",
     "st01_tumbling_window", "st02_sliding_window", "st03_session_window",
@@ -329,17 +335,20 @@ EDGE_NATION = [
     (40, "NATION_4", None),  # NULL region: drops from region chains
 ]
 EDGE_REGION = [(0, "ASIA"), (1, "EUROPE")]
-_C = "c_custkey BIGINT, c_nationkey BIGINT, c_acctbal DOUBLE"
+_C = "c_custkey BIGINT, c_nationkey BIGINT, c_acctbal DOUBLE, " \
+    "c_mktsegment STRING"
 EDGE_CUSTOMER = [
-    # avg positive balance = (100+300+200)/3 = 200
-    (1, 10, 100.0),    # below avg → out of q22
-    (2, 10, 300.0),    # above avg, has F orders → anti-joined away
-    (3, 20, 200.0),    # equal to avg (strict >) → out
-    (4, 20, 250.0),    # above avg via 250*3 > 600, only an 'O' order → kept
-    (5, None, 300.0),  # above avg, has F order 105 → out; NULL nation grp
-    (6, 30, -50.0),    # negative: excluded from the avg AND below it
-    (7, 30, 299.99),   # above avg, never ordered → kept
-    (8, 40, None),     # NULL balance: no side of the compare
+    # avg positive balance = (100+300+200)/3 = 200. mktsegment: 5 in
+    # BUILDING (p13 keeps exactly 3), 2 in AUTO (quota underfilled),
+    # one NULL segment (its own group in BOTH engines)
+    (1, 10, 100.0, "BUILDING"),    # below avg → out of q22
+    (2, 10, 300.0, "BUILDING"),    # above avg, has F orders → anti-joined
+    (3, 20, 200.0, "BUILDING"),    # equal to avg (strict >) → out
+    (4, 20, 250.0, "BUILDING"),    # above avg (250*3 > 600), 'O' only → kept
+    (5, None, 300.0, "BUILDING"),  # above avg, F order 105 → out; NULL nation
+    (6, 30, -50.0, "AUTO"),        # negative: excluded from avg AND below
+    (7, 30, 299.99, "AUTO"),       # above avg, never ordered → kept
+    (8, 40, None, None),           # NULL balance; NULL segment
 ]
 
 TPCH_VIEWS = [
@@ -353,6 +362,7 @@ TPCH_ONLY_QUERIES = [
     "q11_important_stock", "q12_shipmode_priority",
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
     "q16_parts_supplier", "q20_potential_promotion",
+    "p13_group_quota_sample",
 ]
 
 
