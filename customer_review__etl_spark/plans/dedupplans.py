@@ -449,25 +449,40 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "lbucket", F.explode("grams").alias("g")
     )
     cand = _d04_candidates(grams, NGRAM_DF_CAP)
-    n = arrays.select("doc_id", "n")
-    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
-    gb2 = grams.select(F.col("doc_id").alias("doc_b2"), F.col("g").alias("g_b"))
+    # Exact-verify against per-doc gram ARRAYS, not the exploded gram
+    # stream: the candidate⋈gram⋈gram form shuffles |cand|·|grams per
+    # doc| rows (~65M at sf0.1) into a pair-count aggregate, which was
+    # the dominant cost of the whole query; joining candidates to the
+    # O(#docs) array table instead computes the intersection JVM-side
+    # with one array_intersect per pair — same exact counts, no
+    # exploded shuffle, no giant groupBy. Array payloads are bounded by
+    # doc length (distinct 3-grams ≤ chars), so candidate rows stay
+    # small at any corpus scale.
+    ga = arrays.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("grams").alias("gs_a"),
+        F.col("n").alias("n_a"),
+    )
+    gb = arrays.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("grams").alias("gs_b"),
+        F.col("n").alias("n_b"),
+    )
     inter = (
         cand.join(ga, "doc_a")
-        .join(
-            gb2,
-            (F.col("doc_b") == F.col("doc_b2"))
-            & (F.col("g_a") == F.col("g_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    na = n.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        .join(gb, "doc_b")
         .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("gs_a", "gs_b")).cast("long").alias(
+                "inter"
+            ),
+            "n_a",
+            "n_b",
+        )
+    )
+    return (
+        inter.select(
             "doc_a",
             "doc_b",
             (
