@@ -818,6 +818,92 @@ FROM documents doc LEFT JOIN cluster c ON c.doc_id = doc.doc_id
 ORDER BY doc.doc_id
 """
 
+# --------------------------------------------------------------------------
+# dc01: benchmark decontamination (train/eval n-gram overlap)
+# --------------------------------------------------------------------------
+
+DECON_NGRAM = 5     # token n-gram width for overlap detection
+DECON_EVAL_MOD = 13  # doc_id % 13 == 0 → held-out eval slice (~7.7%)
+
+
+def dc01_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the pass a training pipeline runs
+    before fine-tuning/eval: flag every training document that shares
+    at least one 5-token n-gram with the held-out eval slice (here the
+    deterministic doc_id % 13 == 0 subset standing in for an external
+    benchmark set). Output per train doc: distinct-gram count, number
+    of grams also present anywhere in the eval set, and the
+    contaminated flag.
+
+    Scale: grams, not documents, are the join unit — the eval gram set
+    is DISTINCT-ed and equi-joined (no broadcast assumption: at 100 TB
+    the eval grams of a big benchmark suite may themselves be huge);
+    per-doc gram arrays are built once in a single narrow pass and
+    cached, so eval and train derivations share the scan."""
+    toks = T.raw_tokens(F.lower(F.col("text")))
+    w = DECON_NGRAM
+    base = (
+        _docs_par(spark, sf_dir)
+        .select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            (F.col("doc_id") % DECON_EVAL_MOD == 0).alias("is_eval"),
+            F.expr(
+                f"CASE WHEN size(toks) >= {w} THEN "
+                f"array_distinct(transform(sequence(1, size(toks) - {w - 1}), "
+                f"i -> concat_ws(' ', slice(toks, i, {w})))) "
+                f"ELSE CAST(array() AS array<string>) END"
+            ).alias("grams"),
+        )
+        .cache()
+    )
+    eval_grams = (
+        base.filter("is_eval").select(F.explode("grams").alias("g")).distinct()
+    )
+    train = base.filter(~F.col("is_eval"))
+    hits = (
+        train.select("doc_id", F.explode("grams").alias("g"))
+        .join(eval_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        train.select("doc_id", F.size("grams").cast("long").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+_DC01_SQL = f"""
+WITH b AS (SELECT doc_id, {sql_raw_tokens("lower(text)")} AS toks
+           FROM documents),
+g AS (SELECT doc_id, (doc_id % {DECON_EVAL_MOD} = 0) AS is_eval,
+        CASE WHEN len(toks) >= {DECON_NGRAM} THEN
+          list_distinct(list_transform(
+            range(1, len(toks) - {DECON_NGRAM - 2}),
+            i -> array_to_string(
+              list_slice(toks, i, i + {DECON_NGRAM - 1}), ' ')))
+        ELSE [] END AS grams
+      FROM b),
+eg AS (SELECT DISTINCT _g AS g FROM g, UNNEST(grams) AS u(_g)
+       WHERE is_eval),
+tg AS (SELECT doc_id, _g AS g FROM g, UNNEST(grams) AS u(_g)
+       WHERE NOT is_eval),
+hits AS (SELECT doc_id, count(*)::BIGINT AS n_overlap
+         FROM tg JOIN eg USING (g) GROUP BY doc_id)
+SELECT g.doc_id,
+       len(grams)::BIGINT AS n_grams,
+       coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
+       coalesce(h.n_overlap, 0) > 0 AS contaminated
+FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+WHERE NOT is_eval
+"""
+
 SPECS = [
     QuerySpec(
         "d01_exact_dedup",
@@ -835,4 +921,5 @@ SPECS = [
     QuerySpec("d04_ngram_jaccard", d04_ngram_jaccard, _D04_SQL),
     QuerySpec("d05_neardup_clusters", d05_neardup_clusters, _D05_SQL),
     QuerySpec("d06_unified_clusters", d06_unified_clusters, _D06_SQL),
+    QuerySpec("dc01_decontaminate", dc01_decontaminate, _DC01_SQL),
 ]

@@ -213,6 +213,44 @@ def p13_group_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p14_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampler: draw ≈40% of the corpus
+    rebalanced toward UNIFORM language shares — the data-mixing step a
+    training pipeline runs to hit target domain proportions. Each
+    group's keep-rate r_g = min(1, budget_g/n_g) is derived from the
+    group histogram; membership is content-addressed (16-bit md5
+    fraction of doc_id < r_g), so the same doc is kept on every run,
+    engine, and cluster size — `df.sample`'s partition-seeded RNG can
+    promise none of that. Complements p13 (exact small-K quota): rate-
+    based mixing is the scale path when groups hold billions of rows
+    and per-group exact ranking would be a giant window.
+
+    Scale: one tiny groupBy histogram (≤ #langs rows) joined back
+    broadcast onto a narrow scan — the corpus itself never shuffles;
+    the keep predicate is pure map-side arithmetic."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    stats = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_g"))
+    tot = stats.agg(
+        F.sum("n_g").alias("n_total"), F.count(F.lit(1)).alias("n_groups")
+    )
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            (F.lit(0.4) * F.col("n_total").cast("double"))
+            / (F.col("n_groups") * F.col("n_g")).cast("double"),
+        ).alias("rate"),
+    )
+    frac16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("double")
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(frac16 < F.col("rate") * F.lit(65536.0))
+        .select("doc_id", "lang", "rate")
+    )
+
+
 # --------------------------------------------------------------------------
 # A: aggregations (SURVEY §2.4)
 # --------------------------------------------------------------------------
@@ -1690,6 +1728,25 @@ SPECS = [
           FROM customer) t
         WHERE rn <= 3
         ORDER BY c_mktsegment, c_custkey
+        """,
+    ),
+    QuerySpec(
+        "p14_weighted_mix",
+        p14_weighted_mix,
+        """
+        WITH s AS (SELECT lang, count(*)::BIGINT AS n_g
+                   FROM documents GROUP BY lang),
+             t AS (SELECT sum(n_g)::BIGINT AS n_total,
+                          count(*)::BIGINT AS n_groups FROM s),
+             r AS (SELECT lang,
+                          least(1.0::DOUBLE,
+                                (0.4::DOUBLE * n_total::DOUBLE)
+                                / (n_groups * n_g)::DOUBLE) AS rate
+                   FROM s, t)
+        SELECT d.doc_id, d.lang, r.rate
+        FROM documents d JOIN r USING (lang)
+        WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))::INT::DOUBLE
+              < r.rate * 65536.0
         """,
     ),
     QuerySpec(

@@ -236,6 +236,71 @@ def t10_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 8
+
+
+def t11_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage removal — the C4/line-dedup
+    boilerplate pass, adapted to a punctuation-free corpus: each doc is
+    segmented into fixed 8-token chunks (the "lines"), any chunk whose
+    exact text occurs in MORE THAN ONE distinct document is dropped
+    from every document, and the survivors are re-joined in order.
+    Exact duplicate docs therefore scrub each other completely — the
+    intended semantics (boilerplate is text shared across docs).
+
+    Scale: the shuffle unit is the ≤8-token chunk string, never a doc
+    body; the frequency pass is a partial-aggregatable groupBy on the
+    chunk, reassembly groups by doc_id — two shuffles total, both on
+    bounded keys."""
+    toks = T.raw_tokens(F.lower(F.col("text")))
+    base = (
+        _docs_par(spark, sf_dir)
+        .select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN size(toks) = 0 THEN CAST(array() AS array<string>)"
+                f" ELSE transform("
+                f"sequence(1, cast(ceil(size(toks) / {CHUNK_TOKENS}.0) as int)),"
+                f" i -> concat_ws(' ', slice(toks, (i - 1) * {CHUNK_TOKENS} + 1,"
+                f" {CHUNK_TOKENS}))) END"
+            ).alias("chunks"),
+        )
+        .cache()
+    )
+    ch = base.select(
+        "doc_id", F.posexplode("chunks").alias("ci", "chunk")
+    )
+    freq = ch.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("dfreq")
+    )
+    kept = ch.join(freq, "chunk").filter(F.col("dfreq") == 1)
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ci", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("cleaned"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        base.select(
+            "doc_id", F.size("chunks").cast("long").alias("n_chunks")
+        )
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+
+
 _LANGS_SQL = ", ".join(
     f"""len(list_filter({sql_raw_tokens("lower(text)")},
         _t -> list_contains([{", ".join(f"'{m}'" for m in markers)}], _t)))::BIGINT
@@ -372,6 +437,38 @@ SPECS = [
                  / len(toks)::DOUBLE
                END AS top_ratio
         FROM t
+        """,
+    ),
+    QuerySpec(
+        "t11_chunk_dedup",
+        t11_chunk_dedup,
+        f"""
+        WITH b AS (SELECT doc_id, {sql_raw_tokens("lower(text)")} AS toks
+                   FROM documents),
+        c AS (SELECT doc_id,
+                CASE WHEN len(toks) = 0 THEN [] ELSE
+                  list_transform(
+                    range(1, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT) + 1),
+                    i -> array_to_string(
+                      list_slice(toks, (i - 1) * {CHUNK_TOKENS} + 1,
+                                 (i - 1) * {CHUNK_TOKENS} + {CHUNK_TOKENS}), ' '))
+                END AS chunks
+              FROM b),
+        e AS (SELECT doc_id, ci, chunks[ci] AS chunk
+              FROM c, UNNEST(range(1, len(chunks) + 1)) AS r(ci)),
+        f AS (SELECT chunk, count(DISTINCT doc_id) AS dfreq
+              FROM e GROUP BY chunk),
+        k AS (SELECT e.doc_id, e.ci, e.chunk
+              FROM e JOIN f USING (chunk) WHERE f.dfreq = 1),
+        a AS (SELECT doc_id,
+                     array_to_string(list(chunk ORDER BY ci), ' ') AS cleaned,
+                     count(*)::BIGINT AS n_kept
+              FROM k GROUP BY doc_id)
+        SELECT c.doc_id,
+               coalesce(a.cleaned, '') AS cleaned,
+               len(chunks)::BIGINT AS n_chunks,
+               (len(chunks) - coalesce(a.n_kept, 0))::BIGINT AS n_dropped
+        FROM c LEFT JOIN a USING (doc_id)
         """,
     ),
 ]

@@ -204,3 +204,25 @@ def test_d06_clusters_across_signals(spark, tmp_path):
     assert d06[2] == (0, 0)  # joined via the mixed-signal chain
     assert d06[9] == (9, 1)
     spark.catalog.clearCache()
+
+
+def test_dc01_flags_planted_contamination(spark, tmp_path):
+    """A train doc copying a 5-token span from an eval doc is flagged;
+    a disjoint train doc is not; eval docs never appear in the output."""
+    eval_text = "zeta yotta omega sigma tau upsilon phi chi"  # doc 0 → eval
+    leak = "intro words then zeta yotta omega sigma tau closing"
+    clean = "one two three four five six seven eight nine"
+    short = "too few tokens"  # < 5 tokens → zero grams, never contaminated
+    df = spark.createDataFrame(
+        [(0, eval_text, "en", "s", 1), (1, leak, "en", "s", 1),
+         (2, clean, "en", "s", 1), (3, short, "en", "s", 1)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    d = str(tmp_path / "dc01")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {r["doc_id"]: r for r in D.dc01_decontaminate(spark, d).collect()}
+    spark.catalog.clearCache()
+    assert sorted(rows) == [1, 2, 3]  # doc 0 (id % 13 == 0) is eval-side
+    assert rows[1]["contaminated"] and rows[1]["n_overlap"] == 1
+    assert not rows[2]["contaminated"] and rows[2]["n_overlap"] == 0
+    assert rows[3]["n_grams"] == 0 and not rows[3]["contaminated"]

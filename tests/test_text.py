@@ -111,3 +111,57 @@ def test_lang_id_zh_by_script(spark):
     ).collect()
     assert rows[0]["zh"] == 8 and rows[0]["en"] == 0
     assert rows[1]["zh"] == 0 and rows[1]["en"] > 0
+
+
+def test_t11_scrubs_cross_doc_chunk(spark, tmp_path):
+    """A chunk-aligned 8-token passage shared by two docs is dropped
+    from both; doc-unique chunks survive with order preserved."""
+    from customer_review__etl_spark.plans import textplans as TP
+
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    a = boiler + " a9 a10 a11"
+    b = boiler + " b9 b10 b11"
+    c = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    df = spark.createDataFrame(
+        [(0, a, "en", "s", 1), (1, b, "en", "s", 1), (2, c, "en", "s", 1)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    d = str(tmp_path / "t11")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {r["doc_id"]: r for r in TP.t11_chunk_dedup(spark, d).collect()}
+    spark.catalog.clearCache()
+    assert rows[0]["cleaned"] == "a9 a10 a11" and rows[0]["n_dropped"] == 1
+    assert rows[1]["cleaned"] == "b9 b10 b11" and rows[1]["n_dropped"] == 1
+    assert rows[2]["cleaned"] == c and rows[2]["n_dropped"] == 0
+    assert rows[2]["n_chunks"] == 2
+
+
+def test_p14_rates_follow_group_histogram(spark, tmp_path):
+    """Under-represented groups keep rate 1.0 (all rows); dominant
+    groups are downsampled toward the uniform mixture target."""
+    from customer_review__etl_spark.plans import relational as R
+
+    rows = [(i, "x", "big", "s", 1) for i in range(90)] + [
+        (100 + i, "y", "small", "s", 1) for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    d = str(tmp_path / "p14")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = R.p14_weighted_mix(spark, d).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    # budget = 0.4*100 = 40, uniform over 2 groups → 20 per group:
+    # 'small' (n=10) keeps everything at rate 1.0; 'big' (n=90) samples
+    # at 20/90 — hash-Bernoulli, so expect roughly 20 of 90.
+    assert len(by_lang["small"]) == 10
+    assert all(r["rate"] == 1.0 for r in by_lang["small"])
+    big_rate = by_lang["big"][0]["rate"]
+    assert abs(big_rate - 20 / 90) < 1e-12
+    assert 8 <= len(by_lang["big"]) <= 35
+    # determinism: identical membership on re-run
+    again = sorted(r["doc_id"] for r in R.p14_weighted_mix(spark, d).collect())
+    assert again == sorted(r["doc_id"] for r in out)
