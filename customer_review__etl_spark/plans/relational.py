@@ -26,9 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions import text as T
 from ..sources import tables
 from . import QuerySpec
-from .helpers import cents, scaled, sql_cents, sql_scaled
+from .helpers import cents, scaled, sql_cents, sql_raw_tokens, sql_scaled
 
 # The reference's verbatim topic→theme labels (cleaner.py:211-217).
 THEME_LABELS = {
@@ -916,6 +917,62 @@ def u01_grouped_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pdf
 
     return ev.groupBy("event_type").applyInPandas(norm, schema)
+
+
+PACK_BUDGET = 128   # token budget per packed training sequence
+PACK_SHARDS = 8     # deterministic shards; packing is sequential per shard
+
+
+def u02_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining batches: greedily pack documents
+    (in doc_id order) into fixed token-budget sequences — the step that
+    turns a cleaned corpus into dense training examples. Greedy packing
+    is inherently sequential, so the corpus is split into deterministic
+    shards (doc_id % PACK_SHARDS) and packed independently per shard:
+    parallelism scales with shard count, not 1, and the assignment is
+    reproducible across runs/engines/cluster sizes. Output: for every
+    doc, its (shard, seq_id within shard, token offset within the
+    packed sequence). A doc larger than the budget opens its own
+    (overflowing) sequence rather than being dropped — truncation is a
+    downstream policy.
+
+    Token counts are computed JVM-side before grouping; the pandas hop
+    does only the O(rows-per-shard) sequential fold (Arrow-batched,
+    the documented grouped-map path for order-dependent state that
+    window functions cannot express — a running sum with reset). The
+    oracle is the same fold as a recursive CTE."""
+    import pandas as pd
+
+    toks = F.size(T.raw_tokens(F.lower(F.col("text")))).cast("long")
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).cast("long").alias(
+            "shard"
+        ),
+        toks.alias("n_tokens"),
+    )
+    schema = (
+        "doc_id BIGINT, shard BIGINT, n_tokens BIGINT, "
+        "seq_id BIGINT, tok_offset BIGINT"
+    )
+    budget = PACK_BUDGET
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids, offsets = [], []
+        seq, filled = 0, 0
+        for i, n in enumerate(pdf["n_tokens"]):
+            if i > 0 and filled + n > budget:
+                seq += 1
+                filled = 0
+            seq_ids.append(seq)
+            offsets.append(filled)
+            filled += n
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        pdf["tok_offset"] = pd.Series(offsets, dtype="int64")
+        return pdf
+
+    return base.groupBy("shard").applyInPandas(pack, schema)
 
 
 # --------------------------------------------------------------------------
@@ -2385,6 +2442,36 @@ SPECS = [
                     ELSE (v_cents - lo)::DOUBLE / (hi - lo)::DOUBLE
                END AS v_norm
         FROM base
+        """,
+    ),
+    QuerySpec(
+        "u02_sequence_pack",
+        u02_sequence_pack,
+        f"""
+        WITH RECURSIVE b AS (
+          SELECT doc_id,
+                 (doc_id % {PACK_SHARDS})::BIGINT AS shard,
+                 len({sql_raw_tokens("lower(text)")})::BIGINT AS n_tokens,
+                 row_number() OVER (PARTITION BY doc_id % {PACK_SHARDS}
+                                    ORDER BY doc_id) AS rn
+          FROM documents
+        ),
+        r AS (
+          SELECT shard, rn, doc_id, n_tokens,
+                 0::BIGINT AS seq_id, 0::BIGINT AS tok_offset,
+                 n_tokens AS filled
+          FROM b WHERE rn = 1
+          UNION ALL
+          SELECT b.shard, b.rn, b.doc_id, b.n_tokens,
+                 CASE WHEN r.filled + b.n_tokens <= {PACK_BUDGET}
+                      THEN r.seq_id ELSE r.seq_id + 1 END,
+                 CASE WHEN r.filled + b.n_tokens <= {PACK_BUDGET}
+                      THEN r.filled ELSE 0::BIGINT END,
+                 CASE WHEN r.filled + b.n_tokens <= {PACK_BUDGET}
+                      THEN r.filled + b.n_tokens ELSE b.n_tokens END
+          FROM r JOIN b ON b.shard = r.shard AND b.rn = r.rn + 1
+        )
+        SELECT doc_id, shard, n_tokens, seq_id, tok_offset FROM r
         """,
     ),
     QuerySpec(

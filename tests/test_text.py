@@ -165,3 +165,34 @@ def test_p14_rates_follow_group_histogram(spark, tmp_path):
     # determinism: identical membership on re-run
     again = sorted(r["doc_id"] for r in R.p14_weighted_mix(spark, d).collect())
     assert again == sorted(r["doc_id"] for r in out)
+
+
+def test_u02_packs_greedily_with_reset(spark, tmp_path):
+    """Hand-computed packing: budget 128, one shard. Docs of 60/60/60
+    tokens → first two share seq 0 (offsets 0/60), third opens seq 1;
+    an oversize 200-token doc gets its own overflowing sequence."""
+    from customer_review__etl_spark.plans import relational as R
+
+    def words(n, tag):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    rows = [
+        (0, words(60, "a"), "en", "s", 1),
+        (8, words(60, "b"), "en", "s", 1),
+        (16, words(60, "c"), "en", "s", 1),
+        (24, words(200, "d"), "en", "s", 1),
+        (32, words(10, "e"), "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    d = str(tmp_path / "u02")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in R.u02_sequence_pack(spark, d).collect()}
+    assert all(r["shard"] == 0 for r in out.values())
+    assert (out[0]["seq_id"], out[0]["tok_offset"]) == (0, 0)
+    assert (out[8]["seq_id"], out[8]["tok_offset"]) == (0, 60)
+    assert (out[16]["seq_id"], out[16]["tok_offset"]) == (1, 0)
+    assert (out[24]["seq_id"], out[24]["tok_offset"]) == (2, 0)  # oversize
+    assert (out[32]["seq_id"], out[32]["tok_offset"]) == (3, 0)  # after overflow
