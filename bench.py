@@ -61,6 +61,10 @@ HEADLINE = [
     "j10_bucketed_range",
     "t03_topk_words",
     "t04_quality_scores",
+    "t11_chunk_dedup",
+    "t12_vocab_coverage",
+    "u02_sequence_pack",
+    "dc01_decontaminate",
     "d01_exact_dedup",
     "d02_minhash_near_dup",
     "d03_simhash_near_dup",

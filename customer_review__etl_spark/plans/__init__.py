@@ -49,18 +49,21 @@ PRIORITY: tuple[str, ...] = (
     "q5_local_supplier_volume",
     "q12_shipmode_priority",
     "q17_small_qty_revenue",
-    # join surface
+    # join surface (j06's theta/BNLJ baseline is row-identical to j10's
+    # bucketed rewrite, which stays — u02's grouped-map packer takes
+    # the slot so the sequence-packing family gets driver rows)
     "j01_broadcast_theme_label",
     "j02_inner_equi",
-    "j06_theta_range",
     "j08_asof_join",
     "j09_salted_skew_agg",
     "j10_bucketed_range",
-    # windows / grouping extensions / functions / UDF
+    "u02_sequence_pack",
+    # windows / grouping extensions / functions / UDF (w04's rank pair
+    # is shape-covered by w01/w05; t11's passage dedup takes the slot)
     "w01_row_number_topn",
     "w03_running_sum",
-    "w04_rank_dense",
     "w05_ntile_frames",
+    "t11_chunk_dedup",
     "g04_pivot",
     "f03_json_map_funcs",
     "u01_grouped_minmax",
@@ -82,10 +85,12 @@ PRIORITY: tuple[str, ...] = (
     "s02_ann_lsh",
     "s03_embedding_neardup",
     "s04_ivf_ann",
-    # streaming
+    # streaming (st02's sliding window is the tumbling shape with
+    # overlap — st01/st03-08 keep the family; dc01 decontamination
+    # takes the slot)
     "st01_tumbling_window",
-    "st02_sliding_window",
     "st03_session_window",
+    "dc01_decontaminate",
     "st04_stream_tumbling",
     "st05_stream_dedup",
     "st06_stateful_stats",

@@ -303,6 +303,40 @@ def s04_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s05_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup decision: collapse the s03
+    embedding near-dup pairs into connected components and keep the
+    lowest-vec_id representative per cluster — the embedding-space
+    twin of d05 (text-space), turning ANN pair mining into an actual
+    survivor map. Two documents never sharing a token but embedded
+    nearby (translations, paraphrases) collapse here, which no
+    fingerprint/shingle signal can do.
+
+    Scale: identical shape to d05 — edges are (long, long) pairs from
+    the banded-LSH candidate join, components via min-label
+    propagation with pointer jumping (O(log diameter) rounds), output
+    is a left join of the full collection against the label map."""
+    from .dedupplans import connected_components
+
+    pairs = s03_embedding_neardup(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    labels = connected_components(pairs)
+    vecs = _emb(spark, sf_dir).select("vec_id")
+    return (
+        vecs.join(labels, vecs["vec_id"] == labels["node"], "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("lbl"), F.col("vec_id")).alias("cluster_id"),
+        )
+        .withColumn(
+            "survivor",
+            (F.col("vec_id") == F.col("cluster_id")).cast("int"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 _SQL_COS = (
     "CASE WHEN sqrt(list_dot_product({a}, {a})) * "
     "sqrt(list_dot_product({b}, {b})) = 0 THEN 0.0 "
@@ -312,6 +346,45 @@ _SQL_COS = (
 
 def _cos(a: str, b: str) -> str:
     return _SQL_COS.format(a=a, b=b)
+
+
+def _s03_pairs_sql() -> str:
+    """The s03 near-dup pair set WITHOUT the final ORDER BY — shared
+    verbatim by the s03 spec and s05's recursive closure so the two
+    oracles can never drift."""
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding, embedding::DOUBLE[] AS v,
+                 {_sql_bucket(3, 0)} AS band0,
+                 {_sql_bucket(3, 3)} AS band1
+          FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_cos('a.v', 'b.v')} AS cos
+        FROM e a JOIN e b
+          ON (a.band0 = b.band0 OR a.band1 = b.band1)
+         AND a.vec_id < b.vec_id
+        WHERE {_cos('a.v', 'b.v')} >= {NEAR_COS}
+    """
+
+
+_S05_SQL = f"""
+WITH RECURSIVE pairs AS ({_s03_pairs_sql()}),
+edges AS (SELECT vec_a AS s, vec_b AS d FROM pairs
+          UNION SELECT vec_b, vec_a FROM pairs),
+reach (a, b) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.a, e2.d FROM reach r JOIN edges e2 ON r.b = e2.s
+),
+cluster AS (SELECT a AS vec_id, min(b) AS mn FROM reach GROUP BY a)
+SELECT emb.vec_id,
+       least(emb.vec_id, coalesce(c.mn, emb.vec_id)) AS cluster_id,
+       CAST(emb.vec_id = least(emb.vec_id, coalesce(c.mn, emb.vec_id))
+            AS INTEGER) AS survivor
+FROM embeddings emb LEFT JOIN cluster c ON c.vec_id = emb.vec_id
+ORDER BY emb.vec_id
+"""
 
 
 SPECS = [
@@ -363,21 +436,7 @@ SPECS = [
     QuerySpec(
         "s03_embedding_neardup",
         s03_embedding_neardup,
-        f"""
-        WITH e AS (
-          SELECT vec_id, embedding, embedding::DOUBLE[] AS v,
-                 {_sql_bucket(3, 0)} AS band0,
-                 {_sql_bucket(3, 3)} AS band1
-          FROM embeddings
-        )
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               {_cos('a.v', 'b.v')} AS cos
-        FROM e a JOIN e b
-          ON (a.band0 = b.band0 OR a.band1 = b.band1)
-         AND a.vec_id < b.vec_id
-        WHERE {_cos('a.v', 'b.v')} >= {NEAR_COS}
-        ORDER BY vec_a, vec_b
-        """,
+        _s03_pairs_sql() + "ORDER BY vec_a, vec_b\n",
     ),
     QuerySpec(
         "s04_ivf_ann",
@@ -412,4 +471,5 @@ SPECS = [
         FROM ranked WHERE rn <= {IVF_TOPK}
         """,
     ),
+    QuerySpec("s05_semantic_clusters", s05_semantic_clusters, _S05_SQL),
 ]

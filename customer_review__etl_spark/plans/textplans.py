@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import text as T
 from ..functions.stemmer import stem_tokens
@@ -301,6 +302,50 @@ def t11_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_TOPV = 256
+
+
+def t12_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary budgeting: the top-V corpus vocabulary with
+    each word's rank, count, and the CUMULATIVE share of all corpus
+    tokens covered by the vocabulary up to that rank — the curve that
+    answers "what vocab size covers 95% of tokens". Counts are exact
+    integers; the share is one deterministic IEEE division per row.
+
+    Scale: explode → map-side partial counts → one shuffle on word;
+    the running sum then runs on the top-V SLICE only (V rows through
+    a single-partition window, deliberate and bounded — never the full
+    vocabulary), with the global token total carried alongside as a
+    broadcast one-row aggregate."""
+    words = (
+        _docs_par(spark, sf_dir)
+        .select(F.explode(T.raw_tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = words.orderBy(F.desc("n"), "word").limit(VOCAB_TOPV)
+    total = words.agg(F.sum("n").alias("n_total"))
+    w = Window.orderBy(F.desc("n"), "word").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("n"), "word"))
+            .cast("long")
+            .alias("rank"),
+            "word",
+            "n",
+            (
+                F.sum("n").over(w).cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )
+
+
 _LANGS_SQL = ", ".join(
     f"""len(list_filter({sql_raw_tokens("lower(text)")},
         _t -> list_contains([{", ".join(f"'{m}'" for m in markers)}], _t)))::BIGINT
@@ -469,6 +514,29 @@ SPECS = [
                len(chunks)::BIGINT AS n_chunks,
                (len(chunks) - coalesce(a.n_kept, 0))::BIGINT AS n_dropped
         FROM c LEFT JOIN a USING (doc_id)
+        """,
+    ),
+    QuerySpec(
+        "t12_vocab_coverage",
+        t12_vocab_coverage,
+        f"""
+        WITH words AS (
+          SELECT word, count(1) AS n
+          FROM documents,
+               UNNEST({sql_raw_tokens("lower(text)")}) AS _u(word)
+          GROUP BY word
+        ),
+        top AS (
+          SELECT word, n FROM words ORDER BY n DESC, word LIMIT {VOCAB_TOPV}
+        ),
+        tot AS (SELECT sum(n)::BIGINT AS n_total FROM words)
+        SELECT row_number() OVER (ORDER BY n DESC, word) AS rank,
+               word, n,
+               (sum(n) OVER (ORDER BY n DESC, word
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               )::DOUBLE / n_total::DOUBLE AS cum_share
+        FROM top, tot
+        ORDER BY rank
         """,
     ),
 ]

@@ -46,7 +46,7 @@ DOCS_ONLY_QUERIES = [
     "d01_exact_dedup", "d02_minhash_near_dup", "d03_simhash_near_dup",
     "d04_ngram_jaccard", "d05_neardup_clusters", "d06_unified_clusters",
     "dc01_decontaminate", "t11_chunk_dedup", "p14_weighted_mix",
-    "u02_sequence_pack",
+    "u02_sequence_pack", "t12_vocab_coverage",
     "mm01_binary_meta", "mm02_decode_features", "mm03_frame_sample",
     "ml05_stratified_split", "io03_jsonl_roundtrip",
 ]
@@ -148,7 +148,7 @@ EDGE_EMBEDDINGS = (
 )
 
 EMB_ONLY_QUERIES = ["s01_cosine_topk", "s02_ann_lsh", "s03_embedding_neardup",
-                    "s04_ivf_ann"]
+                    "s04_ivf_ann", "s05_semantic_clusters"]
 
 
 @pytest.fixture(scope="module")
