@@ -30,7 +30,7 @@ def empty_dir(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("empty_sf")
     for name in TABLE_NAMES:
         # Raw read (no ts conversion) preserves the driver's physical
-        # schema, including events.ts as nanos-long.
+        # schema, including whichever unit events.ts is stored in.
         spark.read.parquet(f"{SF_DIR}/{name}.parquet").limit(0).coalesce(
             1
         ).write.mode("overwrite").parquet(str(d / f"{name}.parquet"))
@@ -61,10 +61,20 @@ def oracle_con(empty_dir):
     for t in TABLE_NAMES:
         src = f"SELECT * FROM '{empty_dir}/{t}.parquet/*.parquet'"
         if t == "events":
-            src = (
-                "SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
-                f"FROM ({src})"
-            )
+            # Branch on the fixture's physical ts type (mirrors
+            # sources/tables.py:47): the nanos-long rewrite applies only
+            # when the file really stores a BIGINT — the driver's layout
+            # has stored both units across rounds.
+            (ts_type,) = [
+                r[1]
+                for r in con.execute(f"DESCRIBE {src}").fetchall()
+                if r[0] == "ts"
+            ]
+            if ts_type == "BIGINT":
+                src = (
+                    "SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+                    f"FROM ({src})"
+                )
         con.execute(f"CREATE VIEW {t} AS {src}")
     return con
 
