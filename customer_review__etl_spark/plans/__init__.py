@@ -86,8 +86,10 @@ PRIORITY: tuple[str, ...] = (
     "s03_embedding_neardup",
     "s04_ivf_ann",
     # streaming (st02's sliding window is the tumbling shape with
-    # overlap — st01/st03-08 keep the family; dc01 decontamination
-    # takes the slot)
+    # overlap, and st08's gapfill is batch-expressible st01 + the
+    # left-join spine — st09's stream-stream join takes st08's slot so
+    # the only two-sided streaming state shape gets driver rows;
+    # dc01 decontamination keeps its slot)
     "st01_tumbling_window",
     "st03_session_window",
     "dc01_decontaminate",
@@ -95,7 +97,7 @@ PRIORITY: tuple[str, ...] = (
     "st05_stream_dedup",
     "st06_stateful_stats",
     "st07_stream_static_join",
-    "st08_gapfill_resample",
+    "st09_stream_stream_join",
     # ML / multimodal / IO
     "ml03_train_test_split",
     "mm01_binary_meta",

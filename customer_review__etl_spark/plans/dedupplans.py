@@ -52,6 +52,43 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.load(spark, sf_dir, "documents")
 
 
+# --------------------------------------------------------------------------
+# shared edge-set materialization
+# --------------------------------------------------------------------------
+
+# (kind, sf_dir) -> (parquet path, schema). Cluster-collapse consumers
+# (d05, d06, s05) each need a candidate pair set that is ALSO a
+# standalone registry query; without this cache every consumer re-runs
+# the full upstream mining pipeline (shingle → signature → band join →
+# verify), ~7 s of recompute per consumer at sf0.1 (round-4 VERDICT
+# "Next round" #5). Each edge set is computed once per process per
+# sf_dir, landed in run-scratch parquet (the run_append pattern — the
+# dir outlives the query, swept by a later process), and every
+# consumer reads the lazy file scan. At cluster scale this is the
+# standard "materialize shared intermediate to the object store" move;
+# the pair sets are (long, long) rows, so the footprint is tiny
+# relative to the corpus.
+_EDGE_CACHE: dict[tuple[str, str], tuple[str, object]] = {}
+
+
+def materialized_pairs(spark, sf_dir, kind, builder, cols):
+    """Return `builder(spark, sf_dir).select(*cols)` backed by a
+    once-per-process parquet materialization.
+
+    The explicit-schema read keeps the result well-defined even when
+    the pair set is empty (zero part files)."""
+    key = (kind, sf_dir)
+    if key not in _EDGE_CACHE:
+        from ..scratch import run_scratch
+
+        out = run_scratch(f"edges_{kind}_")
+        df = builder(spark, sf_dir).select(*cols)
+        df.write.mode("overwrite").parquet(out)
+        _EDGE_CACHE[key] = (out, df.schema)
+    path, schema = _EDGE_CACHE[key]
+    return spark.read.schema(schema).parquet(path)
+
+
 def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repartitioned load for the CPU-heavy shingle/bit-sum paths."""
     return tables.load_parallel(spark, sf_dir, "documents")
@@ -581,9 +618,9 @@ def d05_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster representative (lowest doc_id in its connected component;
     singletons map to themselves) and a survivor flag. Downstream, a
     semi-join on survivor=1 IS the deduplicated corpus."""
-    pairs = d02_minhash_near_dup(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
+    pairs = materialized_pairs(
+        spark, sf_dir, "d02", d02_minhash_near_dup, ["doc_a", "doc_b"]
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     labels = connected_components(pairs)
     docs = _docs(spark, sf_dir).select("doc_id")
     return (
@@ -614,9 +651,10 @@ def d06_unified_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     between them until the tiny edge-list union); edges are (long,
     long) pairs — document bodies never reach the CC join. CC cost is
     bounded by the pointer-jumping loop (O(log diameter) rounds)."""
-    e2 = d02_minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
-    e3 = d03_simhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
-    e4 = d04_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cols = ["doc_a", "doc_b"]
+    e2 = materialized_pairs(spark, sf_dir, "d02", d02_minhash_near_dup, cols)
+    e3 = materialized_pairs(spark, sf_dir, "d03", d03_simhash_near_dup, cols)
+    e4 = materialized_pairs(spark, sf_dir, "d04", d04_ngram_jaccard, cols)
     edges = (
         e2.union(e3)
         .union(e4)

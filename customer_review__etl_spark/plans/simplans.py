@@ -316,11 +316,11 @@ def s05_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banded-LSH candidate join, components via min-label
     propagation with pointer jumping (O(log diameter) rounds), output
     is a left join of the full collection against the label map."""
-    from .dedupplans import connected_components
+    from .dedupplans import connected_components, materialized_pairs
 
-    pairs = s03_embedding_neardup(spark, sf_dir).select(
-        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
-    )
+    pairs = materialized_pairs(
+        spark, sf_dir, "s03", s03_embedding_neardup, ["vec_a", "vec_b"]
+    ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
     labels = connected_components(pairs)
     vecs = _emb(spark, sf_dir).select("vec_id")
     return (
