@@ -21,11 +21,15 @@ binary-exact for all types.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..scratch import run_scratch
 from ..sources import sinks, tables
 from . import QuerySpec
+from .helpers import scaled, sql_scaled
 
 _NATION_SCHEMA = "n_nationkey INT, n_name STRING, n_regionkey INT"
 
@@ -78,6 +82,67 @@ def io04_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+IO05_BUCKETS = 8
+
+
+def io05_bucketed_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Write orders + lineitem as BUCKETED tables (8 buckets on the
+    join key, sorted within buckets) and return the two table-backed
+    DataFrames. Bucketing is THE 100 TB co-location tool: both sides
+    hash-partition into matching files at WRITE time, so every later
+    join/agg on the key runs with zero exchange — the shuffle is paid
+    once, not per query (tests/test_io.py asserts the joined plan has
+    no Exchange). `bucketBy` requires the table catalog, so the tables
+    land as uniquely-named EXTERNAL tables over run-scratch paths: the
+    in-memory catalog entry dies with the session while the files are
+    swept like any other scratch."""
+    out = run_scratch("io05_bucket_")
+    tag = uuid.uuid4().hex[:8]
+    t_orders, t_line = f"io05_orders_{tag}", f"io05_lineitem_{tag}"
+    (
+        tables.load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .write.bucketBy(IO05_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{out}/orders")
+        .mode("overwrite")
+        .saveAsTable(t_orders)
+    )
+    (
+        tables.load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.bucketBy(IO05_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{out}/lineitem")
+        .mode("overwrite")
+        .saveAsTable(t_line)
+    )
+    return spark.table(t_orders), spark.table(t_line)
+
+
+def io05_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free revenue-by-status over the bucketed tables: the
+    orders⋈lineitem join consumes bucket co-location directly (no
+    Exchange on either side); only the 3-row status rollup shuffles.
+    The oracle is the same aggregate over the raw tables — bucketing
+    must be a pure physical-layout choice with zero semantic effect."""
+    orders, line = io05_bucketed_tables(spark, sf_dir)
+    rev = scaled(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+    )
+    return (
+        orders.join(line, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).alias("revenue_e4"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 SPECS = [
     QuerySpec(
         "io01_csv_roundtrip",
@@ -98,5 +163,17 @@ SPECS = [
         "io04_orc_roundtrip",
         io04_orc_roundtrip,
         "SELECT * FROM part",
+    ),
+    QuerySpec(
+        "io05_bucketed_join",
+        io05_bucketed_join,
+        f"""
+        SELECT o_orderstatus,
+               count(1) AS n_items,
+               sum({sql_scaled('l_extendedprice * (1.0 - l_discount)', 4)})
+                 AS revenue_e4
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
     ),
 ]

@@ -865,6 +865,38 @@ def w06_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w07_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build — the warehouse-ETL staple: treat each
+    user's event stream as a change log of their "status" (event_type),
+    collapse consecutive repeats (a change record only when the status
+    actually changes), and emit validity intervals
+    [valid_from, valid_to) with valid_to = next change's timestamp,
+    NULL + is_current=1 for the open row.
+
+    Scale: two window passes over the SAME (user_id → ts, event_id)
+    partitioning — Catalyst reuses one shuffle for both sorts; the
+    filter between them only shrinks partitions. State per partition is
+    one row lookback/lookahead. The total order (ts, event_id) makes
+    the result deterministic under duplicate timestamps."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "event_type")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    return (
+        changed.select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull().cast("int"))
+        .orderBy("user_id", "valid_from")
+    )
+
+
 def a09_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A7 scale path: sketch aggregates — HLL++ count-distinct and
     KLL-style approx percentiles. At 100 TB these replace their exact
@@ -2423,6 +2455,27 @@ SPECS = [
         WINDOW w AS (PARTITION BY o_custkey
                      ORDER BY o_orderdate NULLS FIRST, o_orderkey
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+    ),
+    QuerySpec(
+        "w07_scd2_intervals",
+        w07_scd2_intervals,
+        """
+        WITH c AS (
+          SELECT user_id, event_id, ts, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events
+        ),
+        ch AS (SELECT user_id, event_id, ts, event_type
+               FROM c WHERE prev IS NULL OR prev <> event_type)
+        SELECT user_id, event_type AS status, ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END
+                 AS is_current
+        FROM ch
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, valid_from
         """,
     ),
     QuerySpec("a09_approx_stats", a09_approx_stats, None),

@@ -337,6 +337,116 @@ def s05_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 4        # s06: subspaces (64 dims → 4 × 16)
+PQ_SUBDIM = 16
+PQ_K = 8        # codewords per subspace (vec_id < 8 seed subvectors)
+PQ_TOPK = 3
+
+
+def _pq_d2_expr(m: int, a: str = "embedding", b: str = "cent_emb") -> str:
+    """Spark SQL: sequential-fold squared L2 distance between the m-th
+    16-dim subvectors of two array columns. Elements are cast to double
+    BEFORE subtracting — float-minus-float would round at float
+    precision while the DuckDB twin subtracts doubles."""
+    o = PQ_SUBDIM * m
+    d = f"(cast({a}[d] as double) - cast({b}[d] as double))"
+    return (
+        f"aggregate(sequence({o}, {o + PQ_SUBDIM - 1}), "
+        f"cast(0.0 as double), (acc, d) -> acc + {d} * {d})"
+    )
+
+
+def _sql_pq_d2(m: int, a: str, b: str) -> str:
+    """DuckDB twin of _pq_d2_expr: elementwise diff list, then the
+    list_dot_product sequential fold (verified bit-identical to Spark's
+    aggregate fold; 0.0 + t0 ≡ t0 so the missing explicit init is
+    exact)."""
+    o = PQ_SUBDIM * m
+    diff = (
+        f"list_transform(range({o}, {o + PQ_SUBDIM}), "
+        f"d -> {a}[d + 1] - {b}[d + 1])"
+    )
+    return f"list_dot_product({diff}, {diff})"
+
+
+def s06_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, public): each
+    vector compresses to 4 codes — per 16-dim subspace, the id of the
+    nearest of 8 deterministic codewords (the vec_id<8 seed
+    subvectors) — and queries rank candidates by ASYMMETRIC distance:
+    the query's exact subvector vs the candidate's codeword, summed
+    over subspaces via a per-query 4×8 lookup table.
+
+    This is the memory-bound scale path past IVF: the collection is
+    represented by 4 small ints per vector (here; 8-16 bytes at
+    production bit-widths vs 256 bytes of floats), so the scan side of
+    the search never touches raw embeddings — only the tiny query-side
+    LUT does. At 100 TB the codebook comes from sampled k-means per
+    subspace and an IVF cell filter (s04) prunes the candidate scan;
+    the encode/LUT/rank plan shape is identical.
+
+    Determinism: argmin via min over the (d2, cent_id) pair — exact
+    lexicographic comparison, cent_id breaks ties; ADC adds the 4 LUT
+    entries in fixed left-to-right order; both engines share the exact
+    construction, so even the double ADC values hash-match."""
+    emb = tables.load_parallel(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_emb"),
+    )
+    xc = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cent_id",
+        *[F.expr(_pq_d2_expr(m)).alias(f"d2_{m}") for m in range(PQ_M)],
+    )
+    codes = xc.groupBy("vec_id").agg(
+        *[
+            F.min(
+                F.array(F.col(f"d2_{m}"), F.col("cent_id").cast("double"))
+            )[1].cast("long").alias(f"c{m}")
+            for m in range(PQ_M)
+        ]
+    )
+    luts = (
+        xc.filter(F.col("vec_id") < N_QUERIES)
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("cent_id").alias("k"),
+                                F.col(f"d2_{m}").alias("v"),
+                            )
+                        )
+                    ),
+                    lambda s: s["v"],
+                ).alias(f"l{m}")
+                for m in range(PQ_M)
+            ]
+        )
+        .withColumnRenamed("vec_id", "q_id")
+    )
+    adc = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.col(f"l{m}"), (F.col(f"c{m}") + 1).cast("int")
+        )
+        adc = term if adc is None else adc + term
+    w = Window.partitionBy("q_id").orderBy("adc", "n_id")
+    return (
+        codes.withColumnRenamed("vec_id", "n_id")
+        .crossJoin(F.broadcast(luts))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", adc.alias("adc"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .select("q_id", "n_id", "adc", "rn")
+        .orderBy("q_id", "rn")
+    )
+
+
 _SQL_COS = (
     "CASE WHEN sqrt(list_dot_product({a}, {a})) * "
     "sqrt(list_dot_product({b}, {b})) = 0 THEN 0.0 "
@@ -472,4 +582,53 @@ SPECS = [
         """,
     ),
     QuerySpec("s05_semantic_clusters", s05_semantic_clusters, _S05_SQL),
+    QuerySpec(
+        "s06_pq_ann",
+        s06_pq_ann,
+        f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+                 WHERE vec_id < {PQ_K}),
+        xc AS (
+          SELECT e.vec_id, cent.cent_id,
+                 {", ".join(
+                     f"{_sql_pq_d2(m, 'e.v', 'cent.cv')} AS d2_{m}"
+                     for m in range(PQ_M)
+                 )}
+          FROM e CROSS JOIN cent
+        ),
+        codes AS (
+          SELECT vec_id,
+                 {", ".join(
+                     f"CAST(min([d2_{m}, cent_id::DOUBLE])[2] AS BIGINT)"
+                     f" AS c{m}"
+                     for m in range(PQ_M)
+                 )}
+          FROM xc GROUP BY vec_id
+        ),
+        luts AS (
+          SELECT vec_id AS q_id,
+                 {", ".join(
+                     f"list(d2_{m} ORDER BY cent_id) AS l{m}"
+                     for m in range(PQ_M)
+                 )}
+          FROM xc WHERE vec_id < {N_QUERIES} GROUP BY vec_id
+        ),
+        cand AS (
+          SELECT q.q_id, n.vec_id AS n_id,
+                 {" + ".join(
+                     f"q.l{m}[n.c{m} + 1]" for m in range(PQ_M)
+                 )} AS adc
+          FROM luts q CROSS JOIN codes n WHERE n.vec_id <> q.q_id
+        ),
+        ranked AS (
+          SELECT q_id, n_id, adc,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY adc, n_id) AS rn
+          FROM cand
+        )
+        SELECT q_id, n_id, adc, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= {PQ_TOPK} ORDER BY q_id, rn
+        """,
+    ),
 ]

@@ -346,6 +346,65 @@ def t12_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t13_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality scoring (the CCNet/Gopher "perplexity filter"
+    shape): fit a unigram model on the corpus itself, then score every
+    document by its mean per-token surprisal — low = boilerplate built
+    from the corpus's commonest words, high = rare-token-dense noise;
+    both tails are the standard pre-training drop candidates.
+
+    Surprisal is measured in INTEGER bits — bitlen(N) - bitlen(count),
+    i.e. floor-log2 of the inverse relative frequency — instead of
+    ln(count/N): every aggregate stays an exact integer sum
+    (order-independent, engine-identical), whereas summing libm ln()
+    doubles is partial-aggregation-order-dependent and last-ulp
+    divergent across engines. Production swaps in a real LM score the
+    same plan shape; the two-pass structure is what matters here.
+
+    Scale: pass 1 is a partial-aggregatable token count (one shuffle on
+    the token); the corpus total rides along as a broadcast one-row
+    aggregate; pass 2 re-joins the token stream to the O(vocabulary)
+    frequency table by token — an equi-join, NOT a broadcast (at 100 TB
+    the vocabulary of raw tokens is itself large) — then reduces to one
+    row per doc. Document bodies are never shuffled."""
+    docs = _docs_par(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(T.raw_tokens(T.normalize_text(F.col("text")))).alias("tk"),
+    )
+    freq = toks.groupBy("tk").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_corpus"))
+    bits = (
+        toks.join(freq, "tk")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (
+                F.length(F.bin(F.col("n_corpus")))
+                - F.length(F.bin(F.col("cnt")))
+            ).cast("long").alias("b"),
+        )
+    )
+    per_doc = bits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("b").alias("sum_bits"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.col("sum_bits"),
+            (
+                F.col("sum_bits").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("mean_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _LANGS_SQL = ", ".join(
     f"""len(list_filter({sql_raw_tokens("lower(text)")},
         _t -> list_contains([{", ".join(f"'{m}'" for m in markers)}], _t)))::BIGINT
@@ -537,6 +596,33 @@ SPECS = [
                )::DOUBLE / n_total::DOUBLE AS cum_share
         FROM top, tot
         ORDER BY rank
+        """,
+    ),
+    QuerySpec(
+        "t13_unigram_surprisal",
+        t13_unigram_surprisal,
+        f"""
+        WITH toks AS (
+          SELECT doc_id, tk
+          FROM (SELECT doc_id, {sql_raw_tokens(sql_normalize('text'))} AS tks
+                FROM documents), UNNEST(tks) AS _u(tk)
+        ),
+        freq AS (SELECT tk, count(1) AS cnt FROM toks GROUP BY tk),
+        tot AS (SELECT count(1) AS n_corpus FROM toks),
+        bits AS (
+          SELECT doc_id,
+                 (length(bin(n_corpus)) - length(bin(cnt)))::BIGINT AS b
+          FROM toks JOIN freq USING (tk) CROSS JOIN tot
+        ),
+        pd AS (SELECT doc_id, count(1)::BIGINT AS n_tokens,
+                      sum(b)::BIGINT AS sum_bits
+               FROM bits GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+               pd.sum_bits,
+               pd.sum_bits::DOUBLE / pd.n_tokens::DOUBLE AS mean_bits
+        FROM documents d LEFT JOIN pd USING (doc_id)
+        ORDER BY d.doc_id
         """,
     ),
 ]

@@ -1,0 +1,127 @@
+"""Invariant tests for the round-5 operators (t13 surprisal, w07 SCD2,
+s06 PQ-ANN). Differential equality vs DuckDB is covered by
+tools/verify_local.py / the driver gate; these pin the semantic
+properties a hash can't explain."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from customer_review__etl_spark.plans.relational import w07_scd2_intervals
+from customer_review__etl_spark.plans.simplans import (
+    N_QUERIES,
+    PQ_K,
+    PQ_TOPK,
+    s01_cosine_topk,
+    s06_pq_ann,
+)
+from customer_review__etl_spark.plans.textplans import t13_unigram_surprisal
+from customer_review__etl_spark.sources import tables
+
+from conftest import SF_DIR
+
+
+def test_t13_surprisal_bounds(spark):
+    """Every token's surprisal is in [0, bitlen(N)-1] bits, so the doc
+    mean must be too; sum_bits/n_tokens consistency; zero-token docs
+    carry NULL score, not 0 (absence, not evidence)."""
+    rows = t13_unigram_surprisal(spark, SF_DIR).collect()
+    assert rows, "empty result"
+    for r in rows:
+        if r.n_tokens == 0:
+            assert r.sum_bits is None and r.mean_bits is None
+        else:
+            assert 0 <= r.mean_bits, r
+            assert abs(r.mean_bits - r.sum_bits / r.n_tokens) < 1e-12
+    # the corpus's commonest-word docs score low, rare-word docs high:
+    # there must be SOME spread, else the signal is degenerate (the
+    # sf0.001 synthetic corpus is near-uniform, so keep the bar low)
+    means = [r.mean_bits for r in rows if r.n_tokens > 0]
+    assert max(means) > min(means)
+
+
+def test_w07_intervals_partition_time(spark):
+    """Per user: intervals are ordered, non-overlapping, half-open
+    chained (valid_to == next valid_from), exactly one open current
+    row, and statuses actually alternate (no consecutive repeats)."""
+    out = w07_scd2_intervals(spark, SF_DIR).collect()
+    by_user: dict = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user_rows in by_user.values():
+        assert sum(r.is_current for r in user_rows) == 1
+        assert user_rows[-1].valid_to is None
+        for a, b in zip(user_rows, user_rows[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.valid_from < b.valid_from
+            assert a.status != b.status
+
+
+def test_w07_covers_every_event(spark):
+    """Every event's timestamp falls inside exactly one of its user's
+    validity intervals, and that interval's status is the event's type
+    ONLY at change points — but membership must hold for all."""
+    ev = tables.load(spark, SF_DIR, "events").select("user_id", "ts")
+    iv = w07_scd2_intervals(spark, SF_DIR)
+    joined = ev.join(iv, "user_id").filter(
+        (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    assert joined.count() == ev.count()
+
+
+def test_s06_pq_shape_and_recall(spark):
+    """PQ output: ≤ topk rows per query, codes bounded by the codebook,
+    rn dense from 1; and PQ@3 must agree with exact search enough to be
+    a real ANN (≥1 of exact top-5 found per query on average)."""
+    out = s06_pq_ann(spark, SF_DIR).collect()
+    per_q: dict = {}
+    for r in out:
+        assert r.adc >= 0.0
+        per_q.setdefault(r.q_id, []).append(r)
+    assert len(per_q) == N_QUERIES
+    for rows in per_q.values():
+        assert [r.rn for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= PQ_TOPK
+    exact = s01_cosine_topk(spark, SF_DIR).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.q_id, set()).add(r.n_id)
+    hits = sum(
+        len({r.n_id for r in rows} & exact_sets.get(q, set()))
+        for q, rows in per_q.items()
+    )
+    # deterministic on the fixed corpus (9 hits / 16 queries today):
+    # the seed-vector codebook is a coarse quantizer and ADC is
+    # L2-based vs s01's cosine, so demand signal, not perfection
+    assert hits >= len(per_q) // 2, f"PQ recall degenerate: {hits} hits"
+
+
+def test_s06_codes_come_from_codebook(spark):
+    """Re-derive the code table the way s06 builds it and check every
+    code indexes a real codeword (0..PQ_K-1)."""
+    from customer_review__etl_spark.plans.simplans import PQ_M, _pq_d2_expr
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    cent = emb.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_emb"),
+    )
+    xc = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cent_id",
+        *[F.expr(_pq_d2_expr(m)).alias(f"d2_{m}") for m in range(PQ_M)],
+    )
+    codes = xc.groupBy("vec_id").agg(
+        *[
+            F.min(
+                F.array(F.col(f"d2_{m}"), F.col("cent_id").cast("double"))
+            )[1].cast("long").alias(f"c{m}")
+            for m in range(PQ_M)
+        ]
+    )
+    bad = codes.filter(
+        " OR ".join(f"(c{m} < 0 OR c{m} >= {PQ_K})" for m in range(PQ_M))
+    )
+    assert bad.count() == 0
