@@ -70,12 +70,19 @@ HEADLINE = [
     "d03_simhash_near_dup",
     "d04_ngram_jaccard",
     "d05_neardup_clusters",
+    "d06_unified_clusters",
     "s01_cosine_topk",
     "s02_ann_lsh",
     "s04_ivf_ann",
+    "s05_semantic_clusters",
+    "s06_pq_ann",
+    "t13_unigram_surprisal",
+    "w07_scd2_intervals",
     "st01_tumbling_window",
     "st03_session_window",
+    "st09_stream_stream_join",
     "io02_parquet_roundtrip",
+    "io05_bucketed_join",
 ]
 
 

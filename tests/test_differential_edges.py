@@ -46,7 +46,7 @@ DOCS_ONLY_QUERIES = [
     "d01_exact_dedup", "d02_minhash_near_dup", "d03_simhash_near_dup",
     "d04_ngram_jaccard", "d05_neardup_clusters", "d06_unified_clusters",
     "dc01_decontaminate", "t11_chunk_dedup", "p14_weighted_mix",
-    "u02_sequence_pack", "t12_vocab_coverage",
+    "u02_sequence_pack", "t12_vocab_coverage", "t13_unigram_surprisal",
     "mm01_binary_meta", "mm02_decode_features", "mm03_frame_sample",
     "ml05_stratified_split", "io03_jsonl_roundtrip",
 ]
@@ -122,6 +122,7 @@ EVENTS_ONLY_QUERIES = [
     "st07_stream_static_join", "st08_gapfill_resample",
     "st09_stream_stream_join",
     "j01_broadcast_theme_label", "w02_lag_lead", "w03_running_sum",
+    "w07_scd2_intervals",
     "set01_union_all", "set02_intersect", "set03_except_all",
 ]
 
@@ -148,7 +149,7 @@ EDGE_EMBEDDINGS = (
 )
 
 EMB_ONLY_QUERIES = ["s01_cosine_topk", "s02_ann_lsh", "s03_embedding_neardup",
-                    "s04_ivf_ann", "s05_semantic_clusters"]
+                    "s04_ivf_ann", "s05_semantic_clusters", "s06_pq_ann"]
 
 
 @pytest.fixture(scope="module")
@@ -364,7 +365,7 @@ TPCH_ONLY_QUERIES = [
     "q11_important_stock", "q12_shipmode_priority",
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
     "q16_parts_supplier", "q20_potential_promotion",
-    "p13_group_quota_sample",
+    "p13_group_quota_sample", "io05_bucketed_join",
 ]
 
 
