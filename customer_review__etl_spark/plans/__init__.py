@@ -110,6 +110,7 @@ PRIORITY: tuple[str, ...] = (
 def build_registry() -> dict[str, QuerySpec]:
     from . import (
         dedupplans,
+        graphplans,
         ioplans,
         mlplans,
         multimodalplans,
@@ -129,6 +130,7 @@ def build_registry() -> dict[str, QuerySpec]:
         mlplans,
         multimodalplans,
         ioplans,
+        graphplans,
     ):
         for spec in mod.SPECS:
             if spec.name in by_name:

@@ -1,0 +1,176 @@
+"""Graph-analytics plans: iterative algorithms expressed as DataFrame
+joins + aggregates (the Pregel-on-relations pattern — the same family
+as dedupplans.connected_components).
+
+gr01 runs PageRank over the MARKET-BASKET co-purchase graph: two parts
+are connected when some order contains both (a lineitem self-join on
+the order key), and rank measures basket centrality — the classic
+retail cross-sell signal.
+
+Determinism contract: ranks are FIXED-POINT integers (PR_SCALE = 1e6).
+Every per-iteration term — the teleport base, each neighbor
+contribution (85% of rank split over out-degree) — is an integer floor
+division, and the combine step is an integer sum, so iteration results
+are exact and order-independent on both engines; floating-point
+PageRank would diverge across engines in the last ulp of every
+partial-aggregation order. The floor bias (< 1e-6 per term) is
+irrelevant to ranking and identical on both sides.
+
+Scale notes (100 TB manners):
+- the graph build self-joins lineitem on l_orderkey: fan-out is
+  C(items-per-order, 2) — bounded by basket size, never by table size.
+- each PageRank iteration is one equi-join (edges ⋈ ranks on src) +
+  one groupBy(dst) sum — partial-aggregatable, shuffling only
+  (long, long) pairs. Fixed iteration count = fixed stage count; for
+  convergence-driven runs, the CC fixpoint-certificate pattern
+  (O(1) scalar read per round) applies unchanged.
+- node/edge tables are re-used across iterations; caching them keeps
+  each round's cost to the join itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import tables
+from . import QuerySpec
+
+PR_SCALE = 1_000_000  # fixed-point rank unit
+PR_ITERS = 3          # fixed, unrolled in the oracle
+PR_D_NUM, PR_D_DEN = 85, 100  # damping 0.85 as an integer ratio
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed edge list (src, dst) of the co-purchase graph: both
+    directions of every within-order part pair, deduplicated across
+    orders. NULL part keys drop (no node identity)."""
+    li = (
+        tables.load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey").isNotNull())
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def gr01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (3 iterations, damping 0.85) over the
+    co-purchase graph; returns every node with its integer rank.
+
+    rank0 = SCALE // N;  each round:
+    rank'(v) = (15*SCALE) // (100*N)
+             + Σ_{u→v} (85 * rank(u)) // (100 * outdeg(u))
+    The graph is symmetric by construction, so there are no dangling
+    nodes (every node has outdeg ≥ 1) and no dangling-mass term."""
+    edges = _copurchase_edges(spark, sf_dir).cache()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # nodes == sources (symmetric graph); N as a broadcast 1-row agg
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = (
+        deg.crossJoin(F.broadcast(n_nodes))
+        .select(
+            F.col("src").alias("node"),
+            "outdeg",
+            "n",
+            F.expr(f"CAST({PR_SCALE} DIV n AS BIGINT)").alias("rank_fp"),
+        )
+        .cache()
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .select(
+                "dst",
+                F.expr(
+                    f"CAST(({PR_D_NUM} * rank_fp) DIV "
+                    f"({PR_D_DEN} * outdeg) AS BIGINT)"
+                ).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            ranks.join(contrib, ranks["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                "outdeg",
+                "n",
+                (
+                    F.expr(
+                        f"CAST(({PR_D_DEN - PR_D_NUM} * {PR_SCALE}) DIV "
+                        f"({PR_D_DEN} * n) AS BIGINT)"
+                    )
+                    + F.coalesce(F.col("inflow"), F.lit(0))
+                ).alias("rank_fp"),
+            )
+        )
+    return ranks.select("node", "rank_fp").orderBy(
+        F.desc("rank_fp"), "node"
+    )
+
+
+def _pr_oracle() -> str:
+    """Unrolled-iteration SQL twin: same integer arithmetic, same
+    teleport/contribution floors (DuckDB // on positive BIGINTs ==
+    Spark DIV)."""
+    it = """
+    c{next} AS (
+      SELECT e.dst,
+             sum(({num} * r.rank_fp) // ({den} * r.outdeg)) AS inflow
+      FROM edges e JOIN r{cur} r ON e.src = r.node
+      GROUP BY e.dst
+    ),
+    r{next} AS (
+      SELECT d.node, d.outdeg, d.n,
+             (({tele} * {scale}) // ({den} * d.n))
+             + coalesce(c{next}.inflow, 0) AS rank_fp
+      FROM degn d LEFT JOIN c{next} ON c{next}.dst = d.node
+    )"""
+    iters = ",".join(
+        it.format(
+            cur=i,
+            next=i + 1,
+            scale=PR_SCALE,
+            num=PR_D_NUM,
+            den=PR_D_DEN,
+            tele=PR_D_DEN - PR_D_NUM,
+        )
+        for i in range(PR_ITERS)
+    )
+    return f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      FROM lineitem WHERE l_partkey IS NOT NULL
+    ),
+    edges AS (
+      SELECT DISTINCT a.pk AS src, b.pk AS dst
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+    ),
+    deg AS (SELECT src, count(1) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT count(1) AS n FROM deg),
+    degn AS (SELECT d.src AS node, d.outdeg, nn.n FROM deg d, nn),
+    r0 AS (SELECT node, outdeg, n,
+                  CAST({PR_SCALE} // n AS BIGINT) AS rank_fp
+           FROM degn),
+    {iters}
+    SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp
+    FROM r{PR_ITERS}
+    ORDER BY rank_fp DESC, node
+    """
+
+
+SPECS = [
+    QuerySpec("gr01_pagerank", gr01_pagerank, _pr_oracle()),
+]

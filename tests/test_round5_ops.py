@@ -98,6 +98,39 @@ def test_s06_pq_shape_and_recall(spark):
     assert hits >= len(per_q) // 2, f"PQ recall degenerate: {hits} hits"
 
 
+def test_gr01_pagerank_invariants(spark):
+    """Fixed-point PageRank: every node's rank ≥ the teleport base,
+    total rank mass ≈ PR_SCALE (floor losses only shrink it), and the
+    graph is symmetric so node count matches the edge builder's."""
+    from customer_review__etl_spark.plans.graphplans import (
+        PR_SCALE,
+        _copurchase_edges,
+        gr01_pagerank,
+    )
+
+    rows = gr01_pagerank(spark, SF_DIR).collect()
+    assert rows
+    n = len(rows)
+    base = (15 * PR_SCALE) // (100 * n)
+    assert all(r.rank_fp >= base for r in rows)
+    total = sum(r.rank_fp for r in rows)
+    # each of the 3 rounds loses < 1 unit per node+edge to floors
+    assert 0.8 * PR_SCALE < total <= PR_SCALE
+    edges = _copurchase_edges(spark, SF_DIR)
+    assert edges.select("src").distinct().count() == n
+    # symmetry: (a,b) present ⟺ (b,a) present
+    asym = (
+        edges.alias("e")
+        .join(
+            edges.selectExpr("dst AS src", "src AS dst").alias("r"),
+            ["src", "dst"],
+            "left_anti",
+        )
+        .count()
+    )
+    assert asym == 0
+
+
 def test_s06_codes_come_from_codebook(spark):
     """Re-derive the code table the way s06 builds it and check every
     code indexes a real codeword (0..PQ_K-1)."""
