@@ -69,6 +69,152 @@ def ml05_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KM_K = 4          # ml06 clusters (vec_id < 4 seed centroids)
+KM_ITERS = 2      # fixed Lloyd's rounds, unrolled in the oracle
+KM_SCALE = 1_000_000  # fixed-point embedding quantization
+
+# exact integer squared-L2 between quantized vector and centroid
+_KM_D2 = (
+    "aggregate(sequence(0, 63), cast(0 as bigint), "
+    "(acc, d) -> acc + (qv[d] - cv[d]) * (qv[d] - cv[d]))"
+)
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings quantized to integer fixed-point (1e-6 resolution):
+    floor(v*1e6 + 0.5) uses only IEEE-exact ops, so both engines build
+    the identical integer vectors (plans/helpers.py rule 2)."""
+    return tables.load_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, v -> CAST(floor(cast(v AS double) "
+            f"* {KM_SCALE}.0 + 0.5) AS BIGINT))"
+        ).alias("qv"),
+    )
+
+
+def ml06_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means (k=4, 2 rounds) over quantized
+    embeddings — the iterative-ML shape (assign → re-center → repeat)
+    as pure DataFrame ops with an EXACT oracle twin, which
+    pyspark.ml.KMeans (RNG init, float means) can never have.
+
+    Everything is integer arithmetic: squared-L2 in fixed-point
+    (exact, order-independent sums), argmin via (d2, cid) ranking,
+    re-centering by truncated integer division of per-dimension sums
+    (Spark DIV ≡ DuckDB // on any sign). Clusters that lose every
+    member keep their previous centroid on both sides.
+
+    Scale: assignment broadcasts the k-row centroid table (one
+    map-side pass per round); re-centering shuffles (cid, dim, long)
+    triples — 64·k groups — with map-side partial sums; fixed round
+    count = fixed stage count. At 100 TB k grows and init comes from a
+    deterministic sample, but every stage keeps this shape."""
+    from pyspark.sql.window import Window
+
+    q = _quantized(spark, sf_dir).cache()
+    cent = q.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    wmin = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    for _ in range(KM_ITERS):
+        x = q.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "qv", "cid", F.expr(_KM_D2).alias("d2")
+        )
+        assigned = (
+            x.withColumn("rn", F.row_number().over(wmin))
+            .filter(F.col("rn") == 1)
+            .select("cid", "qv")
+        )
+        sums = (
+            assigned.select("cid", F.posexplode("qv").alias("d", "val"))
+            .groupBy("cid", "d")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        )
+        newc = (
+            sums.withColumn("cval", F.expr("CAST(s DIV cnt AS BIGINT)"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "cval"))),
+                    lambda s: s["cval"],
+                ).alias("cv_new")
+            )
+        )
+        cent = cent.join(newc, "cid", "left").select(
+            "cid", F.coalesce("cv_new", "cv").alias("cv")
+        )
+    final = q.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", F.expr(_KM_D2).alias("d2")
+    )
+    return (
+        final.withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster"),
+            F.col("d2").alias("dist2"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _km_oracle() -> str:
+    """Unrolled Lloyd's rounds as CTE chains — same quantization, same
+    integer d2, same truncated-division re-centering."""
+    d2 = (
+        "CAST(list_sum(list_transform(range(0, 64), "
+        "d -> (q.qv[d+1] - c.cv[d+1]) * (q.qv[d+1] - c.cv[d+1]))) "
+        "AS BIGINT)"
+    )
+    rounds = []
+    for i in range(KM_ITERS):
+        rounds.append(f"""
+        x{i} AS (
+          SELECT q.vec_id, q.qv, c.cid, {d2} AS d2
+          FROM q CROSS JOIN cent{i} c
+        ),
+        a{i} AS (
+          SELECT cid, qv FROM (
+            SELECT cid, qv, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY d2, cid) AS rn
+            FROM x{i}) WHERE rn = 1
+        ),
+        s{i} AS (
+          SELECT cid, r.d, sum(qv[r.d]) AS s, count(1) AS cnt
+          FROM a{i}, UNNEST(range(1, 65)) AS r(d)
+          GROUP BY cid, r.d
+        ),
+        n{i} AS (
+          SELECT cid, list(CAST(s // cnt AS BIGINT) ORDER BY d) AS cv_new
+          FROM s{i} GROUP BY cid
+        ),
+        cent{i + 1} AS (
+          SELECT c.cid, coalesce(n.cv_new, c.cv) AS cv
+          FROM cent{i} c LEFT JOIN n{i} n ON c.cid = n.cid
+        )""")
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               v -> CAST(floor(v * {KM_SCALE}.0 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    cent0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {KM_K}),
+    {",".join(rounds)},
+    xf AS (
+      SELECT q.vec_id, c.cid, {d2} AS d2
+      FROM q CROSS JOIN cent{KM_ITERS} c
+    )
+    SELECT vec_id, cid AS cluster, d2 AS dist2 FROM (
+      SELECT vec_id, cid, d2,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d2, cid) AS rn
+      FROM xf) WHERE rn = 1
+    ORDER BY vec_id
+    """
+
+
 SPECS = [
     QuerySpec("ml01_lda_themes", ml01_lda_themes, None),
     QuerySpec("ml02_topic_top_words", ml02_topic_top_words, None),
@@ -96,4 +242,5 @@ SPECS = [
         FROM documents
         """,
     ),
+    QuerySpec("ml06_kmeans", ml06_kmeans, _km_oracle()),
 ]

@@ -149,7 +149,8 @@ EDGE_EMBEDDINGS = (
 )
 
 EMB_ONLY_QUERIES = ["s01_cosine_topk", "s02_ann_lsh", "s03_embedding_neardup",
-                    "s04_ivf_ann", "s05_semantic_clusters", "s06_pq_ann"]
+                    "s04_ivf_ann", "s05_semantic_clusters", "s06_pq_ann",
+                    "ml06_kmeans"]
 
 
 @pytest.fixture(scope="module")
@@ -365,7 +366,7 @@ TPCH_ONLY_QUERIES = [
     "q11_important_stock", "q12_shipmode_priority",
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
     "q16_parts_supplier", "q20_potential_promotion",
-    "p13_group_quota_sample", "io05_bucketed_join",
+    "p13_group_quota_sample", "io05_bucketed_join", "gr01_pagerank",
 ]
 
 
