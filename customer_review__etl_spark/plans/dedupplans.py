@@ -917,6 +917,123 @@ def dc01_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dc02_neardup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP decontamination — dc01's contiguous-5-gram overlap
+    misses an eval doc that was lightly paraphrased into the training
+    set; this pass flags every train doc whose MinHash-LSH candidates
+    include an eval doc at exact Jaccard ≥ 0.5 (the d02 machinery run
+    ACROSS the train/eval boundary instead of within the corpus).
+    Output per train doc: contaminated flag + best-matching eval doc
+    (highest jaccard, ties to lowest eval id) + its jaccard.
+
+    Scale: identical manners to d02 — band buckets bound the candidate
+    space, the cross-side join prunes to train×eval pairs before any
+    verification, and exact Jaccard joins on ≤32-byte shingle digests,
+    never document bodies. The eval side is NOT assumed broadcastable."""
+    mod = F.col("doc_id") % DECON_EVAL_MOD
+    sh = _shingles(spark, sf_dir).cache()
+    bands = _bands(_minhash_sigs(sh))
+    tb = bands.filter(mod != 0)
+    ev = bands.filter(mod == 0).select(
+        F.col("doc_id").alias("e_id"),
+        F.col("band").alias("band_e"),
+        F.col("bh").alias("bh_e"),
+    )
+    cand = (
+        tb.join(
+            ev,
+            (F.col("band") == F.col("band_e"))
+            & (F.col("bh") == F.col("bh_e")),
+        )
+        .select(F.col("doc_id").alias("t_id"), "e_id")
+        .distinct()
+    )
+    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = sh.select(F.col("doc_id").alias("t_id"), F.col("sh").alias("sh_t"))
+    eb = sh.select(F.col("doc_id").alias("e_id2"), F.col("sh").alias("sh_e"))
+    inter = (
+        cand.join(ta, "t_id")
+        .join(
+            eb,
+            (F.col("e_id") == F.col("e_id2"))
+            & (F.col("sh_t") == F.col("sh_e")),
+        )
+        .groupBy("t_id", "e_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    nt = n.select(F.col("doc_id").alias("t_id"), F.col("n").alias("n_t"))
+    ne = n.select(F.col("doc_id").alias("e_id"), F.col("n").alias("n_e"))
+    jac = (
+        inter.join(nt, "t_id")
+        .join(ne, "e_id")
+        .select(
+            "t_id",
+            "e_id",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_t") + F.col("n_e") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+    )
+    wbest = Window.partitionBy("t_id").orderBy(F.desc("jaccard"), "e_id")
+    best = (
+        jac.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("t_id", "e_id", "jaccard")
+    )
+    train = _docs(spark, sf_dir).filter(mod != 0).select("doc_id")
+    return (
+        train.join(best, train["doc_id"] == best["t_id"], "left")
+        .select(
+            "doc_id",
+            F.col("e_id").isNotNull().alias("contaminated"),
+            F.col("e_id").alias("eval_match"),
+            "jaccard",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DC02_SQL = f"""
+WITH {_SHINGLES_CTE},
+eab AS (SELECT doc_id, sh, {_hex32('md5(sh)', 1)} AS ha,
+               {_hex32('md5(sh)', 9)} AS hb FROM e),
+sigs AS (SELECT doc_id, {_SIG_COLS} FROM eab GROUP BY doc_id),
+bands AS ({_BAND_ROWS}),
+cand AS (SELECT DISTINCT t.doc_id AS t_id, v.doc_id AS e_id
+         FROM bands t JOIN bands v
+           ON t.band = v.band AND t.bh = v.bh
+          AND t.doc_id % {DECON_EVAL_MOD} <> 0
+          AND v.doc_id % {DECON_EVAL_MOD} = 0),
+n AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+inter AS (SELECT c.t_id, c.e_id, count(*) AS inter
+          FROM cand c
+          JOIN e ea ON ea.doc_id = c.t_id
+          JOIN e eb ON eb.doc_id = c.e_id AND eb.sh = ea.sh
+          GROUP BY c.t_id, c.e_id),
+jac AS (SELECT i.t_id, i.e_id,
+               i.inter::DOUBLE / (nt.n + ne.n - i.inter)::DOUBLE AS jaccard
+        FROM inter i
+        JOIN n nt ON nt.doc_id = i.t_id
+        JOIN n ne ON ne.doc_id = i.e_id
+        WHERE i.inter::DOUBLE / (nt.n + ne.n - i.inter)::DOUBLE
+              >= {JACCARD_MIN}),
+best AS (SELECT t_id, e_id, jaccard FROM (
+           SELECT t_id, e_id, jaccard,
+                  row_number() OVER (PARTITION BY t_id
+                                     ORDER BY jaccard DESC, e_id) AS rn
+           FROM jac) WHERE rn = 1)
+SELECT d.doc_id,
+       (b.t_id IS NOT NULL) AS contaminated,
+       b.e_id AS eval_match,
+       b.jaccard
+FROM documents d LEFT JOIN best b ON b.t_id = d.doc_id
+WHERE d.doc_id % {DECON_EVAL_MOD} <> 0
+ORDER BY d.doc_id
+"""
+
+
 _DC01_SQL = f"""
 WITH b AS (SELECT doc_id, {sql_raw_tokens("lower(text)")} AS toks
            FROM documents),
@@ -960,4 +1077,7 @@ SPECS = [
     QuerySpec("d05_neardup_clusters", d05_neardup_clusters, _D05_SQL),
     QuerySpec("d06_unified_clusters", d06_unified_clusters, _D06_SQL),
     QuerySpec("dc01_decontaminate", dc01_decontaminate, _DC01_SQL),
+    QuerySpec(
+        "dc02_neardup_decontaminate", dc02_neardup_decontaminate, _DC02_SQL
+    ),
 ]
