@@ -43,11 +43,13 @@ PRIORITY: tuple[str, ...] = (
     "p04_coerce_cast",
     "a01_group_count",
     "a08_median_disc",
-    # TPC-H headliners (q17 = correlated scalar-aggregate subquery)
+    # TPC-H headliners (q17 = correlated scalar-aggregate subquery;
+    # q12's two-table agg shape is covered by q1/q3 — the round-5
+    # iterative-graph PageRank takes its slot)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q12_shipmode_priority",
+    "gr01_pagerank",
     "q17_small_qty_revenue",
     # join surface (j06's theta/BNLJ baseline is row-identical to j10's
     # bucketed rewrite, which stays — u02's grouped-map packer takes
@@ -58,33 +60,39 @@ PRIORITY: tuple[str, ...] = (
     "j09_salted_skew_agg",
     "j10_bucketed_range",
     "u02_sequence_pack",
-    # windows / grouping extensions / functions / UDF (w04's rank pair
-    # is shape-covered by w01/w05; t11's passage dedup takes the slot)
-    "w01_row_number_topn",
+    # windows / grouping extensions / functions / UDF (w01's top-N
+    # row_number shape is exercised by p03's keep-first window — the
+    # SCD2 interval build takes its slot; u01's grouped-map UDF shape
+    # stays covered by u02, so MinHash decontamination takes u01's)
+    "w07_scd2_intervals",
     "w03_running_sum",
     "w05_ntile_frames",
     "t11_chunk_dedup",
     "g04_pivot",
     "f03_json_map_funcs",
-    "u01_grouped_minmax",
-    # text analysis
+    "dc02_neardup_decontaminate",
+    # text analysis (t04's per-doc ratio map is shape-covered by
+    # t01/t10 — the two-pass corpus-LM surprisal takes its slot)
     "t01_text_chain",
     "t03_topk_words",
-    "t04_quality_scores",
+    "t13_unigram_surprisal",
     "t05_lang_id",
     "t08_bpe_token_count",
     # deduplication (t06_fingerprint's md5 path is already head-covered
-    # by d01; the cluster collapse d05 takes its slot)
+    # by d01; the cluster collapse d05 takes its slot; d03's chunk
+    # equi-join shape matches d02's band join — the iterative
+    # fixed-point k-means takes d03's slot)
     "d01_exact_dedup",
     "d02_minhash_near_dup",
-    "d03_simhash_near_dup",
+    "ml06_kmeans",
     "d04_ngram_jaccard",
     "d05_neardup_clusters",
-    # similarity search
+    # similarity search (s04's bucketed-probe shape matches s02 — the
+    # PQ asymmetric-distance path takes its slot)
     "s01_cosine_topk",
     "s02_ann_lsh",
     "s03_embedding_neardup",
-    "s04_ivf_ann",
+    "s06_pq_ann",
     # streaming (st02's sliding window is the tumbling shape with
     # overlap, and st08's gapfill is batch-expressible st01 + the
     # left-join spine — st09's stream-stream join takes st08's slot so
@@ -98,12 +106,14 @@ PRIORITY: tuple[str, ...] = (
     "st06_stateful_stats",
     "st07_stream_static_join",
     "st09_stream_stream_join",
-    # ML / multimodal / IO
+    # ML / multimodal / IO (io02's partitioned-parquet roundtrip is
+    # physically exercised by every scratch-sink query — the bucketed
+    # co-located join takes its slot)
     "ml03_train_test_split",
     "mm01_binary_meta",
     "mm03_frame_sample",
     "io01_csv_roundtrip",
-    "io02_parquet_roundtrip",
+    "io05_bucketed_join",
 )
 
 
