@@ -143,6 +143,37 @@ def io05_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def io06_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read — the lakehouse reality that a 100 TB
+    table's files were written over years by different pipeline
+    versions: v1 files carry (key, name), later v2 files add a column.
+    `mergeSchema` unions the footers into one schema and null-fills
+    the missing column in old files; the oracle states the same
+    semantics relationally. Without mergeSchema Spark trusts ONE
+    file's footer and silently drops the new column — the classic
+    quiet-corruption mode this query pins down.
+
+    Scale: schema merge reads footers only (no data pass); at real
+    scale the merged schema comes from the table catalog instead, but
+    the null-fill read semantics are identical."""
+    out = run_scratch("io06_evo_")
+    nation = tables.load(spark, sf_dir, "nation")
+    v1 = nation.filter(F.col("n_nationkey") < 12).select(
+        "n_nationkey", "n_name"
+    )
+    v2 = nation.filter(F.col("n_nationkey") >= 12).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    v1.write.mode("append").parquet(out)
+    v2.write.mode("append").parquet(out)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(out)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
+
+
 SPECS = [
     QuerySpec(
         "io01_csv_roundtrip",
@@ -174,6 +205,16 @@ SPECS = [
                  AS revenue_e4
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+    ),
+    QuerySpec(
+        "io06_schema_evolution",
+        io06_schema_evolution,
+        """
+        SELECT n_nationkey, n_name,
+               CASE WHEN n_nationkey < 12 THEN NULL
+                    ELSE n_regionkey END AS n_regionkey
+        FROM nation ORDER BY n_nationkey
         """,
     ),
 ]
