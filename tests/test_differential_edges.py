@@ -201,13 +201,20 @@ def _compare(spark, sf_dir, name, view):
     for v in views:
         src = f"SELECT * FROM '{sf_dir}/{v}.parquet/*.parquet'"
         if v == "events":
-            # Fixture stores ts as epoch nanos (the driver's physical
-            # layout); present it to the oracle as TIMESTAMP like DuckDB
-            # does natively for TIMESTAMP(NANOS) files.
-            src = (
-                "SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
-                f"FROM ({src})"
-            )
+            # The driver has shipped both physical ts layouts (epoch
+            # nanos-long and timestamp[us]); fixtures deliberately use
+            # both, so branch on the observed type exactly like
+            # sources/tables.py:47 before applying the nanos rewrite.
+            (ts_type,) = [
+                r[1]
+                for r in con.execute(f"DESCRIBE {src}").fetchall()
+                if r[0] == "ts"
+            ]
+            if ts_type == "BIGINT":
+                src = (
+                    "SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+                    f"FROM ({src})"
+                )
         con.execute(f"CREATE VIEW {v} AS {src}")
     cur = con.execute(spec.oracle)
     ocols = [c[0] for c in cur.description]
@@ -272,6 +279,64 @@ def test_fuzz_corpus_matches_oracle(spark, fuzz_dir, name):
 @pytest.mark.parametrize("name", EVENTS_ONLY_QUERIES)
 def test_edge_events_match_oracle(spark, edge_events_dir, name):
     _compare(spark, edge_events_dir, name, "events")
+
+
+# ---------------------------------------------------------------------------
+# Seeded fuzz EVENTS corpus (round 5): 400 random events stored in the
+# CURRENT driver layout (timestamp[us] — the edge fixture keeps the
+# legacy nanos-long layout, so both physical paths stay exercised).
+# Hostile content: skewed users, duplicate (ts, user) pairs, ties at
+# identical timestamps, exact-half cent values (1.125 → both engines
+# must round away from zero), NULL types/values/props, malformed and
+# extreme JSON. ts itself is never NULL (event time is mandatory in
+# the data model, as in the driver corpus).
+# ---------------------------------------------------------------------------
+
+_FUZZ_TYPES = ["view", "view", "view", "click", "purchase", "refund",
+               "signup", "weird", None]
+_FUZZ_VALUES = [None, 0.0, 0.005, 1.125, -1.125, 2.675, -3.75, 10.25,
+                1e9 + 0.25, -0.01, 99.995]
+_FUZZ_PROPS = [None, "{}", "not json", '{"k": 1}', '{"k": -7}',
+               '{"k": "123"}', '{"k": 2.5}', '{"k": "abc"}', '{"k": true}',
+               '{"k": 12345678901234567890}', '{"other": 1}', "[]", ""]
+
+
+@pytest.fixture(scope="module")
+def fuzz_events_dir(spark, tmp_path_factory):
+    import random
+
+    rng = random.Random(4242)
+    base = datetime.datetime(2024, 3, 1)
+    # skewed user pool: user 1 dominates (the salted-agg j09 shape),
+    # plus a tail of one-event users
+    users = [1] * 8 + [2] * 4 + [3, 4, 5, 6, 7, 8, 9, 10]
+    # coarse minute grid → frequent exact-timestamp collisions
+    minutes = [rng.randrange(0, 7 * 24 * 60) for _ in range(60)]
+    rows = []
+    for eid in range(400):
+        ts = base + datetime.timedelta(minutes=rng.choice(minutes))
+        rows.append(
+            (
+                eid,
+                ts,
+                rng.choice(users),
+                rng.choice(_FUZZ_TYPES),
+                rng.choice(_FUZZ_VALUES),
+                rng.choice(_FUZZ_PROPS),
+            )
+        )
+    d = tmp_path_factory.mktemp("fuzz_ev")
+    spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EVENTS_ONLY_QUERIES)
+def test_fuzz_events_match_oracle(spark, fuzz_events_dir, name):
+    _compare(spark, fuzz_events_dir, name, "events")
 
 
 # ---------------------------------------------------------------------------
