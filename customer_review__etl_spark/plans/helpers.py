@@ -32,7 +32,12 @@ def sql_cents(expr: str) -> str:
 
 
 def floor6(col: Column) -> Column:
-    """Deterministic 6-decimal quantization (see module docstring)."""
+    """Deterministic 6-decimal quantization (see module docstring).
+
+    Domain: |x| ≤ ~9.2e12 — Spark's floor() returns LONG, so x*1e6
+    beyond int64 overflows (DuckDB's floor stays DOUBLE and silently
+    diverges there). Callers only quantize ratio/cosine-scale values;
+    tests/test_determinism_corpus.py pins the in-domain contract."""
     return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
 
 
