@@ -951,6 +951,59 @@ def u01_grouped_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(norm, schema)
 
 
+def u03_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA smoothing of event value (alpha = 1/2) in INTEGER
+    cents: ewma_n = (cents_n + ewma_{n-1}) div 2 with truncating
+    division — a genuinely SEQUENTIAL recurrence (each step floors, so
+    no closed-form window sum exists), i.e. the class of per-key
+    ordered state that Spark's window functions cannot express and
+    grouped-map applyInPandas is FOR. NULL values are excluded (no
+    observation, not zero).
+
+    The integer recurrence makes the op fully oracle-checkable: the
+    DuckDB twin replays it as a recursive CTE over per-user row
+    numbers, and truncating div matches Python's sign-aware trunc
+    below. Floating EWMA would drift per engine; this one cannot.
+
+    Scale: one shuffle on user_id; per-group state during the pandas
+    fold is one frame (the documented grouped-map bound, as u01/u02);
+    the recurrence itself is O(rows per user)."""
+    import pandas as pd
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id", "event_id", "ts", cents(F.col("value")).alias("c")
+        )
+    )
+    schema = "user_id BIGINT, event_id BIGINT, ewma_cents BIGINT"
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out, prev = [], None
+        for c in pdf["c"].astype("int64"):
+            q = int(c) if prev is None else int(c) + prev
+            if prev is not None:
+                # truncate toward zero, matching SQL DIV / DuckDB //
+                q = -((-q) // 2) if q < 0 else q // 2
+            prev = q
+            out.append(q)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "ewma_cents": out,
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(smooth, schema)
+        .orderBy("user_id", "event_id")
+    )
+
+
 PACK_BUDGET = 128   # token budget per packed training sequence
 PACK_SHARDS = 8     # deterministic shards; packing is sequential per shard
 
@@ -2525,6 +2578,29 @@ SPECS = [
           FROM r JOIN b ON b.shard = r.shard AND b.rn = r.rn + 1
         )
         SELECT doc_id, shard, n_tokens, seq_id, tok_offset FROM r
+        """,
+    ),
+    QuerySpec(
+        "u03_ewma_smooth",
+        u03_ewma_smooth,
+        f"""
+        WITH RECURSIVE b AS (
+          SELECT user_id, event_id, {sql_cents('value')} AS c,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events WHERE value IS NOT NULL
+        ),
+        rec AS (
+          SELECT user_id, event_id, rn, c AS ewma_cents
+          FROM b WHERE rn = 1
+          UNION ALL
+          SELECT b.user_id, b.event_id, b.rn,
+                 (b.c + rec.ewma_cents) // 2
+          FROM b JOIN rec
+            ON b.user_id = rec.user_id AND b.rn = rec.rn + 1
+        )
+        SELECT user_id, event_id, ewma_cents
+        FROM rec ORDER BY user_id, event_id
         """,
     ),
     QuerySpec(
