@@ -18,8 +18,6 @@ Scale notes:
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -353,21 +351,47 @@ def run_append(stream_df: DataFrame) -> DataFrame:
 def run_available_now(
     stream_df: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:
-    """Execute a streaming DataFrame to completion with AvailableNow
-    into an in-memory table; return the final contents as a batch DF.
+    """Execute a streaming DataFrame to completion with AvailableNow,
+    rewriting the FULL complete-mode result to a per-run parquet dir on
+    each micro-batch; return a LAZY DataFrame over the final write.
 
-    DRIVER-MEMORY CAVEAT: the memory sink materializes the result on
-    the driver — acceptable only for provably small complete-mode
-    outputs (st01/st04/st07: O(windows × types) rows). Streams whose
-    output is O(keys) must use run_append / run_update_latest, which
-    keep the data plane distributed via a parquet sink."""
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    Complete mode re-emits the whole result per batch, so the LAST
+    batch's directory IS the final table (each batch lands under
+    batch=<id>; the read targets the highest id, so a half-written dir
+    from a dying run can never shadow the last complete one). Append
+    mode emits each row exactly once, so the union of all batches is
+    the result — batches accumulate in one flat dir. Either way, and
+    unlike the memory sink this round replaced (round-4 watch-list),
+    output never funnels through driver memory: the result stays a
+    distributed file scan no matter how many windows/keys the
+    aggregation holds. The dir outlives the call (scratch.run_scratch)."""
+    import os
+
+    from ..scratch import run_scratch
+
+    out_dir = run_scratch("stream_cpl_")
+    spark = stream_df.sparkSession
+    schema = stream_df.schema
+    complete = output_mode == "complete"
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        if complete:
+            df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        else:
+            df.write.mode("append").parquet(out_dir)
+
     q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
+        stream_df.writeStream.foreachBatch(sink)
         .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    if not complete:
+        return spark.read.schema(schema).parquet(out_dir)
+    batches = sorted(
+        (int(n.split("=")[1]) for n in os.listdir(out_dir) if "=" in n),
+        reverse=True,
+    )
+    last = f"{out_dir}/batch={batches[0]}" if batches else out_dir
+    return spark.read.schema(schema).parquet(last)
