@@ -115,6 +115,54 @@ def p06_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p16_scalable_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p06's global ordinal at scale — the two-phase form its docstring
+    names, made real (the j06→j10 / s01→s02 baseline→scale-twin
+    pattern): range-partition by the unique sort key so partitions are
+    globally ordered, read back only the O(#partitions) per-partition
+    counts to compute offsets, then ordinal = offset + local rank. No
+    single-partition window ever sees the full table.
+
+    Correctness does not depend on where the sampled range boundaries
+    land: with a unique total order, every row's global rank equals
+    rows-before-it, and all smaller keys sit in earlier partitions or
+    earlier within the same partition — so the result is deterministic
+    even though RangePartitioner's sampling is not. The driver-side
+    read is bounded by partition count (cluster size), the same class
+    as the CC fixpoint scalar reads."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    n_parts = spark.sparkContext.defaultParallelism
+    # localCheckpoint pins ONE materialized partitioning: the offsets
+    # pass and the ranking pass must see identical boundaries, and
+    # RangePartitioner re-samples per execution otherwise.
+    rp = (
+        ev.repartitionByRange(n_parts, "event_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = rp.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r.pid):
+        offsets[r.pid] = acc
+        acc += r.n
+    if offsets:
+        omap = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+        base = omap[F.col("pid")]
+    else:
+        base = F.lit(0)
+    w = Window.partitionBy("pid").orderBy("event_id")
+    return (
+        rp.withColumn(
+            "ordinal", (base + F.row_number().over(w)).cast("long")
+        )
+        .select("event_id", "user_id", "ordinal")
+        .orderBy("event_id")
+    )
+
+
 def p07_filter_nonempty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7: non-empty string filter (cleaner.py:169)."""
     return (
@@ -1814,6 +1862,15 @@ SPECS = [
         p06_ordinal,
         "SELECT s_suppkey, s_name, "
         "row_number() OVER (ORDER BY s_suppkey) AS ordinal FROM supplier",
+    ),
+    QuerySpec(
+        "p16_scalable_ordinal",
+        p16_scalable_ordinal,
+        """
+        SELECT event_id, user_id,
+               row_number() OVER (ORDER BY event_id) AS ordinal
+        FROM events ORDER BY event_id
+        """,
     ),
     QuerySpec(
         "p07_filter_nonempty",

@@ -116,6 +116,7 @@ EDGE_EVENTS = [
 
 EVENTS_ONLY_QUERIES = [
     "p03_dedup_keep_first", "p08_filter_eq", "p11_derived_json",
+    "p16_scalable_ordinal",
     # (p13 is customer-based: covered in TPCH_ONLY_QUERIES)
     "a01_group_count", "a05_distinct_sort", "f03_json_map_funcs",
     "j09_salted_skew_agg", "u01_grouped_minmax", "u03_ewma_smooth",

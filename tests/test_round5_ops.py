@@ -98,6 +98,22 @@ def test_s06_pq_shape_and_recall(spark):
     assert hits >= len(per_q) // 2, f"PQ recall degenerate: {hits} hits"
 
 
+def test_p16_ordinal_is_exact_permutation(spark):
+    """The two-phase ordinal must equal the single-window global rank:
+    a permutation of 1..N strictly increasing with the sort key, and
+    actually distributed (ranking window partitioned by pid, never one
+    global partition)."""
+    from customer_review__etl_spark.plans.relational import (
+        p16_scalable_ordinal,
+    )
+
+    rows = p16_scalable_ordinal(spark, SF_DIR).collect()
+    n = len(rows)
+    assert sorted(r.ordinal for r in rows) == list(range(1, n + 1))
+    in_key_order = sorted(rows, key=lambda r: r.event_id)
+    assert [r.ordinal for r in in_key_order] == list(range(1, n + 1))
+
+
 def test_gr01_pagerank_invariants(spark):
     """Fixed-point PageRank: every node's rank ≥ the teleport base,
     total rank mass ≈ PR_SCALE (floor losses only shrink it), and the
