@@ -204,6 +204,41 @@ def _bands(sigs: DataFrame) -> DataFrame:
     ).select("doc_id", "e.band", "e.bh")
 
 
+def _verify_jaccard(sh: DataFrame, cand: DataFrame, a: str, b: str) -> DataFrame:
+    """Exact-Jaccard verification of a candidate pair set against the
+    shingle stream: |A∩B| via an equi-join on shingle digests, |A∪B|
+    from the per-doc set sizes, keep ≥ JACCARD_MIN. ONE definition
+    shared by d02 (within-corpus pairs) and dc02 (train×eval pairs) so
+    the threshold semantics can never drift between them."""
+    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ea = sh.select(F.col("doc_id").alias(a), F.col("sh").alias("sh_a"))
+    eb = sh.select(F.col("doc_id").alias("_vb"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(ea, a)
+        .join(
+            eb,
+            (F.col(b) == F.col("_vb")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy(a, b)
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = n.select(F.col("doc_id").alias(a), F.col("n").alias("n_a"))
+    nb = n.select(F.col("doc_id").alias(b), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, a)
+        .join(nb, b)
+        .select(
+            a,
+            b,
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+    )
+
+
 def d02_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -227,34 +262,8 @@ def d02_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()
     )
-    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ea = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    eb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
-    inter = (
-        cand.join(ea, "doc_a")
-        .join(
-            eb,
-            (F.col("doc_b") == F.col("doc_b2"))
-            & (F.col("sh_a") == F.col("sh_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    na = n.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_MIN)
-        .orderBy("doc_a", "doc_b")
+    return _verify_jaccard(sh, cand, "doc_a", "doc_b").orderBy(
+        "doc_a", "doc_b"
     )
 
 
@@ -948,34 +957,7 @@ def dc02_neardup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("t_id"), "e_id")
         .distinct()
     )
-    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ta = sh.select(F.col("doc_id").alias("t_id"), F.col("sh").alias("sh_t"))
-    eb = sh.select(F.col("doc_id").alias("e_id2"), F.col("sh").alias("sh_e"))
-    inter = (
-        cand.join(ta, "t_id")
-        .join(
-            eb,
-            (F.col("e_id") == F.col("e_id2"))
-            & (F.col("sh_t") == F.col("sh_e")),
-        )
-        .groupBy("t_id", "e_id")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    nt = n.select(F.col("doc_id").alias("t_id"), F.col("n").alias("n_t"))
-    ne = n.select(F.col("doc_id").alias("e_id"), F.col("n").alias("n_e"))
-    jac = (
-        inter.join(nt, "t_id")
-        .join(ne, "e_id")
-        .select(
-            "t_id",
-            "e_id",
-            (
-                F.col("inter").cast("double")
-                / (F.col("n_t") + F.col("n_e") - F.col("inter")).cast("double")
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_MIN)
-    )
+    jac = _verify_jaccard(sh, cand, "t_id", "e_id")
     wbest = Window.partitionBy("t_id").orderBy(F.desc("jaccard"), "e_id")
     best = (
         jac.withColumn("rn", F.row_number().over(wbest))

@@ -933,15 +933,21 @@ def w07_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("prev", F.lag("event_type").over(w))
         .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
     )
+    # version = per-user change sequence number: the SCD2 row version,
+    # and the tie-break that keeps (user_id, version) a TOTAL order
+    # even when two changes share one timestamp (valid_from alone
+    # would not be — the deterministic-output discipline every plan
+    # follows).
     return (
         changed.select(
             "user_id",
+            F.row_number().over(w).cast("long").alias("version"),
             F.col("event_type").alias("status"),
             F.col("ts").alias("valid_from"),
             F.lead("ts").over(w).alias("valid_to"),
         )
         .withColumn("is_current", F.col("valid_to").isNull().cast("int"))
-        .orderBy("user_id", "valid_from")
+        .orderBy("user_id", "version")
     )
 
 
@@ -2579,13 +2585,15 @@ SPECS = [
         ),
         ch AS (SELECT user_id, event_id, ts, event_type
                FROM c WHERE prev IS NULL OR prev <> event_type)
-        SELECT user_id, event_type AS status, ts AS valid_from,
+        SELECT user_id,
+               row_number() OVER w AS version,
+               event_type AS status, ts AS valid_from,
                lead(ts) OVER w AS valid_to,
                CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END
                  AS is_current
         FROM ch
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        ORDER BY user_id, valid_from
+        ORDER BY user_id, version
         """,
     ),
     QuerySpec("a09_approx_stats", a09_approx_stats, None),

@@ -368,12 +368,17 @@ def t13_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vocabulary of raw tokens is itself large) — then reduces to one
     row per doc. Document bodies are never shuffled."""
     docs = _docs_par(spark, sf_dir)
+    # cache the tokenized stream: it feeds both the frequency pass and
+    # the per-doc probe side — without this the normalize+explode
+    # lineage (the CPU-heavy part) executes twice
     toks = docs.select(
         "doc_id",
         F.explode(T.raw_tokens(T.normalize_text(F.col("text")))).alias("tk"),
-    )
+    ).cache()
     freq = toks.groupBy("tk").agg(F.count(F.lit(1)).alias("cnt"))
-    total = toks.agg(F.count(F.lit(1)).alias("n_corpus"))
+    # corpus total = sum of the vocabulary counts — an O(vocab)
+    # aggregate over freq, never a third scan of the token stream
+    total = freq.agg(F.sum("cnt").alias("n_corpus"))
     bits = (
         toks.join(freq, "tk")
         .crossJoin(F.broadcast(total))

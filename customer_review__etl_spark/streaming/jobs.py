@@ -358,37 +358,38 @@ def run_available_now(
     Complete mode re-emits the whole result per batch, so the LAST
     batch's directory IS the final table (each batch lands under
     batch=<id>; the read targets the highest id, so a half-written dir
-    from a dying run can never shadow the last complete one). Append
-    mode emits each row exactly once, so the union of all batches is
-    the result — batches accumulate in one flat dir. Either way, and
-    unlike the memory sink this round replaced (round-4 watch-list),
-    output never funnels through driver memory: the result stays a
+    from a dying run can never shadow the last complete one). Unlike
+    the memory sink this round replaced (round-4 watch-list), output
+    never funnels through driver memory: the result stays a
     distributed file scan no matter how many windows/keys the
-    aggregation holds. The dir outlives the call (scratch.run_scratch)."""
+    aggregation holds. The dir outlives the call (scratch.run_scratch).
+    Non-complete modes delegate to run_append — one copy of the
+    append-sink discipline."""
     import os
 
     from ..scratch import run_scratch
 
+    if output_mode == "append":
+        return run_append(stream_df)
+    if output_mode != "complete":
+        raise ValueError(
+            "update-mode streams must use run_update_latest (keep-latest "
+            "collapse); run_available_now handles complete/append only"
+        )
     out_dir = run_scratch("stream_cpl_")
     spark = stream_df.sparkSession
     schema = stream_df.schema
-    complete = output_mode == "complete"
 
     def sink(df: DataFrame, batch_id: int) -> None:
-        if complete:
-            df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        else:
-            df.write.mode("append").parquet(out_dir)
+        df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
     q = (
         stream_df.writeStream.foreachBatch(sink)
-        .outputMode(output_mode)
+        .outputMode("complete")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    if not complete:
-        return spark.read.schema(schema).parquet(out_dir)
     batches = sorted(
         (int(n.split("=")[1]) for n in os.listdir(out_dir) if "=" in n),
         reverse=True,

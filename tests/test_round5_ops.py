@@ -52,9 +52,12 @@ def test_w07_intervals_partition_time(spark):
     for user_rows in by_user.values():
         assert sum(r.is_current for r in user_rows) == 1
         assert user_rows[-1].valid_to is None
+        assert [r.version for r in user_rows] == list(
+            range(1, len(user_rows) + 1)
+        )
         for a, b in zip(user_rows, user_rows[1:]):
             assert a.valid_to == b.valid_from
-            assert a.valid_from < b.valid_from
+            assert a.valid_from <= b.valid_from
             assert a.status != b.status
 
 
