@@ -71,6 +71,7 @@ HEADLINE = [
     "d04_ngram_jaccard",
     "d05_neardup_clusters",
     "d06_unified_clusters",
+    "dc02_neardup_decontaminate",
     "s01_cosine_topk",
     "s02_ann_lsh",
     "s04_ivf_ann",
@@ -78,11 +79,16 @@ HEADLINE = [
     "s06_pq_ann",
     "t13_unigram_surprisal",
     "w07_scd2_intervals",
+    "u03_ewma_smooth",
+    "p16_scalable_ordinal",
+    "gr01_pagerank",
+    "ml06_kmeans",
     "st01_tumbling_window",
     "st03_session_window",
     "st09_stream_stream_join",
     "io02_parquet_roundtrip",
     "io05_bucketed_join",
+    "io06_schema_evolution",
 ]
 
 
