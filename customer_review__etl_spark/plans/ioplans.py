@@ -106,7 +106,15 @@ def io05_bucketed_tables(
     swept like any other scratch."""
     if sf_dir in _BUCKETED_CACHE:
         t_orders, t_line = _BUCKETED_CACHE[sf_dir]
-        return spark.table(t_orders), spark.table(t_line)
+        # Catalog entries are session-scoped while this cache is
+        # process-scoped: a fresh SparkSession (e.g. between test
+        # modules) no longer knows the tables, so fall through and
+        # rebuild rather than raising AnalysisException.
+        if spark.catalog.tableExists(t_orders) and spark.catalog.tableExists(
+            t_line
+        ):
+            return spark.table(t_orders), spark.table(t_line)
+        del _BUCKETED_CACHE[sf_dir]
     out = run_scratch("io05_bucket_")
     tag = uuid.uuid4().hex[:8]
     t_orders, t_line = f"io05_orders_{tag}", f"io05_lineitem_{tag}"
@@ -211,8 +219,8 @@ SPECS = [
         f"""
         SELECT o_orderstatus,
                count(1) AS n_items,
-               sum({sql_scaled('l_extendedprice * (1.0 - l_discount)', 4)})
-                 AS revenue_e4
+               CAST(sum({sql_scaled('l_extendedprice * (1.0 - l_discount)', 4)})
+                 AS BIGINT) AS revenue_e4
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
