@@ -2,13 +2,20 @@
 
 Runs each headline query end-to-end (scan → plan → execute → full
 materialization via the no-op sink, so nothing is skipped by laziness
-and no driver-side collect cost pollutes the numbers) and prints ONE
-JSON line:
+and no driver-side collect cost pollutes the numbers).
 
-    {"metric": "wall_sec_total", "value": N, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1,
-     "reps": 2, "sf_small": 0.01, "queries_small": {...},
-     "scale_ratio": {...}}
+Output contract (round-5 VERDICT #3): the consumer keeps only the LAST
+~2000 chars of stdout, so the final printed line must stay compact. The
+full per-query detail (big + small timings, scale ratios) is written to
+`bench_full.json` next to this file; stdout gets ONE short JSON line:
+
+    {"metric": "wall_sec_total", "value": N, "unit": "sec", "sf": 0.1,
+     "reps": 2, "n_queries": 43, "queries": {...only if it fits...},
+     "worst_scale_ratio": {...top 5...}, "detail": "bench_full.json"}
+
+The per-query map is included on stdout only when the whole line still
+fits the 1.5 KB truncation budget; otherwise it lives in the detail
+file alone.
 
 - Each query is timed `reps` times (default 2) and the MINIMUM kept:
   ambient load in a shared sandbox inflates single-shot wall clock by
@@ -82,13 +89,16 @@ HEADLINE = [
     "u03_ewma_smooth",
     "p16_scalable_ordinal",
     "gr01_pagerank",
+    "gr02_triangle_count",
     "ml06_kmeans",
     "st01_tumbling_window",
     "st03_session_window",
     "st09_stream_stream_join",
+    "st10_keyed_upsert",
     "io02_parquet_roundtrip",
     "io05_bucketed_join",
     "io06_schema_evolution",
+    "io07_compaction",
 ]
 
 
@@ -165,7 +175,33 @@ def main() -> int:
             for n in timings
             if small.get(n)
         }
-    print(json.dumps(out))
+
+    # Full detail survives in-repo regardless of stdout truncation.
+    detail_path = Path(__file__).resolve().parent / "bench_full.json"
+    detail_path.write_text(json.dumps(out, indent=1) + "\n")
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "reps": reps,
+        "n_queries": len(timings),
+        "detail": detail_path.name,
+    }
+    ratios = out.get("scale_ratio", {})
+    if ratios:
+        worst = sorted(ratios.items(), key=lambda kv: -kv[1])[:5]
+        compact["worst_scale_ratio"] = dict(worst)
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    compact["slowest"] = dict(slowest)
+    # Only the last ~2000 stdout chars survive; include the full
+    # per-query map only when the line still fits comfortably.
+    with_queries = dict(compact, queries=timings)
+    line = json.dumps(with_queries)
+    if len(line) > 1500:
+        line = json.dumps(compact)
+    print(line)
     return 0
 
 

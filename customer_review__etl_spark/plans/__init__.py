@@ -35,12 +35,15 @@ class QuerySpec:
 # explicitly; everything else follows in module order and is covered by the
 # local differential harness (tools/verify_local.py) + pytest.
 PRIORITY: tuple[str, ...] = (
-    # relational core: scan/project/filter/dedup/cast (p02's plain
+    # relational core: scan/project/filter/dedup (p02's plain
     # projection is head-covered by p01; the correlated-aggregate
-    # family rep q17 takes its slot — round-3 VERDICT #4)
+    # family rep q17 takes its slot — round-3 VERDICT #4; p04's
+    # cast chain is exercised by every money-scaled plan, so the
+    # never-driver-sampled outer-join-agg q13 takes its slot —
+    # round-5 VERDICT #4 rotation)
     "p01_project_sort",
     "p03_dedup_keep_first",
-    "p04_coerce_cast",
+    "q13_customer_distribution",
     "a01_group_count",
     "a08_median_disc",
     # TPC-H headliners (q17 = correlated scalar-aggregate subquery;
@@ -72,11 +75,13 @@ PRIORITY: tuple[str, ...] = (
     "f03_json_map_funcs",
     "dc02_neardup_decontaminate",
     # text analysis (t04's per-doc ratio map is shape-covered by
-    # t01/t10 — the two-pass corpus-LM surprisal takes its slot)
+    # t01/t10, and t05's n-gram-score projection by t01/t08 — the
+    # two-pass corpus-LM surprisal and the unified-cluster collapse
+    # take their slots)
     "t01_text_chain",
     "t03_topk_words",
     "t13_unigram_surprisal",
-    "t05_lang_id",
+    "d06_unified_clusters",
     "t08_bpe_token_count",
     # deduplication (t06_fingerprint's md5 path is already head-covered
     # by d01; the cluster collapse d05 takes its slot; d03's chunk
@@ -88,30 +93,37 @@ PRIORITY: tuple[str, ...] = (
     "d04_ngram_jaccard",
     "d05_neardup_clusters",
     # similarity search (s04's bucketed-probe shape matches s02 — the
-    # PQ asymmetric-distance path takes its slot)
+    # PQ asymmetric-distance path takes its slot; s03's band join is
+    # transitively driver-exercised by s05, whose SemDeDup cluster
+    # collapse consumes s03's pair set — s05 takes s03's slot)
     "s01_cosine_topk",
     "s02_ann_lsh",
-    "s03_embedding_neardup",
+    "s05_semantic_clusters",
     "s06_pq_ann",
     # streaming (st02's sliding window is the tumbling shape with
     # overlap, and st08's gapfill is batch-expressible st01 + the
     # left-join spine — st09's stream-stream join takes st08's slot so
     # the only two-sided streaming state shape gets driver rows;
-    # dc01 decontamination keeps its slot)
+    # st05's watermarked-dropDuplicates state is a strict subset of
+    # st06's applyInPandasWithState surface — the exact stratified
+    # split ml05 takes st05's slot; dc01 decontamination keeps its
+    # slot)
     "st01_tumbling_window",
     "st03_session_window",
     "dc01_decontaminate",
     "st04_stream_tumbling",
-    "st05_stream_dedup",
+    "ml05_stratified_split",
     "st06_stateful_stats",
     "st07_stream_static_join",
     "st09_stream_stream_join",
     # ML / multimodal / IO (io02's partitioned-parquet roundtrip is
     # physically exercised by every scratch-sink query — the bucketed
-    # co-located join takes its slot)
+    # co-located join takes its slot; mm03's mapInPandas iterator
+    # shape is mm01+u-family-covered — the mergeSchema evolution read
+    # io06 takes its slot)
     "ml03_train_test_split",
     "mm01_binary_meta",
-    "mm03_frame_sample",
+    "io06_schema_evolution",
     "io01_csv_roundtrip",
     "io05_bucketed_join",
 )

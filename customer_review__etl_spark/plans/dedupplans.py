@@ -56,27 +56,37 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared edge-set materialization
 # --------------------------------------------------------------------------
 
-# (kind, sf_dir) -> (parquet path, schema). Cluster-collapse consumers
-# (d05, d06, s05) each need a candidate pair set that is ALSO a
-# standalone registry query; without this cache every consumer re-runs
-# the full upstream mining pipeline (shingle → signature → band join →
-# verify), ~7 s of recompute per consumer at sf0.1 (round-4 VERDICT
-# "Next round" #5). Each edge set is computed once per process per
-# sf_dir, landed in run-scratch parquet (the run_append pattern — the
-# dir outlives the query, swept by a later process), and every
-# consumer reads the lazy file scan. At cluster scale this is the
-# standard "materialize shared intermediate to the object store" move;
-# the pair sets are (long, long) rows, so the footprint is tiny
-# relative to the corpus.
+# (kind, sf_dir) -> (parquet path, schema). Two intermediate classes
+# share this cache:
+# - candidate PAIR sets (d02/d03/d04 edges): cluster-collapse consumers
+#   (d05, d06, s05) each need a pair set that is ALSO a standalone
+#   registry query; without this cache every consumer re-runs the full
+#   upstream mining pipeline (shingle → signature → band join →
+#   verify), ~7 s of recompute per consumer at sf0.1 (round-4 VERDICT
+#   "Next round" #5).
+# - TOKEN-STREAM intermediates (the per-doc shingle stream feeding
+#   d02+dc02, the per-doc gram arrays feeding d04+d06) — the CPU-heavy
+#   normalize/tokenize/explode pass, recomputed by every consumer
+#   before round 6 (round-5 VERDICT "Next round" #5).
+# Each entry is computed once per process per sf_dir, landed in
+# run-scratch parquet (the run_append pattern — the dir outlives the
+# query, swept by a later process), and every consumer reads the lazy
+# file scan. At cluster scale this is the standard "materialize shared
+# intermediate to the object store" move; pair sets are (long, long)
+# rows and token streams are bounded by corpus token count, both tiny
+# relative to the raw corpus. Assumes the corpus under sf_dir is
+# immutable for the life of the process (true for the benchmark
+# fixtures); a long-lived service mutating data in place would need an
+# explicit invalidation hook.
 _EDGE_CACHE: dict[tuple[str, str], tuple[str, object]] = {}
 
 
-def materialized_pairs(spark, sf_dir, kind, builder, cols):
+def materialized_df(spark, sf_dir, kind, builder, cols):
     """Return `builder(spark, sf_dir).select(*cols)` backed by a
     once-per-process parquet materialization.
 
     The explicit-schema read keeps the result well-defined even when
-    the pair set is empty (zero part files)."""
+    the result set is empty (zero part files)."""
     key = (kind, sf_dir)
     if key not in _EDGE_CACHE:
         from ..scratch import run_scratch
@@ -87,6 +97,28 @@ def materialized_pairs(spark, sf_dir, kind, builder, cols):
         _EDGE_CACHE[key] = (out, df.schema)
     path, schema = _EDGE_CACHE[key]
     return spark.read.schema(schema).parquet(path)
+
+
+def shingles_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized (doc_id, sh) shingle stream — ONE tokenize +
+    shingle pass per process per corpus, shared by d02 (within-corpus
+    pairs), dc02 (cross train/eval pairs), and transitively d05/d06."""
+    return materialized_df(
+        spark, sf_dir, "shingles", _shingles, ["doc_id", "sh"]
+    )
+
+
+def gram_arrays_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized per-doc char-3-gram arrays — one normalize +
+    gram pass per process per corpus, shared by d04 and (via d04's
+    edge set) d06."""
+    return materialized_df(
+        spark,
+        sf_dir,
+        "d04grams",
+        _d04_gram_arrays,
+        ["doc_id", "lang", "lbucket", "grams", "n"],
+    )
 
 
 def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,8 +276,10 @@ def d02_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shingle → 16 minhashes → 4 LSH bands → candidate pairs sharing any
     band bucket → exact Jaccard via shingle equi-join → keep ≥ 0.5.
+    The shingle stream comes from the once-per-process materialization
+    (shingles_m), so repeat consumers skip the tokenize pass.
     """
-    sh = _shingles(spark, sf_dir).cache()
+    sh = shingles_m(spark, sf_dir)
     bands = _bands(_minhash_sigs(sh))
     b2 = bands.select(
         F.col("doc_id").alias("doc_b"),
@@ -490,7 +524,7 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall for bounded candidate fan-out. In practice near-dups share
     rare grams (typos, names, numbers); tune the cap per corpus via
     SPARK_GRAFT_NGRAM_DF_CAP."""
-    arrays = _d04_gram_arrays(spark, sf_dir).cache()
+    arrays = gram_arrays_m(spark, sf_dir)
     grams = arrays.select(
         "doc_id", "lang", "lbucket", F.explode("grams").alias("g")
     )
@@ -627,7 +661,7 @@ def d05_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster representative (lowest doc_id in its connected component;
     singletons map to themselves) and a survivor flag. Downstream, a
     semi-join on survivor=1 IS the deduplicated corpus."""
-    pairs = materialized_pairs(
+    pairs = materialized_df(
         spark, sf_dir, "d02", d02_minhash_near_dup, ["doc_a", "doc_b"]
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     labels = connected_components(pairs)
@@ -661,9 +695,9 @@ def d06_unified_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     long) pairs — document bodies never reach the CC join. CC cost is
     bounded by the pointer-jumping loop (O(log diameter) rounds)."""
     cols = ["doc_a", "doc_b"]
-    e2 = materialized_pairs(spark, sf_dir, "d02", d02_minhash_near_dup, cols)
-    e3 = materialized_pairs(spark, sf_dir, "d03", d03_simhash_near_dup, cols)
-    e4 = materialized_pairs(spark, sf_dir, "d04", d04_ngram_jaccard, cols)
+    e2 = materialized_df(spark, sf_dir, "d02", d02_minhash_near_dup, cols)
+    e3 = materialized_df(spark, sf_dir, "d03", d03_simhash_near_dup, cols)
+    e4 = materialized_df(spark, sf_dir, "d04", d04_ngram_jaccard, cols)
     edges = (
         e2.union(e3)
         .union(e4)
@@ -940,7 +974,7 @@ def dc02_neardup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification, and exact Jaccard joins on ≤32-byte shingle digests,
     never document bodies. The eval side is NOT assumed broadcastable."""
     mod = F.col("doc_id") % DECON_EVAL_MOD
-    sh = _shingles(spark, sf_dir).cache()
+    sh = shingles_m(spark, sf_dir)
     bands = _bands(_minhash_sigs(sh))
     tb = bands.filter(mod != 0)
     ev = bands.filter(mod == 0).select(

@@ -192,6 +192,51 @@ def io06_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COMPACT_TARGET_BYTES = 1 << 20  # 1 MiB target output file size
+COMPACT_FRAGMENTS = 64          # deliberately fragmented input layout
+
+
+def io07_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the lakehouse maintenance pass every
+    100 TB table needs: streaming/incremental writers leave thousands
+    of KB-sized files per partition, and scan throughput collapses
+    under per-file open/footer overhead. This operator rewrites a
+    fragmented layout (here: `documents` deliberately shattered into
+    COMPACT_FRAGMENTS files) into ceil(bytes / COMPACT_TARGET_BYTES)
+    right-sized files, content-identical.
+
+    Scale manners: the size survey lists file metadata only (an
+    O(#files) driver listing — exactly what real compaction planners
+    like Delta OPTIMIZE do; no data pass). The rewrite uses coalesce(),
+    NOT repartition(): coalesce merges input splits into fewer tasks
+    with ZERO shuffle — each output task concatenates a handful of
+    input files — while repartition would shuffle the full table to
+    move bytes it only needs to concatenate. Bin-packing per task is
+    Spark's own (FilePartition packing under maxPartitionBytes).
+    The read-back is lazy; the oracle (SELECT * over the original
+    table) certifies the rewrite is lossless."""
+    frag_dir = run_scratch("io07_frag_")
+    out_dir = run_scratch("io07_compact_")
+    src = tables.load(spark, sf_dir, "documents")
+    src.repartition(COMPACT_FRAGMENTS).write.mode("overwrite").parquet(
+        frag_dir
+    )
+    # Size survey: metadata-only listing of the fragmented layout.
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(frag_dir)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = sum(
+        f.getLen()
+        for f in fs.listStatus(jvm_path)
+        if f.getPath().getName().endswith(".parquet")
+    )
+    n_out = max(1, -(-total_bytes // COMPACT_TARGET_BYTES))
+    frag = spark.read.schema(src.schema).parquet(frag_dir)
+    frag.coalesce(n_out).write.mode("overwrite").parquet(out_dir)
+    return spark.read.schema(src.schema).parquet(out_dir).select(
+        *src.columns
+    )
+
+
 SPECS = [
     QuerySpec(
         "io01_csv_roundtrip",
@@ -224,6 +269,11 @@ SPECS = [
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
+    ),
+    QuerySpec(
+        "io07_compaction",
+        io07_compaction,
+        "SELECT * FROM documents",
     ),
     QuerySpec(
         "io06_schema_evolution",

@@ -316,9 +316,9 @@ def s05_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banded-LSH candidate join, components via min-label
     propagation with pointer jumping (O(log diameter) rounds), output
     is a left join of the full collection against the label map."""
-    from .dedupplans import connected_components, materialized_pairs
+    from .dedupplans import connected_components, materialized_df
 
-    pairs = materialized_pairs(
+    pairs = materialized_df(
         spark, sf_dir, "s03", s03_embedding_neardup, ["vec_a", "vec_b"]
     ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
     labels = connected_components(pairs)

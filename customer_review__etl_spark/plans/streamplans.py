@@ -164,6 +164,23 @@ def st08_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st10_keyed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert: the events stream merged into a
+    latest-row-per-user snapshot (jobs.run_keyed_upsert — versioned
+    parquet MERGE via foreachBatch). The (ts, event_id) order is total,
+    so the final snapshot is batch-chop-independent and equals the SQL
+    oracle's global latest-per-user."""
+    ev = jobs.stream_events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    out = jobs.run_keyed_upsert(
+        ev, keys=["user_id"], order_cols=["ts", "event_id"]
+    )
+    return out.withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    ).orderBy("user_id")
+
+
 def st09_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STREAM interval join (view → same-user purchase within
     1 hour: conversion attribution), run as a genuine two-sided
@@ -301,6 +318,18 @@ SPECS = [
          AND v.event_type = 'view' AND p.event_type = 'purchase'
          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '1 hour'
         ORDER BY view_id, purchase_id
+        """,
+    ),
+    QuerySpec(
+        "st10_keyed_upsert",
+        st10_keyed_upsert,
+        """
+        SELECT user_id, event_id, ts, event_type, value FROM (
+          SELECT user_id, event_id, ts, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1
+        ORDER BY user_id
         """,
     ),
 ]

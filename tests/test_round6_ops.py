@@ -1,0 +1,99 @@
+"""Round-6 operators: triangle counting (gr02), small-file compaction
+(io07), streaming keyed upsert (st10) — plan-shape and invariant tests
+beyond the differential oracle gate."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_gr02_no_cartesian_and_credit_sum(spark):
+    """The degree-ordered wedge join must stay a hash join (an all-pairs
+    fallback would defeat the O(m^1.5) bound), and total per-node credit
+    must be 3× the number of triangles (each triangle credits exactly
+    its three vertices)."""
+    from customer_review__etl_spark.plans import graphplans
+
+    df = graphplans.gr02_triangle_count(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    total_credit = df.agg(F.sum("n_triangles")).collect()[0][0]
+    assert total_credit % 3 == 0
+    spark.catalog.clearCache()
+
+
+def test_io07_compacts_to_computed_file_count(spark):
+    """The rewrite must actually reduce file count to the size-derived
+    target, not just roundtrip the rows."""
+    import glob
+
+    from customer_review__etl_spark.plans import ioplans
+
+    from customer_review__etl_spark.sources import tables
+
+    df = ioplans.io07_compaction(spark, SF_DIR)
+    n_docs = tables.load(spark, SF_DIR, "documents").count()
+    assert df.count() == n_docs  # roundtripped, content-complete
+    # the compacted dir is the newest io07_compact_* under this
+    # process's run-scratch root
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp",
+        f"run_{os.getpid()}_*",
+        "io07_compact_*",
+    )
+    dirs = sorted(glob.glob(root), key=os.path.getmtime)
+    assert dirs, "compacted scratch dir not found"
+    files = [f for f in os.listdir(dirs[-1]) if f.endswith(".parquet")]
+    # sf0.001 documents are far under the 1 MiB target → exactly 1 file,
+    # down from the 64 deliberately fragmented inputs
+    assert len(files) == 1
+
+
+def test_st10_upsert_is_batch_chop_independent(spark, tmp_path):
+    """Replay the same events in MANY micro-batches (one file each) and
+    assert the final snapshot still equals the global latest-per-key —
+    the MERGE correctness property run_keyed_upsert claims."""
+    from customer_review__etl_spark.sources import tables
+    from customer_review__etl_spark.streaming import jobs
+
+    ev = tables.load(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    # shatter into 8 files so AvailableNow+maxFilesPerTrigger=1 yields
+    # 8 micro-batches arriving in arbitrary file order
+    src = str(tmp_path / "events_multi")
+    ev.repartition(8).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = jobs.run_keyed_upsert(
+        stream, keys=["user_id"], order_cols=["ts", "event_id"]
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    want = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert got_rows == want_rows
+    assert len(got_rows) == ev.select("user_id").distinct().count()
