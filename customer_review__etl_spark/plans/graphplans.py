@@ -41,7 +41,7 @@ PR_ITERS = 3          # fixed, unrolled in the oracle
 PR_D_NUM, PR_D_DEN = 85, 100  # damping 0.85 as an integer ratio
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _copurchase_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed edge list (src, dst) of the co-purchase graph: both
     directions of every within-order part pair, deduplicated across
     orders. NULL part keys drop (no node identity)."""
@@ -62,6 +62,20 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
+    )
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-purchase edge list, materialized once per process per
+    corpus (dedupplans.materialized_df): the lineitem self-join +
+    distinct is the expensive part of BOTH gr01 and gr02, and gr01
+    additionally rescans the edges every PageRank iteration — one
+    parquet landing serves them all (the shared-intermediate move,
+    round-5 VERDICT #5 applied to the graph family)."""
+    from .dedupplans import materialized_df
+
+    return materialized_df(
+        spark, sf_dir, "copurchase", _copurchase_edges_build, ["src", "dst"]
     )
 
 
