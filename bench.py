@@ -99,6 +99,7 @@ HEADLINE = [
     "io05_bucketed_join",
     "io06_schema_evolution",
     "io07_compaction",
+    "io08_dynamic_partition_overwrite",
 ]
 
 

@@ -65,9 +65,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   verify), ~7 s of recompute per consumer at sf0.1 (round-4 VERDICT
 #   "Next round" #5).
 # - TOKEN-STREAM intermediates (the per-doc shingle stream feeding
-#   d02+dc02, the per-doc gram arrays feeding d04+d06) — the CPU-heavy
-#   normalize/tokenize/explode pass, recomputed by every consumer
-#   before round 6 (round-5 VERDICT "Next round" #5).
+#   d02+dc02) — the CPU-heavy normalize/tokenize/explode pass,
+#   recomputed by every consumer before round 6 (round-5 VERDICT
+#   "Next round" #5). d04's gram arrays deliberately stay a per-call
+#   .cache() — they have no second consumer (see d04_ngram_jaccard).
 # Each entry is computed once per process per sf_dir, landed in
 # run-scratch parquet (the run_append pattern — the dir outlives the
 # query, swept by a later process), and every consumer reads the lazy
@@ -105,19 +106,6 @@ def shingles_m(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs), dc02 (cross train/eval pairs), and transitively d05/d06."""
     return materialized_df(
         spark, sf_dir, "shingles", _shingles, ["doc_id", "sh"]
-    )
-
-
-def gram_arrays_m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The materialized per-doc char-3-gram arrays — one normalize +
-    gram pass per process per corpus, shared by d04 and (via d04's
-    edge set) d06."""
-    return materialized_df(
-        spark,
-        sf_dir,
-        "d04grams",
-        _d04_gram_arrays,
-        ["doc_id", "lang", "lbucket", "grams", "n"],
     )
 
 
@@ -523,8 +511,14 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     its block is never considered — the cap trades unbounded worst-case
     recall for bounded candidate fan-out. In practice near-dups share
     rare grams (typos, names, numbers); tune the cap per corpus via
-    SPARK_GRAFT_NGRAM_DF_CAP."""
-    arrays = gram_arrays_m(spark, sf_dir)
+    SPARK_GRAFT_NGRAM_DF_CAP.
+
+    The gram arrays stay an in-memory .cache(), NOT a materialized_df
+    parquet: d04 is their only direct consumer (d05/d06 consume d04's
+    materialized PAIR set, never the raw grams), so a parquet landing
+    would pay the big array column's write+3×decode for zero sharing —
+    measured ≈ equal steady-state and +60% on the first call."""
+    arrays = _d04_gram_arrays(spark, sf_dir).cache()
     grams = arrays.select(
         "doc_id", "lang", "lbucket", F.explode("grams").alias("g")
     )

@@ -192,6 +192,47 @@ def io06_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The partition the incremental batch rewrites (nation 8 exists in
+# every fixture scale, including the 10-supplier sf0.001).
+IO08_PART = 8
+
+
+def io08_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite — the incremental-reload primitive:
+    an hourly/daily job recomputes ONE partition of a 100 TB table and
+    must replace exactly that partition, leaving every other partition's
+    files untouched. With partitionOverwriteMode=dynamic, the overwrite
+    commits only the partitions present in the incoming batch; the
+    STATIC default would instead wipe the whole table — the classic
+    quiet-data-loss mode this query pins down (the oracle's row count
+    covers all 25 partitions, so a static wipe fails loudly).
+
+    Here: supplier lands partitioned by s_nationkey, then an updated
+    batch for nation IO08_PART (name uppercased — a deterministic,
+    hash-exact transform) overwrites just that partition; the read-back
+    must equal base rows everywhere else + updated rows there.
+
+    Scale: the overwrite's write amplification is O(changed partition),
+    not O(table); commit is an atomic directory swap per partition."""
+    out = run_scratch("io08_dynover_")
+    src = tables.load(spark, sf_dir, "supplier")
+    src.write.partitionBy("s_nationkey").mode("overwrite").parquet(out)
+    updated = (
+        src.filter(F.col("s_nationkey") == IO08_PART)
+        .withColumn("s_name", F.upper(F.col("s_name")))
+    )
+    (
+        updated.write.partitionBy("s_nationkey")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    df = spark.read.schema(src.schema).parquet(out).select(*src.columns)
+    return df.withColumn("s_nationkey", df["s_nationkey"].cast("int"))
+
+
 COMPACT_TARGET_BYTES = 1 << 20  # 1 MiB target output file size
 COMPACT_FRAGMENTS = 64          # deliberately fragmented input layout
 
@@ -274,6 +315,17 @@ SPECS = [
         "io07_compaction",
         io07_compaction,
         "SELECT * FROM documents",
+    ),
+    QuerySpec(
+        "io08_dynamic_partition_overwrite",
+        io08_dynamic_partition_overwrite,
+        f"""
+        SELECT s_suppkey,
+               CASE WHEN s_nationkey = {IO08_PART}
+                    THEN upper(s_name) ELSE s_name END AS s_name,
+               s_nationkey, s_acctbal
+        FROM supplier
+        """,
     ),
     QuerySpec(
         "io06_schema_evolution",

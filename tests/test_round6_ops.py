@@ -61,6 +61,51 @@ def test_io07_compacts_to_computed_file_count(spark):
     assert len(files) == 1
 
 
+def test_io08_overwrites_only_the_changed_partition(spark):
+    """Dynamic mode must leave every other partition's files physically
+    untouched (the write-amplification claim): after the second write,
+    only partition s_nationkey=IO08_PART has newer files than the base
+    load — and all 25 partitions are still present (a static overwrite
+    would have wiped the other 24)."""
+    import glob
+
+    from customer_review__etl_spark.plans import ioplans
+
+    from customer_review__etl_spark.sources import tables
+
+    src = tables.load(spark, SF_DIR, "supplier")
+    n_parts = src.select("s_nationkey").distinct().count()
+    df = ioplans.io08_dynamic_partition_overwrite(spark, SF_DIR)
+    parts = df.select("s_nationkey").distinct().count()
+    assert parts == n_parts  # static mode would leave 1
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp",
+        f"run_{os.getpid()}_*",
+        "io08_dynover_*",
+    )
+    dirs = sorted(glob.glob(root), key=os.path.getmtime)
+    assert dirs, "io08 scratch dir not found"
+    out = dirs[-1]
+
+    def newest_mtime(part_dir: str) -> int:
+        return max(
+            os.stat(f).st_mtime_ns
+            for f in glob.glob(os.path.join(part_dir, "*.parquet"))
+        )
+
+    touched = newest_mtime(
+        os.path.join(out, f"s_nationkey={ioplans.IO08_PART}")
+    )
+    others = [
+        newest_mtime(d)
+        for d in glob.glob(os.path.join(out, "s_nationkey=*"))
+        if not d.endswith(f"s_nationkey={ioplans.IO08_PART}")
+    ]
+    assert len(others) == n_parts - 1
+    assert all(touched > m for m in others)
+
+
 def test_st10_upsert_is_batch_chop_independent(spark, tmp_path):
     """Replay the same events in MANY micro-batches (one file each) and
     assert the final snapshot still equals the global latest-per-key —
