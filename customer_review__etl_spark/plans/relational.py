@@ -1058,6 +1058,48 @@ def u03_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def u04_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4's fifth Python-surface shape, completing
+    SURVEY §2.9: pandas_udf / applyInPandas / mapInPandas /
+    applyInPandasWithState / udtf): a table function that explodes each
+    document into its '[.!?]'-delimited sentence fragments with
+    positions, consumed through a LATERAL correlated join.
+
+    Arrow-optimized (useArrow=True) so rows cross the Python boundary
+    in batches, keeping the no-row-at-a-time-pickling invariant the
+    other four shapes hold. The op itself is deliberately
+    SQL-expressible (regexp split + posexplode) so it carries a full
+    DuckDB oracle — the point is gating the UDTF execution path, the
+    lateral correlation, and the schema contract, exactly as u01 gates
+    grouped-map against its window twin.
+
+    Scale: the UDTF is a narrow per-row flatMap — no shuffle at all
+    until the output sort; state is one row's fragments."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos BIGINT, sentence STRING", useArrow=True)
+    class SentenceSplit:
+        def eval(self, text):
+            i = 0
+            for p in _re.split(r"[.!?]", text or ""):
+                if p:
+                    i += 1
+                    yield i, p
+
+    spark.udtf.register("u04_sentences", SentenceSplit)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.sentence
+        FROM {docs} d, LATERAL u04_sentences(d.text) s
+        ORDER BY d.doc_id, s.pos
+        """,
+        docs=docs,
+    )
+
+
 PACK_BUDGET = 128   # token budget per packed training sequence
 PACK_SHARDS = 8     # deterministic shards; packing is sequential per shard
 
@@ -2666,6 +2708,21 @@ SPECS = [
         )
         SELECT user_id, event_id, ewma_cents
         FROM rec ORDER BY user_id, event_id
+        """,
+    ),
+    QuerySpec(
+        "u04_sentence_udtf",
+        u04_sentence_udtf,
+        """
+        WITH s AS (
+          SELECT doc_id,
+                 list_filter(
+                   string_split_regex(coalesce(text, ''), '[.!?]'),
+                   x -> x <> '') AS parts
+          FROM documents)
+        SELECT doc_id, i AS pos, parts[i] AS sentence
+        FROM s, UNNEST(range(1, len(parts) + 1)) AS u(i)
+        ORDER BY doc_id, pos
         """,
     ),
     QuerySpec(

@@ -106,6 +106,35 @@ def test_io08_overwrites_only_the_changed_partition(spark):
     assert all(touched > m for m in others)
 
 
+def test_u04_udtf_explodes_multisentence_docs(spark):
+    """The fixture corpus has punctuation-free docs (1 fragment each),
+    so pin the actual explosion semantics on a crafted corpus: empty
+    fragments dropped, positions 1-based per doc, NULL text → 0 rows."""
+    from customer_review__etl_spark.plans import relational
+
+    # registers u04_sentences as a side effect
+    relational.u04_sentence_udtf(spark, SF_DIR).limit(1).collect()
+    df = spark.createDataFrame(
+        [(1, "one. two! three?"), (2, "..."), (3, None), (4, "solo")],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.sentence
+        FROM {d} d, LATERAL u04_sentences(d.text) s
+        ORDER BY d.doc_id, s.pos
+        """,
+        d=df,
+    ).collect()
+    got = [(r.doc_id, r.pos, r.sentence) for r in rows]
+    assert got == [
+        (1, 1, "one"),
+        (1, 2, " two"),
+        (1, 3, " three"),
+        (4, 1, "solo"),
+    ]
+
+
 def test_st10_upsert_is_batch_chop_independent(spark, tmp_path):
     """Replay the same events in MANY micro-batches (one file each) and
     assert the final snapshot still equals the global latest-per-key —
