@@ -87,6 +87,7 @@ HEADLINE = [
     "t13_unigram_surprisal",
     "w07_scd2_intervals",
     "u03_ewma_smooth",
+    "u04_sentence_udtf",
     "p16_scalable_ordinal",
     "gr01_pagerank",
     "gr02_triangle_count",
@@ -95,6 +96,7 @@ HEADLINE = [
     "st03_session_window",
     "st09_stream_stream_join",
     "st10_keyed_upsert",
+    "st11_incremental_resume",
     "io02_parquet_roundtrip",
     "io05_bucketed_join",
     "io06_schema_evolution",

@@ -181,6 +181,33 @@ def st10_keyed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def st11_incremental_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed incremental catch-up, end-to-end under the hash
+    gate: half the events land, an AvailableNow pass drains them; the
+    other half lands, a SECOND pass (same durable checkpoint) processes
+    only the delta into idempotent per-batch dirs
+    (jobs.run_incremental). The union of both passes must equal the
+    full table — any reprocessing (duplicate ids) or missed delta
+    breaks the oracle's row count/hash. This is the reference's hourly
+    DAG recompute (ml_pipeline_dag.py:37) done as an incremental
+    stream instead of a full rerun."""
+    from ..scratch import run_scratch
+
+    src = run_scratch("st11_src_")
+    ckpt = run_scratch("st11_ckpt_")
+    out = run_scratch("st11_out_")
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+
+    def stream() -> DataFrame:
+        return spark.readStream.schema(ev.schema).parquet(src)
+
+    jobs.run_incremental(stream(), ckpt, out)
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+    final = jobs.run_incremental(stream(), ckpt, out)
+    return final.orderBy("event_id")
+
+
 def st09_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STREAM interval join (view → same-user purchase within
     1 hour: conversion attribution), run as a genuine two-sided
@@ -330,6 +357,14 @@ SPECS = [
                                     ORDER BY ts DESC, event_id DESC) AS rn
           FROM events) WHERE rn = 1
         ORDER BY user_id
+        """,
+    ),
+    QuerySpec(
+        "st11_incremental_resume",
+        st11_incremental_resume,
+        """
+        SELECT event_id, user_id, event_type FROM events
+        ORDER BY event_id
         """,
     ),
 ]

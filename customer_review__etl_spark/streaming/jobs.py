@@ -315,6 +315,50 @@ def run_update_latest(stream_df: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def run_incremental(
+    stream_df: DataFrame, checkpoint_dir: str, out_dir: str
+) -> DataFrame:
+    """Append-mode AvailableNow pass with a DURABLE checkpoint — the
+    production "catch-up on schedule" shape (the reference's hourly
+    Airflow DAG, ml_pipeline_dag.py:37, done incrementally instead of
+    as a full recompute): each call processes exactly the source files
+    the checkpoint has not yet recorded, then stops. Calling it again
+    after new files land processes only the delta.
+
+    Exactly-once discipline: each micro-batch lands in its own
+    ``batch=<id>`` directory with overwrite — idempotent on retry, so
+    a batch replayed after a mid-write crash cannot double-append
+    (the standard idempotent-sink contract foreachBatch requires;
+    batch ids are monotone across restarts because they live in the
+    checkpoint). The returned DataFrame is a lazy partition-discovery
+    scan over all batch dirs written so far."""
+    spark = stream_df.sparkSession
+    schema = stream_df.schema
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import os
+
+    has_batches = os.path.isdir(out_dir) and any(
+        n.startswith("batch=") for n in os.listdir(out_dir)
+    )
+    if not has_batches:
+        return spark.createDataFrame([], schema)
+    # partition discovery adds the batch column; project it back off
+    return spark.read.schema(schema).parquet(out_dir).select(
+        *[f.name for f in schema.fields]
+    )
+
+
 def run_keyed_upsert(
     stream_df: DataFrame, keys: list[str], order_cols: list[str]
 ) -> DataFrame:

@@ -135,6 +135,51 @@ def test_u04_udtf_explodes_multisentence_docs(spark):
     ]
 
 
+def test_run_incremental_checkpoint_resume(spark, tmp_path):
+    """The durable-checkpoint catch-up contract: a second run after new
+    source files land processes ONLY the delta — every event_id appears
+    exactly once in the cumulative sink, and the first run's batch dirs
+    are not rewritten."""
+    import glob
+
+    from customer_review__etl_spark.sources import tables
+    from customer_review__etl_spark.streaming import jobs
+
+    ev = tables.load(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    a.write.mode("append").parquet(src)
+
+    def stream():
+        return spark.readStream.schema(ev.schema).parquet(src)
+
+    got1 = jobs.run_incremental(stream(), ckpt, out)
+    assert got1.count() == a.count()
+    first_dirs = {
+        d: max(
+            os.stat(f).st_mtime_ns for f in glob.glob(os.path.join(d, "*"))
+        )
+        for d in glob.glob(os.path.join(out, "batch=*"))
+    }
+
+    b.write.mode("append").parquet(src)
+    got2 = jobs.run_incremental(stream(), ckpt, out)
+    assert got2.count() == ev.count()
+    assert (
+        got2.select("event_id").distinct().count() == ev.count()
+    )  # each id exactly once — the delta run didn't reprocess A
+    for d, mtime in first_dirs.items():
+        still = max(
+            os.stat(f).st_mtime_ns for f in glob.glob(os.path.join(d, "*"))
+        )
+        assert still == mtime, f"first run's {d} was rewritten"
+
+
 def test_st10_upsert_is_batch_chop_independent(spark, tmp_path):
     """Replay the same events in MANY micro-batches (one file each) and
     assert the final snapshot still equals the global latest-per-key —
