@@ -102,6 +102,7 @@ HEADLINE = [
     "io06_schema_evolution",
     "io07_compaction",
     "io08_dynamic_partition_overwrite",
+    "io09_table_diff",
 ]
 
 

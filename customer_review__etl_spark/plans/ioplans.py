@@ -233,6 +233,83 @@ def io08_dynamic_partition_overwrite(
     return df.withColumn("s_nationkey", df["s_nationkey"].cast("int"))
 
 
+# io09's deterministic v2 mutation constants (mirrored in the oracle):
+# suppliers of this nation get renamed, every k-th key is deleted, and
+# clones of nation-3 suppliers (key + offset) are inserted.
+IO09_RENAME_NATION = 8
+IO09_DELETE_MOD = 7
+IO09_INSERT_NATION = 3
+IO09_INSERT_OFFSET = 100_000
+
+
+def io09_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table reconciliation (data diff) — the anti-entropy primitive for
+    100 TB pipelines: given two versions of a keyed table, emit one row
+    per differing key classified added / removed / changed. Used to
+    validate a migration, audit an incremental load (io08), or diff a
+    replica against its source.
+
+    Scale manners: each side is first collapsed to (key, md5 of the
+    non-key columns) — a narrow map-side projection — so the full outer
+    join shuffles 16-byte digests, never row bodies; 'same' rows are
+    filtered out before any wide work. Row-identical semantics on both
+    engines because md5-over-concat is byte-deterministic (the same
+    construction as d01's content fingerprint).
+
+    The v2 side here is a deterministic in-plan mutation of supplier
+    (rename one nation's suppliers, delete every IO09_DELETE_MOD-th
+    key, insert offset-keyed clones of nation IO09_INSERT_NATION), so
+    the oracle can state the expected diff exactly."""
+    src = tables.load(spark, sf_dir, "supplier")
+    v2 = (
+        src.filter(F.col("s_suppkey") % IO09_DELETE_MOD != 0)
+        .withColumn(
+            "s_name",
+            F.when(
+                F.col("s_nationkey") == IO09_RENAME_NATION,
+                F.upper(F.col("s_name")),
+            ).otherwise(F.col("s_name")),
+        )
+        .unionByName(
+            src.filter(F.col("s_nationkey") == IO09_INSERT_NATION).select(
+                (F.col("s_suppkey") + IO09_INSERT_OFFSET).alias("s_suppkey"),
+                "s_name",
+                "s_nationkey",
+                "s_acctbal",
+            )
+        )
+    )
+
+    # Digest covers the string/int payload columns; the DOUBLE acctbal
+    # is deliberately excluded — float-to-string rendering is
+    # engine-specific, so a text-concat digest over it would be
+    # non-portable (a real deployment hashes a canonical binary row
+    # encoding, or integer cents for money).
+    def digest(df: DataFrame) -> DataFrame:
+        return df.select(
+            "s_suppkey",
+            F.md5(
+                F.concat_ws("\x1f", F.col("s_name"), F.col("s_nationkey"))
+            ).alias("h"),
+        )
+
+    a = digest(src).withColumnRenamed("h", "h_a")
+    b = digest(v2).withColumnRenamed("h", "h_b")
+    return (
+        a.join(b, "s_suppkey", "full_outer")
+        .select(
+            "s_suppkey",
+            F.when(F.col("h_a").isNull(), F.lit("added"))
+            .when(F.col("h_b").isNull(), F.lit("removed"))
+            .when(F.col("h_a") != F.col("h_b"), F.lit("changed"))
+            .otherwise(F.lit("same"))
+            .alias("change"),
+        )
+        .filter(F.col("change") != "same")
+        .orderBy("s_suppkey")
+    )
+
+
 COMPACT_TARGET_BYTES = 1 << 20  # 1 MiB target output file size
 COMPACT_FRAGMENTS = 64          # deliberately fragmented input layout
 
@@ -325,6 +402,39 @@ SPECS = [
                     THEN upper(s_name) ELSE s_name END AS s_name,
                s_nationkey, s_acctbal
         FROM supplier
+        """,
+    ),
+    QuerySpec(
+        "io09_table_diff",
+        io09_table_diff,
+        f"""
+        WITH v2 AS (
+          SELECT s_suppkey,
+                 CASE WHEN s_nationkey = {IO09_RENAME_NATION}
+                      THEN upper(s_name) ELSE s_name END AS s_name,
+                 s_nationkey
+          FROM supplier WHERE s_suppkey % {IO09_DELETE_MOD} <> 0
+          UNION ALL
+          SELECT s_suppkey + {IO09_INSERT_OFFSET}, s_name, s_nationkey
+          FROM supplier WHERE s_nationkey = {IO09_INSERT_NATION}
+        ),
+        a AS (SELECT s_suppkey,
+                     md5(concat_ws(chr(31), s_name, s_nationkey)) AS h_a
+              FROM supplier),
+        b AS (SELECT s_suppkey,
+                     md5(concat_ws(chr(31), s_name, s_nationkey)) AS h_b
+              FROM v2)
+        SELECT coalesce(a.s_suppkey, b.s_suppkey) AS s_suppkey,
+               CASE WHEN a.s_suppkey IS NULL THEN 'added'
+                    WHEN b.s_suppkey IS NULL THEN 'removed'
+                    WHEN h_a <> h_b THEN 'changed'
+                    ELSE 'same' END AS change
+        FROM a FULL OUTER JOIN b ON a.s_suppkey = b.s_suppkey
+        WHERE CASE WHEN a.s_suppkey IS NULL THEN 'added'
+                   WHEN b.s_suppkey IS NULL THEN 'removed'
+                   WHEN h_a <> h_b THEN 'changed'
+                   ELSE 'same' END <> 'same'
+        ORDER BY s_suppkey
         """,
     ),
     QuerySpec(
