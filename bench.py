@@ -91,6 +91,10 @@ HEADLINE = [
     "p16_scalable_ordinal",
     "gr01_pagerank",
     "gr02_triangle_count",
+    "gr03_khop_reachability",
+    "t14_heavy_hitters",
+    "j11_fuzzy_blocked_join",
+    "io10_zorder_cluster",
     "ml06_kmeans",
     "st01_tumbling_window",
     "st03_session_window",

@@ -257,6 +257,79 @@ def gr02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KHOP_SEED_MOD = 97  # seed set: every 97th part key (deterministic)
+KHOP_HOPS = 3       # fixed frontier depth, unrolled in the oracle
+
+
+def gr03_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop BFS reachability: from a deterministic seed set (every
+    KHOP_SEED_MOD-th node), find every node within KHOP_HOPS hops on
+    the co-purchase graph and its minimum hop distance — the
+    neighborhood-expansion primitive behind recommendation candidate
+    generation and graph feature extraction.
+
+    Implementation is frontier-free relational BFS: dist_h = min-hop
+    table after h rounds; each round joins the FULL dist table to the
+    edge list and re-minimizes. Re-joining the whole dist table (not
+    just the new frontier) costs one extra scan per round but keeps
+    every round the identical equi-join + partial-aggregatable min —
+    no anti-join/subtract shuffle, no driver-side frontier state. At
+    100 TB each round shuffles only (long, int) pairs; fixed hop count
+    = fixed stage count, and the edge list is the materialized shared
+    intermediate (cached across rounds)."""
+    edges = _copurchase_edges(spark, sf_dir).cache()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    dist = nodes.filter(F.col("node") % KHOP_SEED_MOD == 0).select(
+        "node", F.lit(0).cast("long").alias("hops")
+    )
+    for _ in range(KHOP_HOPS):
+        step = (
+            edges.join(dist, edges["src"] == dist["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("hops") + F.lit(1)).alias("hops"),
+            )
+        )
+        dist = (
+            dist.unionByName(step)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+    return dist.orderBy("node")
+
+
+def _khop_oracle() -> str:
+    """Unrolled BFS rounds: d{h+1} = min-hop over d{h} ∪ (edges ⋈ d{h})."""
+    rounds = ",".join(
+        f"""
+    d{h + 1} AS (
+      SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM (
+        SELECT node, hops FROM d{h}
+        UNION ALL
+        SELECT e.dst AS node, d.hops + 1 AS hops
+        FROM edges e JOIN d{h} d ON e.src = d.node
+      ) GROUP BY node
+    )"""
+        for h in range(KHOP_HOPS)
+    )
+    return f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      FROM lineitem WHERE l_partkey IS NOT NULL
+    ),
+    edges AS (
+      SELECT DISTINCT a.pk AS src, b.pk AS dst
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+    ),
+    d0 AS (
+      SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS hops
+      FROM edges WHERE src % {KHOP_SEED_MOD} = 0
+    ),
+    {rounds}
+    SELECT node, hops FROM d{KHOP_HOPS} ORDER BY node
+    """
+
+
 _GR02_SQL = """
 WITH li AS (
   SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
@@ -290,4 +363,5 @@ ORDER BY n.node
 SPECS = [
     QuerySpec("gr01_pagerank", gr01_pagerank, _pr_oracle()),
     QuerySpec("gr02_triangle_count", gr02_triangle_count, _GR02_SQL),
+    QuerySpec("gr03_khop_reachability", gr03_khop_reachability, _khop_oracle()),
 ]

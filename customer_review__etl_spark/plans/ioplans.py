@@ -355,6 +355,76 @@ def io07_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spread16(expr: str) -> str:
+    """Bit-spread of a 16-bit value to even bit positions (the classic
+    shift-or-mask interleave ladder) — plain integer arithmetic, valid
+    in BOTH Spark SQL and DuckDB, so one string serves engine and
+    oracle. Masks are the usual 0x00FF00FF / 0x0F0F0F0F / 0x33333333 /
+    0x55555555 ladder in decimal."""
+    x = f"(CAST({expr} AS BIGINT) & 65535)"
+    x = f"(({x} | ({x} << 8)) & 16711935)"
+    x = f"(({x} | ({x} << 4)) & 252645135)"
+    x = f"(({x} | ({x} << 2)) & 858993459)"
+    x = f"(({x} | ({x} << 1)) & 1431655765)"
+    return x
+
+
+def _morton(a: str, b: str) -> str:
+    """32-bit Morton (Z-order) code interleaving two 16-bit keys."""
+    return f"({_spread16(a)} | ({_spread16(b)} << 1))"
+
+
+IO10_FILES = 8    # range partitions = output files of the clustered layout
+IO10_P_HI = 120   # query rectangle: l_partkey ∈ [1, 120] (nonempty at sf0.001)
+IO10_S_HI = 8     # l_suppkey ∈ [1, 8]
+
+
+def io10_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data clustering — the multi-dimensional
+    layout tool behind Delta/Iceberg OPTIMIZE ZORDER BY: interleave the
+    bits of two filter columns into one z-value, range-partition and
+    sort the table by it, and rows close in BOTH dimensions land in the
+    same files. A rectangle predicate then touches only the few files
+    whose z-range intersects it (parquet min/max skipping), where a
+    single-column sort helps only its own column.
+
+    The z-value is materialized as a column in the written files so
+    every file carries zval min/max stats; repartitionByRange +
+    sortWithinPartitions makes the per-file zval ranges DISJOINT
+    (tests/test_round6_ops.py asserts this from the parquet footers —
+    the skipping precondition, checked physically, not assumed).
+
+    Scale: one range shuffle (sampled range boundaries, Spark's own
+    partitioner) + local sorts; the bit-interleave is pure JVM integer
+    arithmetic. The read-back query both engines verify applies the
+    rectangle over the clustered layout — content must be EXACTLY the
+    original filter result, proving clustering is a pure layout choice
+    (the io05 lesson, applied to sort order)."""
+    out = run_scratch("io10_zorder_")
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    zed = li.withColumn(
+        "zval", F.expr(_morton("l_partkey", "l_suppkey"))
+    )
+    (
+        zed.repartitionByRange(IO10_FILES, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return (
+        spark.read.schema(zed.schema)
+        .parquet(out)
+        .filter(
+            F.col("l_partkey").between(1, IO10_P_HI)
+            & F.col("l_suppkey").between(1, IO10_S_HI)
+        )
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "zval")
+        .orderBy("zval", "l_orderkey", "l_linenumber")
+    )
+
+
 SPECS = [
     QuerySpec(
         "io01_csv_roundtrip",
@@ -435,6 +505,18 @@ SPECS = [
                    WHEN h_a <> h_b THEN 'changed'
                    ELSE 'same' END <> 'same'
         ORDER BY s_suppkey
+        """,
+    ),
+    QuerySpec(
+        "io10_zorder_cluster",
+        io10_zorder_cluster,
+        f"""
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               {_morton('l_partkey', 'l_suppkey')} AS zval
+        FROM lineitem
+        WHERE l_partkey BETWEEN 1 AND {IO10_P_HI}
+          AND l_suppkey BETWEEN 1 AND {IO10_S_HI}
+        ORDER BY zval, l_orderkey, l_linenumber
         """,
     ),
     QuerySpec(

@@ -29,7 +29,14 @@ from pyspark.sql.window import Window
 from ..functions import text as T
 from ..sources import tables
 from . import QuerySpec
-from .helpers import cents, scaled, sql_cents, sql_raw_tokens, sql_scaled
+from .helpers import (
+    cents,
+    scaled,
+    sql_cents,
+    sql_clean_tokens,
+    sql_raw_tokens,
+    sql_scaled,
+)
 
 # The reference's verbatim topic→theme labels (cleaner.py:211-217).
 THEME_LABELS = {
@@ -647,6 +654,65 @@ def j10_bucketed_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("p_retailprice") < F.col("lo") + RANGE_BUCKET)
         )
         .select("s_suppkey", "p_partkey", "p_retailprice")
+    )
+
+
+FUZZY_MIN_LEN = 4  # vocab floor: ≥4 chars so a 1-char drop keeps ≥3
+
+
+def j11_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (entity-resolution) join: match corrupted tokens
+    back to the corpus vocabulary under edit distance ≤ 1 — the
+    record-linkage primitive (dirty product names ↔ catalog, OCR'd
+    strings ↔ reference lists).
+
+    The dirty side is a deterministic in-plan corruption of the vocab
+    (keyed by md5 of the token: drop last char / append 'x' /
+    unchanged), so the oracle can state the expected matches exactly.
+
+    Match semantics INCLUDE the blocking predicate — the standard ER
+    design where candidate generation is part of the contract: a pair
+    matches iff same 2-char prefix AND |len diff| ≤ 1 AND
+    levenshtein ≤ 1. Blocking turns the all-pairs O(n·m) distance
+    computation into a hash equi-join on the prefix block key with the
+    exact Levenshtein applied only within blocks; at 100 TB the block
+    key widens to (prefix, length band) composites — the shape is the
+    same hash join, never a cross join. Levenshtein itself is the
+    JVM-side built-in (codegen'd), no Python hop."""
+    vocab = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(T.clean_tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") >= FUZZY_MIN_LEN)
+        .distinct()
+        .cache()
+    )
+    mode = F.ascii(F.substring(F.md5(F.col("word")), 1, 1)) % 3
+    dirty = vocab.select(
+        F.col("word").alias("src_word"),
+        F.when(
+            mode == 0, F.substring(F.col("word"), 1, F.length("word") - 1)
+        )
+        .when(mode == 1, F.concat(F.col("word"), F.lit("x")))
+        .otherwise(F.col("word"))
+        .alias("dirty"),
+    )
+    d = dirty.withColumn("blk", F.substring("dirty", 1, 2))
+    v = vocab.withColumn("blk", F.substring("word", 1, 2))
+    return (
+        d.join(v, "blk")
+        .filter(
+            (
+                F.abs(F.length("dirty") - F.length("word")) <= 1
+            )
+            & (F.levenshtein("dirty", "word") <= 1)
+        )
+        .select(
+            "src_word",
+            "dirty",
+            F.col("word").alias("match"),
+            F.levenshtein("dirty", "word").cast("long").alias("dist"),
+        )
+        .orderBy("src_word", "match")
     )
 
 
@@ -2394,6 +2460,32 @@ SPECS = [
         FROM part JOIN supplier
           ON p_retailprice >= s_acctbal / 10
          AND p_retailprice <  s_acctbal / 10 + 50
+        """,
+    ),
+    QuerySpec(
+        "j11_fuzzy_blocked_join",
+        j11_fuzzy_blocked_join,
+        f"""
+        WITH vocab AS (
+          SELECT DISTINCT word
+          FROM documents, UNNEST({sql_clean_tokens("text")}) AS _u(word)
+          WHERE length(word) >= {FUZZY_MIN_LEN}
+        ),
+        dirty AS (
+          SELECT word AS src_word,
+                 CASE ascii(substr(md5(word), 1, 1)) % 3
+                   WHEN 0 THEN substr(word, 1, length(word) - 1)
+                   WHEN 1 THEN word || 'x'
+                   ELSE word END AS dirty
+          FROM vocab
+        )
+        SELECT d.src_word, d.dirty, v.word AS match,
+               CAST(levenshtein(d.dirty, v.word) AS BIGINT) AS dist
+        FROM dirty d JOIN vocab v
+          ON substr(d.dirty, 1, 2) = substr(v.word, 1, 2)
+         AND abs(length(d.dirty) - length(v.word)) <= 1
+         AND levenshtein(d.dirty, v.word) <= 1
+        ORDER BY src_word, match
         """,
     ),
     QuerySpec(

@@ -410,6 +410,126 @@ def t13_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HH_K = 100  # heavy-hitter slots: report tokens with count * HH_K > corpus N
+
+
+def t14_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (tokens with frequency > N/HH_K) via
+    the sketch-then-verify pattern — the vocabulary/boilerplate-discovery
+    pass of a training-data pipeline, and the canonical way to find
+    dominating keys WITHOUT a full groupBy when the token cardinality is
+    huge: a naive groupBy materializes the whole O(vocab) frequency
+    table just to keep its top sliver.
+
+    Pass 1 runs a mergeable Misra-Gries summary (Agarwal et al. 2012,
+    "Mergeable Summaries") per partition inside mapInPandas: vectorized
+    per-batch value_counts merged into at most HH_K counters, pruning by
+    subtracting the (K+1)-largest count. Guarantee: any token with
+    global count > N/(K+1) survives in ≥1 partition's summary (if its
+    local count were ≤ n_p/(K+1) everywhere, its global count would be
+    ≤ N/(K+1)), so the candidate set is a strict superset of the
+    reported set. Pass 2 recounts ONLY the ≤ K·partitions candidates
+    (broadcast semi-filter on the token stream) and applies the exact
+    threshold — so the output is exact, order-independent, and tiny.
+
+    Scale: the token stream is never shuffled on the full vocabulary —
+    pass 1 is shuffle-free (per-partition summaries, ≤ K rows out each),
+    pass 2 shuffles only rows matching the broadcast candidate set
+    (≤ K·partitions distinct keys). The Python hop is Arrow-batched and
+    O(distinct-per-batch) per batch."""
+    import pandas as pd
+
+    toks = (
+        _docs_par(spark, sf_dir)
+        .select(F.explode(T.clean_tokens(F.col("text"))).alias("word"))
+        .cache()
+    )
+
+    def mg_partition(batches):
+        counts = pd.Series(dtype="int64")
+        for pdf in batches:
+            counts = counts.add(pdf["word"].value_counts(), fill_value=0)
+            if len(counts) > HH_K:
+                cut = counts.nlargest(HH_K + 1).iloc[-1]
+                counts = counts[counts > cut] - cut
+        yield pd.DataFrame({"word": counts.index.astype(str)})
+
+    cands = toks.mapInPandas(mg_partition, schema="word string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("n_corpus"))
+    return (
+        toks.join(F.broadcast(cands), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n") * HH_K > F.col("n_corpus"))
+        .select("word", "n")
+        .orderBy(F.desc("n"), "word")
+    )
+
+
+def t15_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal scoring — t13's corpus language model made
+    sequence-aware: fit conditional counts p(w2|w1) on the corpus, then
+    score each document by its mean per-bigram surprisal in INTEGER
+    bits (bitlen(ctx_count) - bitlen(pair_count), the t13 determinism
+    scheme applied to conditionals). Low = documents made of the
+    corpus's stock phrases; high = improbable word sequences — a
+    sharper boilerplate/noise signal than unigrams because it sees
+    word ORDER.
+
+    Scale: bigram construction is a pure map-side array transform
+    (slice + transform over the token array — NO shuffle, no window;
+    a posexplode+lead window would shuffle the full token stream by
+    doc_id first). The only shuffles are the two partial-aggregatable
+    count passes and the (w1, w2) equi-join back to the stream —
+    equi-joins on token keys, never broadcast (conditional vocab is
+    O(unique bigrams), itself large at 100 TB)."""
+    docs = _docs_par(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        T.raw_tokens(T.normalize_text(F.col("text"))).alias("tks"),
+    ).filter(F.size("tks") >= 2)
+    big = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(tks, 1, size(tks) - 1),"
+                " (x, i) -> struct(x AS w1, tks[i + 1] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2").cache()
+    ctx = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    pairs = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    bits = (
+        big.join(pairs, ["w1", "w2"])
+        .join(ctx, "w1")
+        .select(
+            "doc_id",
+            (F.length(F.bin(F.col("c1"))) - F.length(F.bin(F.col("c2"))))
+            .cast("long")
+            .alias("b"),
+        )
+    )
+    per_doc = bits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("b").alias("sum_bits"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.col("sum_bits"),
+            (
+                F.col("sum_bits").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("mean_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _LANGS_SQL = ", ".join(
     f"""len(list_filter({sql_raw_tokens("lower(text)")},
         _t -> list_contains([{", ".join(f"'{m}'" for m in markers)}], _t)))::BIGINT
@@ -626,6 +746,50 @@ SPECS = [
                coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
                pd.sum_bits,
                pd.sum_bits::DOUBLE / pd.n_tokens::DOUBLE AS mean_bits
+        FROM documents d LEFT JOIN pd USING (doc_id)
+        ORDER BY d.doc_id
+        """,
+    ),
+    QuerySpec(
+        "t14_heavy_hitters",
+        t14_heavy_hitters,
+        f"""
+        WITH toks AS (
+          SELECT word
+          FROM documents, UNNEST({sql_clean_tokens("text")}) AS _u(word)
+        ),
+        tot AS (SELECT count(1) AS n_corpus FROM toks)
+        SELECT word, count(1) AS n
+        FROM toks, tot
+        GROUP BY word, n_corpus
+        HAVING count(1) * {HH_K} > n_corpus
+        ORDER BY n DESC, word
+        """,
+    ),
+    QuerySpec(
+        "t15_bigram_surprisal",
+        t15_bigram_surprisal,
+        f"""
+        WITH big AS (
+          SELECT doc_id, tks[i] AS w1, tks[i + 1] AS w2
+          FROM (SELECT doc_id, {sql_raw_tokens(sql_normalize('text'))} AS tks
+                FROM documents),
+               UNNEST(range(1, len(tks))) AS _u(i)
+        ),
+        ctx AS (SELECT w1, count(1) AS c1 FROM big GROUP BY w1),
+        pairs AS (SELECT w1, w2, count(1) AS c2 FROM big GROUP BY w1, w2),
+        bits AS (
+          SELECT doc_id,
+                 (length(bin(c1)) - length(bin(c2)))::BIGINT AS b
+          FROM big JOIN pairs USING (w1, w2) JOIN ctx USING (w1)
+        ),
+        pd AS (SELECT doc_id, count(1)::BIGINT AS n_bigrams,
+                      sum(b)::BIGINT AS sum_bits
+               FROM bits GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams,
+               pd.sum_bits,
+               pd.sum_bits::DOUBLE / pd.n_bigrams::DOUBLE AS mean_bits
         FROM documents d LEFT JOIN pd USING (doc_id)
         ORDER BY d.doc_id
         """,

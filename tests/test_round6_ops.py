@@ -1,6 +1,7 @@
 """Round-6 operators: triangle counting (gr02), small-file compaction
-(io07), streaming keyed upsert (st10) — plan-shape and invariant tests
-beyond the differential oracle gate."""
+(io07), streaming keyed upsert (st10), k-hop BFS (gr03), heavy hitters
+(t14), fuzzy blocked join (j11), z-order clustering (io10) — plan-shape
+and invariant tests beyond the differential oracle gate."""
 
 from __future__ import annotations
 
@@ -178,6 +179,144 @@ def test_run_incremental_checkpoint_resume(spark, tmp_path):
             os.stat(f).st_mtime_ns for f in glob.glob(os.path.join(d, "*"))
         )
         assert still == mtime, f"first run's {d} was rewritten"
+
+
+def test_gr03_khop_invariants(spark):
+    """BFS sanity on the real graph: hop values bounded by KHOP_HOPS,
+    seeds at distance 0, and every positive-hop node adjacent to a node
+    one hop closer (the BFS layering property)."""
+    from customer_review__etl_spark.plans import graphplans
+
+    dist = graphplans.gr03_khop_reachability(spark, SF_DIR).cache()
+    mm = dist.agg(F.min("hops"), F.max("hops")).collect()[0]
+    assert mm[0] == 0 and mm[1] <= graphplans.KHOP_HOPS
+    seeds = dist.filter(F.col("hops") == 0)
+    assert (
+        seeds.filter(F.col("node") % graphplans.KHOP_SEED_MOD != 0).count()
+        == 0
+    )
+    edges = graphplans._copurchase_edges(spark, SF_DIR)
+    prev = dist.select(
+        F.col("node").alias("p_node"), F.col("hops").alias("p_hops")
+    )
+    violators = (
+        dist.filter(F.col("hops") > 0)
+        .join(edges, dist["node"] == edges["dst"])
+        .join(prev, edges["src"] == prev["p_node"])
+        .groupBy("node", "hops")
+        .agg(F.min("p_hops").alias("best_nb"))
+        .filter(F.col("best_nb") != F.col("hops") - 1)
+    )
+    assert violators.count() == 0
+    spark.catalog.clearCache()
+
+
+def test_t14_candidates_superset_of_exact(spark):
+    """The Misra-Gries pass must emit a SUPERSET of the true heavy
+    hitters (the guarantee the verify pass relies on), and the final
+    result must equal the exact groupBy computation."""
+    from customer_review__etl_spark.functions import text as T
+    from customer_review__etl_spark.plans import textplans
+    from customer_review__etl_spark.sources import tables
+
+    toks = tables.load(spark, SF_DIR, "documents").select(
+        F.explode(T.clean_tokens(F.col("text"))).alias("word")
+    )
+    n = toks.count()
+    exact = {
+        r.word: r.n
+        for r in toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r.n * textplans.HH_K > n
+    }
+    got = {
+        r.word: r.n
+        for r in textplans.t14_heavy_hitters(spark, SF_DIR).collect()
+    }
+    assert got == exact
+    spark.catalog.clearCache()
+
+
+def test_j11_self_matches_and_blocking(spark):
+    """Every output pair must satisfy the documented match contract
+    (prefix-2 block, |Δlen| ≤ 1, lev ≤ 1), every unchanged token must
+    match itself at distance 0, and dropped-char corruptions must
+    recover their source at distance 1."""
+    from customer_review__etl_spark.plans import relational
+
+    rows = relational.j11_fuzzy_blocked_join(spark, SF_DIR).collect()
+    assert rows, "fuzzy join produced no pairs"
+    for r in rows:
+        assert r.dirty[:2] == r.match[:2]
+        assert abs(len(r.dirty) - len(r.match)) <= 1
+        assert r.dist <= 1
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.src_word, []).append(r)
+    for src, matches in by_src.items():
+        # corruption keeps a shared 2-char prefix, so the source word
+        # itself is always within the match contract of its corruption
+        assert any(m.match == src for m in matches), src
+    spark.catalog.clearCache()
+
+
+def test_io10_file_zranges_disjoint(spark):
+    """The physical claim behind z-ordering: after repartitionByRange +
+    sortWithinPartitions on zval, the per-file [min, max] zval ranges
+    (from the parquet footers) must be pairwise disjoint — the file-
+    skipping precondition."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from customer_review__etl_spark.plans import ioplans
+
+    ioplans.io10_zorder_cluster(spark, SF_DIR).count()
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp",
+        f"run_{os.getpid()}_*",
+        "io10_zorder_*",
+    )
+    dirs = sorted(glob.glob(root), key=os.path.getmtime)
+    assert dirs, "io10 scratch dir not found"
+    ranges = []
+    for f in glob.glob(os.path.join(dirs[-1], "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        zi = md.schema.names.index("zval")
+        lo = min(
+            md.row_group(g).column(zi).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(g).column(zi).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+    assert len(ranges) > 1, "expected multiple clustered files"
+    ranges.sort()
+    for (_, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, f"overlapping file z-ranges: {ranges}"
+
+
+def test_io10_morton_encoding_exact():
+    """Pin the bit-interleave against a pure-Python reference."""
+    import duckdb
+
+    from customer_review__etl_spark.plans.ioplans import _morton
+
+    def py_morton(a: int, b: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    con = duckdb.connect()
+    for a, b in [(0, 0), (1, 0), (0, 1), (65535, 65535), (1234, 4321)]:
+        got = con.execute(f"SELECT {_morton(str(a), str(b))}").fetchone()[0]
+        assert got == py_morton(a, b), (a, b)
 
 
 def test_st10_upsert_is_batch_chop_independent(spark, tmp_path):
