@@ -93,8 +93,12 @@ HEADLINE = [
     "gr02_triangle_count",
     "gr03_khop_reachability",
     "t14_heavy_hitters",
+    "t15_bigram_surprisal",
     "j11_fuzzy_blocked_join",
     "io10_zorder_cluster",
+    "ml07_naive_bayes",
+    "p17_oversample_mix",
+    "a10_funnel_stages",
     "ml06_kmeans",
     "st01_tumbling_window",
     "st03_session_window",

