@@ -88,6 +88,7 @@ HEADLINE = [
     "w07_scd2_intervals",
     "u03_ewma_smooth",
     "u04_sentence_udtf",
+    "u05_grouped_agg_udf",
     "p16_scalable_ordinal",
     "gr01_pagerank",
     "gr02_triangle_count",

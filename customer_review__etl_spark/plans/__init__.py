@@ -41,8 +41,10 @@ PRIORITY: tuple[str, ...] = (
     # cast chain is exercised by every money-scaled plan, so the
     # never-driver-sampled outer-join-agg q13 takes its slot —
     # round-5 VERDICT #4 rotation)
+    # (round-6 rotation: p03's keep-first window is shape-covered by
+    # w07/d01 — the oversampling mixture p17 takes its slot)
     "p01_project_sort",
-    "p03_dedup_keep_first",
+    "p17_oversample_mix",
     "q13_customer_distribution",
     "a01_group_count",
     "a08_median_disc",
@@ -57,8 +59,10 @@ PRIORITY: tuple[str, ...] = (
     # join surface (j06's theta/BNLJ baseline is row-identical to j10's
     # bucketed rewrite, which stays — u02's grouped-map packer takes
     # the slot so the sequence-packing family gets driver rows)
+    # (round-6: j02's plain equi-join underlies every q-family head
+    # entry — the blocked fuzzy Levenshtein join takes its slot)
     "j01_broadcast_theme_label",
-    "j02_inner_equi",
+    "j11_fuzzy_blocked_join",
     "j08_asof_join",
     "j09_salted_skew_agg",
     "j10_bucketed_range",
@@ -67,8 +71,10 @@ PRIORITY: tuple[str, ...] = (
     # row_number shape is exercised by p03's keep-first window — the
     # SCD2 interval build takes its slot; u01's grouped-map UDF shape
     # stays covered by u02, so MinHash decontamination takes u01's)
+    # (round-6: w03's running sum is a frame subset of w05/w07 — the
+    # ordered conversion funnel a10 takes its slot)
     "w07_scd2_intervals",
-    "w03_running_sum",
+    "a10_funnel_stages",
     "w05_ntile_frames",
     "t11_chunk_dedup",
     "g04_pivot",
@@ -78,8 +84,10 @@ PRIORITY: tuple[str, ...] = (
     # t01/t10, and t05's n-gram-score projection by t01/t08 — the
     # two-pass corpus-LM surprisal and the unified-cluster collapse
     # take their slots)
+    # (round-6: t03's explode+count shape is inside t13/t14 — the
+    # Misra-Gries sketch-then-verify heavy hitters takes its slot)
     "t01_text_chain",
-    "t03_topk_words",
+    "t14_heavy_hitters",
     "t13_unigram_surprisal",
     "d06_unified_clusters",
     "t08_bpe_token_count",
@@ -89,9 +97,11 @@ PRIORITY: tuple[str, ...] = (
     # fixed-point k-means takes d03's slot)
     "d01_exact_dedup",
     "d02_minhash_near_dup",
+    # (round-6: d05's CC collapse is transitively exercised by d06's
+    # unified-edge CC — the integer-bits Naive Bayes takes its slot)
     "ml06_kmeans",
     "d04_ngram_jaccard",
-    "d05_neardup_clusters",
+    "ml07_naive_bayes",
     # similarity search (s04's bucketed-probe shape matches s02 — the
     # PQ asymmetric-distance path takes its slot; s03's band join is
     # transitively driver-exercised by s05, whose SemDeDup cluster
@@ -108,9 +118,12 @@ PRIORITY: tuple[str, ...] = (
     # st06's applyInPandasWithState surface — the exact stratified
     # split ml05 takes st05's slot; dc01 decontamination keeps its
     # slot)
+    # (round-6: dc01's exact 5-gram overlap join is a sub-shape of
+    # dc02's cross-corpus LSH, which stays — the Z-order clustered
+    # layout io10 takes its slot)
     "st01_tumbling_window",
     "st03_session_window",
-    "dc01_decontaminate",
+    "io10_zorder_cluster",
     "st04_stream_tumbling",
     "ml05_stratified_split",
     "st06_stateful_stats",

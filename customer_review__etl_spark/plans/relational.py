@@ -22,6 +22,7 @@ Scale notes (100 TB manners) per family:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1288,9 +1289,9 @@ def u03_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def u04_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Python UDTF (Spark 4's fifth Python-surface shape, completing
-    SURVEY §2.9: pandas_udf / applyInPandas / mapInPandas /
-    applyInPandasWithState / udtf): a table function that explodes each
+    """Python UDTF (SURVEY §2.9's table-function shape: pandas_udf /
+    GROUPED_AGG / applyInPandas / mapInPandas / applyInPandasWithState
+    / udtf): a table function that explodes each
     document into its '[.!?]'-delimited sentence fragments with
     positions, consumed through a LATERAL correlated join.
 
@@ -1327,6 +1328,58 @@ def u04_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         docs=docs,
     )
+
+
+def u05_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the sixth and last Python-surface
+    shape (SURVEY §2.9): a vectorized Arrow-batched aggregate function
+    usable inside groupBy().agg(), here computing the exact trimmed
+    mean (drop one min + one max, then integer-average the rest) of
+    purchase values per event type, in cents.
+
+    Determinism scheme: inputs arrive as exact long cents, the Python
+    side computes (sum - min - max) // (n - 2) with arbitrary-precision
+    ints, and the oracle states the identical integer expression —
+    values are pinned positive (value > 0 filter) so Python's floor
+    division and DuckDB's truncating // agree. Like u01/u04, the op is
+    deliberately SQL-expressible: the point is gating the GROUPED_AGG
+    execution path (partial Arrow batches per group, JVM merge), not
+    novel math.
+
+    Scale: GROUPED_AGG shuffles only the grouping key + needed column
+    (Catalyst prunes the rest), and the UDF receives each group as
+    Arrow batches — no collect, no per-row Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def trimmed_mean_cents(c: pd.Series) -> int:
+        vals = c.astype("int64")
+        return int(
+            (vals.sum() - vals.min() - vals.max()) // (len(vals) - 2)
+        )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value") > 0)
+        .select("event_type", cents(F.col("value")).alias("c"))
+    )
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one agg() — the UDF is the sole aggregate here.
+    return (
+        ev.groupBy("event_type")
+        .agg(trimmed_mean_cents(F.col("c")).alias("trimmed_cents"))
+        .orderBy("event_type")
+    )
+
+
+_U05_SQL = f"""
+SELECT event_type,
+       CAST((sum(c) - min(c) - max(c)) // (count(1) - 2) AS BIGINT)
+         AS trimmed_cents
+FROM (SELECT event_type, {sql_cents('value')} AS c
+      FROM events WHERE value > 0)
+GROUP BY event_type ORDER BY event_type
+"""
 
 
 PACK_BUDGET = 128   # token budget per packed training sequence
@@ -2982,6 +3035,7 @@ SPECS = [
         ORDER BY doc_id, pos
         """,
     ),
+    QuerySpec("u05_grouped_agg_udf", u05_grouped_agg_udf, _U05_SQL),
     QuerySpec(
         "q6_forecast_revenue",
         q6_forecast_revenue,

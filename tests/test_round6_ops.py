@@ -381,6 +381,42 @@ def test_a10_funnel_ordering(spark):
         assert len(set(present)) == len(present)  # strictly after
 
 
+def test_u05_matches_builtin_aggregates(spark):
+    """The GROUPED_AGG pandas UDF must agree with the same trimmed-mean
+    computed from built-in aggregates (the JVM twin of the Python
+    path), and sit within [min, max] of each group."""
+    from customer_review__etl_spark.plans import relational
+    from customer_review__etl_spark.plans.helpers import cents
+    from customer_review__etl_spark.sources import tables
+
+    got = {
+        r.event_type: r.trimmed_cents
+        for r in relational.u05_grouped_agg_udf(spark, SF_DIR).collect()
+    }
+    ev = (
+        tables.load(spark, SF_DIR, "events")
+        .filter(F.col("value") > 0)
+        .select("event_type", cents(F.col("value")).alias("c"))
+    )
+    want = {
+        r.event_type: (r.s - r.lo - r.hi) // (r.n - 2)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.sum("c").alias("s"),
+            F.min("c").alias("lo"),
+            F.max("c").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
+    bounds = {r.event_type: (r.lo, r.hi) for r in ev.groupBy("event_type")
+              .agg(F.min("c").alias("lo"), F.max("c").alias("hi")).collect()}
+    for et, tm in got.items():
+        lo, hi = bounds[et]
+        assert lo <= tm <= hi
+
+
 def test_st10_upsert_is_batch_chop_independent(spark, tmp_path):
     """Replay the same events in MANY micro-batches (one file each) and
     assert the final snapshot still equals the global latest-per-key —
