@@ -84,6 +84,8 @@ HEADLINE = [
     "s04_ivf_ann",
     "s05_semantic_clusters",
     "s06_pq_ann",
+    "s07_multiprobe_ann",
+    "ml08_linreg",
     "t13_unigram_surprisal",
     "w07_scd2_intervals",
     "u03_ewma_smooth",

@@ -361,6 +361,87 @@ def _nb_oracle() -> str:
     """
 
 
+def ml08_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form simple linear regression (OLS of purchase cents on
+    hour-of-day, per event type) as pure aggregates — the "ML as a
+    groupBy" shape: fit = one partial-aggregatable pass collecting
+    (n, Σx, Σy, Σx², Σxy), coefficients = arithmetic on the five
+    sufficient statistics. No solver, no iteration, no driver math.
+
+    Determinism: x (hour 0-23) and y (exact cents) are integers, so
+    all five statistics and the slope numerator/denominator
+    (n·Σxy − Σx·Σy, n·Σx² − (Σx)²) are EXACT BIGINTs; slope and
+    intercept are then a fixed two-or-three-op IEEE expression both
+    engines evaluate identically. The exact integer num/den are in the
+    output so the gate pins more than the rounded doubles.
+
+    Scale: one partial-aggregatable shuffle of 5 longs per group —
+    the sufficient-statistics pattern scales to any SF; at extreme
+    row counts the statistics would be centered first to keep the
+    products in int64 range (documented, not needed at these SFs)."""
+    from .helpers import cents
+
+    b = (
+        tables.load(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.hour("ts").cast("long").alias("x"),
+            cents(F.col("value")).alias("y"),
+        )
+    )
+    agg = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return agg.select(
+        "event_type",
+        "n",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    ).orderBy("event_type")
+
+
+_ML08_SQL = """
+WITH b AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+),
+agg AS (
+  SELECT event_type, count(1) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM b GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE AS slope,
+       (sy::DOUBLE
+        - ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE)
+          * sx::DOUBLE) / n::DOUBLE AS intercept
+FROM agg ORDER BY event_type
+"""
+
+
 SPECS = [
     QuerySpec("ml01_lda_themes", ml01_lda_themes, None),
     QuerySpec("ml02_topic_top_words", ml02_topic_top_words, None),
@@ -390,4 +471,5 @@ SPECS = [
     ),
     QuerySpec("ml06_kmeans", ml06_kmeans, _km_oracle()),
     QuerySpec("ml07_naive_bayes", ml07_naive_bayes, _nb_oracle()),
+    QuerySpec("ml08_linreg", ml08_linreg, _ML08_SQL),
 ]

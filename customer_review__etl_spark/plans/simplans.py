@@ -454,6 +454,64 @@ _SQL_COS = (
 )
 
 
+def s07_multiprobe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe sign-LSH ANN — the recall knob the module docstring
+    promises for 100 TB, made real (the p06→p16 move applied to s02):
+    each query probes its own bucket PLUS the 6 hamming-distance-1
+    buckets (one sign bit flipped), so vectors that fell just across a
+    hyperplane are recovered without adding tables or planes.
+    tests/test_round6_ops.py asserts recall(s07) ≥ recall(s02) against
+    the s01 exact ground truth.
+
+    Probe buckets of one query are pairwise distinct by construction
+    (bucket ⊕ 2^b are all different), so a candidate can match at most
+    one probe — no dedup pass is needed and the join stays a pure hash
+    equi-join on the probe key. Cost: 7× the candidate-generation rows
+    of s02 (still O(n·probes), never all-pairs); at 100 TB the probe
+    count is the tunable recall/cost dial, the plan shape is fixed."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "embedding", "nrm", _bucket_col(ANN_PLANES).alias("bucket")
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(2 ** b))
+            for b in range(ANN_PLANES)
+        ],
+    )
+    q = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.explode(probes).alias("probe"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+        F.col("bucket").alias("n_bucket"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
+    return (
+        q.join(
+            c,
+            (F.col("probe") == F.col("n_bucket"))
+            & (F.col("q_id") != F.col("n_id")),
+        )
+        .select(
+            "q_id",
+            "n_id",
+            cosine_from_norms(
+                F.col("q_emb"), F.col("n_emb"),
+                F.col("q_nrm"), F.col("n_nrm"),
+            ).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ANN_TOPK)
+        .select("q_id", "n_id", "cos", "rn")
+    )
+
+
 def _cos(a: str, b: str) -> str:
     return _SQL_COS.format(a=a, b=b)
 
@@ -629,6 +687,38 @@ SPECS = [
         )
         SELECT q_id, n_id, adc, CAST(rn AS BIGINT) AS rn
         FROM ranked WHERE rn <= {PQ_TOPK} ORDER BY q_id, rn
+        """,
+    ),
+    QuerySpec(
+        "s07_multiprobe_ann",
+        s07_multiprobe_ann,
+        f"""
+        WITH e AS (
+          SELECT vec_id, embedding, embedding::DOUBLE[] AS v,
+                 {_sql_bucket(ANN_PLANES)} AS bucket
+          FROM embeddings
+        ),
+        q AS (
+          SELECT vec_id AS q_id, v AS qv,
+                 unnest([bucket,
+                         {", ".join(f"xor(bucket, {2 ** b})"
+                                    for b in range(ANN_PLANES))}]) AS probe
+          FROM e
+        ),
+        pairs AS (
+          SELECT q.q_id, c.vec_id AS n_id,
+                 {_cos('q.qv', 'c.v')} AS cos
+          FROM q JOIN e c
+            ON q.probe = c.bucket AND q.q_id <> c.vec_id
+        ),
+        ranked AS (
+          SELECT q_id, n_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, n_id) AS rn
+          FROM pairs
+        )
+        SELECT q_id, n_id, cos, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= {ANN_TOPK}
         """,
     ),
 ]

@@ -417,6 +417,65 @@ def test_u05_matches_builtin_aggregates(spark):
         assert lo <= tm <= hi
 
 
+def test_s07_multiprobe_recall_not_worse_than_s02(spark):
+    """Multiprobe's whole point: against the s01 exact ground truth
+    (first N_QUERIES queries), s07's recall must be ≥ s02's — probing
+    hamming-1 buckets can only ADD candidates."""
+    from customer_review__etl_spark.plans import simplans
+
+    def pairs(df):
+        return {
+            (r.q_id, r.n_id)
+            for r in df.filter(F.col("q_id") < simplans.N_QUERIES).collect()
+        }
+
+    truth = pairs(simplans.s01_cosine_topk(spark, SF_DIR))
+    got02 = pairs(simplans.s02_ann_lsh(spark, SF_DIR))
+    got07 = pairs(simplans.s07_multiprobe_ann(spark, SF_DIR))
+    assert len(got07 & truth) >= len(got02 & truth)
+    # and each query still returns at most ANN_TOPK neighbors
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in got07)
+    assert max(per_q.values()) <= simplans.ANN_TOPK
+    spark.catalog.clearCache()
+
+
+def test_ml08_matches_numpy_fit(spark):
+    """The five-statistic closed form must agree with an independent
+    least-squares fit of the same points (numpy polyfit, loose float
+    tolerance) and the integer num/den must reproduce the slope."""
+    import numpy as np
+
+    from customer_review__etl_spark.plans import mlplans
+
+    rows = mlplans.ml08_linreg(spark, SF_DIR).collect()
+    assert rows
+    from customer_review__etl_spark.plans.helpers import cents
+    from customer_review__etl_spark.sources import tables
+
+    ev = (
+        tables.load(spark, SF_DIR, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.hour("ts").cast("long").alias("x"),
+            cents(F.col("value")).alias("y"),
+        )
+        .collect()
+    )
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append((r.x, r.y))
+    for r in rows:
+        xs, ys = zip(*by_type[r.event_type])
+        slope, intercept = np.polyfit(np.array(xs), np.array(ys), 1)
+        assert abs(r.slope - slope) < 1e-6 * max(1.0, abs(slope)), r
+        assert abs(r.intercept - intercept) < 1e-6 * max(1.0, abs(intercept))
+        assert r.slope_den > 0
+        assert abs(r.slope - r.slope_num / r.slope_den) < 1e-12
+
+
 def test_st10_upsert_is_batch_chop_independent(spark, tmp_path):
     """Replay the same events in MANY micro-batches (one file each) and
     assert the final snapshot still equals the global latest-per-key —
