@@ -1354,6 +1354,8 @@ def u05_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @pandas_udf("long")
     def trimmed_mean_cents(c: pd.Series) -> int:
         vals = c.astype("int64")
+        if len(vals) <= 2:  # nothing left after trimming min+max
+            return None
         return int(
             (vals.sum() - vals.min() - vals.max()) // (len(vals) - 2)
         )
@@ -1374,8 +1376,9 @@ def u05_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _U05_SQL = f"""
 SELECT event_type,
-       CAST((sum(c) - min(c) - max(c)) // (count(1) - 2) AS BIGINT)
-         AS trimmed_cents
+       CASE WHEN count(1) <= 2 THEN NULL
+            ELSE CAST((sum(c) - min(c) - max(c)) // (count(1) - 2)
+                      AS BIGINT) END AS trimmed_cents
 FROM (SELECT event_type, {sql_cents('value')} AS c
       FROM events WHERE value > 0)
 GROUP BY event_type ORDER BY event_type

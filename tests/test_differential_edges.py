@@ -50,6 +50,10 @@ DOCS_ONLY_QUERIES = [
     "u02_sequence_pack", "t12_vocab_coverage", "t13_unigram_surprisal",
     "mm01_binary_meta", "mm02_decode_features", "mm03_frame_sample",
     "ml05_stratified_split", "io03_jsonl_roundtrip",
+    # round-6 additions over the documents corpus
+    "t14_heavy_hitters", "t15_bigram_surprisal", "j11_fuzzy_blocked_join",
+    "ml07_naive_bayes", "p17_oversample_mix", "u04_sentence_udtf",
+    "io07_compaction",
 ]
 
 
@@ -126,6 +130,9 @@ EVENTS_ONLY_QUERIES = [
     "j01_broadcast_theme_label", "w02_lag_lead", "w03_running_sum",
     "w07_scd2_intervals",
     "set01_union_all", "set02_intersect", "set03_except_all",
+    # round-6 additions over the events corpus
+    "a10_funnel_stages", "u05_grouped_agg_udf", "ml08_linreg",
+    "st10_keyed_upsert", "st11_incremental_resume",
 ]
 
 
@@ -152,7 +159,7 @@ EDGE_EMBEDDINGS = (
 
 EMB_ONLY_QUERIES = ["s01_cosine_topk", "s02_ann_lsh", "s03_embedding_neardup",
                     "s04_ivf_ann", "s05_semantic_clusters", "s06_pq_ann",
-                    "ml06_kmeans"]
+                    "s07_multiprobe_ann", "ml06_kmeans"]
 
 
 @pytest.fixture(scope="module")
@@ -434,6 +441,10 @@ TPCH_ONLY_QUERIES = [
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
     "q16_parts_supplier", "q20_potential_promotion",
     "p13_group_quota_sample", "io05_bucketed_join", "gr01_pagerank",
+    # round-6 additions over the TPC-H edge tables (io10 needs
+    # l_linenumber, absent from this fixture — covered by the main gate)
+    "gr02_triangle_count", "gr03_khop_reachability",
+    "io08_dynamic_partition_overwrite", "io09_table_diff",
 ]
 
 
