@@ -102,6 +102,7 @@ HEADLINE = [
     "ml07_naive_bayes",
     "p17_oversample_mix",
     "a10_funnel_stages",
+    "a11_scalable_median",
     "ml06_kmeans",
     "st01_tumbling_window",
     "st03_session_window",

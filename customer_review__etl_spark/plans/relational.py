@@ -1181,6 +1181,72 @@ def w07_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+A11_BUCKET = 10_000  # histogram bucket width: 10k cents = $100
+
+
+def a11_scalable_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median at scale — the two-pass histogram algorithm
+    that replaces a full global sort: a GLOBAL percentile over 100 TB
+    cannot sort one partition (a08's per-group percentile_disc relies
+    on small groups), so pass 1 builds a fixed-width value histogram
+    (one partial-aggregatable shuffle to O(#buckets) rows), the target
+    bucket is located by a cumulative sum over that TINY histogram,
+    and pass 2 sorts ONLY the rows inside that one bucket to extract
+    the residual-rank element. The single-partition window in pass 2
+    is bounded by the bucket width — the tunable memory knob — never
+    by the table.
+
+    Semantics pinned: lower median (rank ⌈N/2⌉ of the ascending
+    order, percentile_disc style) of lineitem extendedprice in exact
+    integer cents; the oracle computes the same rank by brute
+    row_number. Output also carries N and the rank so the gate checks
+    the machinery, not just the value."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select(cents(F.col("l_extendedprice")).alias("c"))
+    )
+    hist = li.groupBy(
+        F.expr(f"c DIV {A11_BUCKET}").alias("b")
+    ).agg(F.count(F.lit(1)).alias("n_b"))
+    tot = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST((count(1) + 1) DIV 2 AS BIGINT)").alias("k"),
+    )
+    wc = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sel = (
+        hist.withColumn("cum", F.sum("n_b").over(wc))
+        .withColumn("prev", F.col("cum") - F.col("n_b"))
+        .crossJoin(F.broadcast(tot))
+        .filter((F.col("cum") >= F.col("k")) & (F.col("prev") < F.col("k")))
+        .select("b", (F.col("k") - F.col("prev")).alias("r"), "n", "k")
+    )
+    w2 = Window.orderBy("c")  # bucket-local rows only: bounded state
+    return (
+        li.join(
+            F.broadcast(sel), F.expr(f"c DIV {A11_BUCKET}") == F.col("b")
+        )
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == F.col("r"))
+        .select("n", "k", F.col("c").alias("median_cents"))
+    )
+
+
+_A11_SQL = """
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+t AS (SELECT count(1) AS n,
+             CAST((count(1) + 1) // 2 AS BIGINT) AS k FROM v),
+m AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v)
+SELECT t.n, t.k, m.c AS median_cents
+FROM t JOIN m ON m.rn = t.k
+"""
+
+
 def a09_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A7 scale path: sketch aggregates — HLL++ count-distinct and
     KLL-style approx percentiles. At 100 TB these replace their exact
@@ -2290,6 +2356,7 @@ SPECS = [
         "ORDER BY n DESC, event_type",
     ),
     QuerySpec("a10_funnel_stages", a10_funnel_stages, _A10_SQL),
+    QuerySpec("a11_scalable_median", a11_scalable_median, _A11_SQL),
     QuerySpec(
         "a02_count_distinct",
         a02_count_distinct,

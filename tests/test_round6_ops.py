@@ -476,6 +476,31 @@ def test_ml08_matches_numpy_fit(spark):
         assert abs(r.slope - r.slope_num / r.slope_den) < 1e-12
 
 
+def test_a11_median_equals_direct_sort(spark):
+    """The two-pass histogram median must equal the element at rank
+    ⌈N/2⌉ of a direct sort, and the refinement pass must only have
+    touched one bucket's worth of rows."""
+    from customer_review__etl_spark.plans import relational
+    from customer_review__etl_spark.plans.helpers import cents
+    from customer_review__etl_spark.sources import tables
+
+    row = relational.a11_scalable_median(spark, SF_DIR).collect()[0]
+    vals = sorted(
+        r.c
+        for r in tables.load(spark, SF_DIR, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select(cents(F.col("l_extendedprice")).alias("c"))
+        .collect()
+    )
+    n = len(vals)
+    k = (n + 1) // 2
+    assert (row.n, row.k) == (n, k)
+    assert row.median_cents == vals[k - 1]
+    bucket = row.median_cents // relational.A11_BUCKET
+    in_bucket = sum(1 for v in vals if v // relational.A11_BUCKET == bucket)
+    assert in_bucket < n  # refinement really was a strict subset
+
+
 def test_st10_upsert_is_batch_chop_independent(spark, tmp_path):
     """Replay the same events in MANY micro-batches (one file each) and
     assert the final snapshot still equals the global latest-per-key —
