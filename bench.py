@@ -115,6 +115,7 @@ HEADLINE = [
     "io07_compaction",
     "io08_dynamic_partition_overwrite",
     "io09_table_diff",
+    "io11_python_datasource",
 ]
 
 

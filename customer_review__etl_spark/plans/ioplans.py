@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..scratch import run_scratch
 from ..sources import sinks, tables
+from ..sources.pyds import PYDS_MOD, PYDS_MULT, PYDS_ROWS
 from . import QuerySpec
 from .helpers import scaled, sql_scaled
 
@@ -425,6 +426,27 @@ def io10_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def io11_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource read (sources/pyds.py): register the
+    synthetic_scores source, scan its 8 planned partitions, and roll
+    the stream up per score. sf_dir is unused by design — the source
+    itself (schema + partition planning + per-partition iteration +
+    Arrow transfer) is what this query gates; the oracle regenerates
+    the identical rows from `range()`."""
+    from ..sources.pyds import SyntheticScoreSource
+
+    spark.dataSource.register(SyntheticScoreSource)
+    df = spark.read.format("synthetic_scores").load()
+    return (
+        df.groupBy("score")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("rid").alias("sum_rid"),
+        )
+        .orderBy("score")
+    )
+
+
 SPECS = [
     QuerySpec(
         "io01_csv_roundtrip",
@@ -517,6 +539,17 @@ SPECS = [
         WHERE l_partkey BETWEEN 1 AND {IO10_P_HI}
           AND l_suppkey BETWEEN 1 AND {IO10_S_HI}
         ORDER BY zval, l_orderkey, l_linenumber
+        """,
+    ),
+    QuerySpec(
+        "io11_python_datasource",
+        io11_python_datasource,
+        f"""
+        SELECT (i * {PYDS_MULT}) % {PYDS_MOD} AS score,
+               count(1) AS n,
+               CAST(sum(i) AS BIGINT) AS sum_rid
+        FROM range(0, {PYDS_ROWS}) t(i)
+        GROUP BY 1 ORDER BY 1
         """,
     ),
     QuerySpec(

@@ -501,6 +501,29 @@ def test_a11_median_equals_direct_sort(spark):
     assert in_bucket < n  # refinement really was a strict subset
 
 
+def test_io11_source_partition_planning(spark):
+    """The custom source's sharding contract: the scan runs with
+    exactly the planned partition count, rows are disjointly sliced
+    (every rid exactly once), and options override the defaults."""
+    from customer_review__etl_spark.sources.pyds import (
+        PYDS_MOD,
+        PYDS_MULT,
+        SyntheticScoreSource,
+    )
+
+    spark.dataSource.register(SyntheticScoreSource)
+    df = (
+        spark.read.format("synthetic_scores")
+        .option("rows", 100)
+        .option("partitions", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = df.collect()
+    assert sorted(r.rid for r in rows) == list(range(100))
+    assert all(r.score == (r.rid * PYDS_MULT) % PYDS_MOD for r in rows)
+
+
 def test_st10_upsert_is_batch_chop_independent(spark, tmp_path):
     """Replay the same events in MANY micro-batches (one file each) and
     assert the final snapshot still equals the global latest-per-key —
