@@ -88,6 +88,7 @@ HEADLINE = [
     "ml08_linreg",
     "t13_unigram_surprisal",
     "w07_scd2_intervals",
+    "w09_range_frame",
     "u03_ewma_smooth",
     "u04_sentence_udtf",
     "u05_grouped_agg_udf",

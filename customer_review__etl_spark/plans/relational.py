@@ -1143,6 +1143,66 @@ def w06_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+W09_LOOKBACK_US = 3_600_000_000  # 1 hour in microseconds
+
+
+def w09_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based window frame (RANGE, not ROWS): at every event, the
+    count and cents-sum of that user's events in the trailing hour —
+    the "rolling lookback" feature w06's row-count frame cannot
+    express (rows ≠ time when events are irregular), and the window
+    shape rate-limiters and rolling-exposure features are built on.
+
+    The frame axis is exact integer MICROSECONDS (unix_micros /
+    epoch_us) so the frame boundary comparison is integer on both
+    engines — a seconds-as-double axis would round differently
+    (DuckDB CAST rounds, Spark CAST truncates). RANGE also makes
+    same-timestamp ties deterministic by construction: equal order
+    values are frame peers, included together in BOTH engines, so no
+    tie-break column is needed for the frame itself.
+
+    Scale: one shuffle on user_id, one ordered pass per partition with
+    a sliding two-pointer frame — state is the lookback window, never
+    the partition."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        # ts is TIMESTAMP_NTZ; the session tz is pinned UTC
+        # (session.py), so the cast to instant is the identity and
+        # unix_micros yields the same integers as DuckDB's epoch_us
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        cents(F.col("value")).alias("c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-W09_LOOKBACK_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum("c").over(w).alias("sum_cents_1h"),
+    ).orderBy("event_id")
+
+
+_W09_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         {sql_cents('value')} AS c
+  FROM events
+)
+SELECT event_id, user_id,
+       count(1) OVER w AS n_1h,
+       CAST(sum(c) OVER w AS BIGINT) AS sum_cents_1h
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN {W09_LOOKBACK_US} PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 def w07_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 history build — the warehouse-ETL staple: treat each
     user's event stream as a change log of their "status" (event_type),
@@ -2995,6 +3055,7 @@ SPECS = [
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         """,
     ),
+    QuerySpec("w09_range_frame", w09_range_frame, _W09_SQL),
     QuerySpec(
         "w07_scd2_intervals",
         w07_scd2_intervals,

@@ -133,6 +133,9 @@ EVENTS_ONLY_QUERIES = [
     # round-6 additions over the events corpus
     "a10_funnel_stages", "u05_grouped_agg_udf", "ml08_linreg",
     "st10_keyed_upsert", "st11_incremental_resume",
+    # w09's RANGE frame: the duplicate-timestamp rows (edge) and the
+    # coarse-minute collision grid (fuzz) pin the frame-peer semantics
+    "w09_range_frame",
 ]
 
 
