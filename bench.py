@@ -98,6 +98,8 @@ HEADLINE = [
     "gr03_khop_reachability",
     "t14_heavy_hitters",
     "t15_bigram_surprisal",
+    "t16_tfidf_terms",
+    "ml09_knn_label",
     "j11_fuzzy_blocked_join",
     "io10_zorder_cluster",
     "ml07_naive_bayes",

@@ -442,6 +442,74 @@ FROM agg ORDER BY event_type
 """
 
 
+def ml09_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label prediction over ANN candidates — the weak-supervision
+    / label-propagation primitive (label unlabeled items by majority
+    vote of their nearest labeled neighbors), built by COMPOSING the
+    s02 sign-LSH ANN (its top-ANN_TOPK neighbor set, reused verbatim)
+    with a per-query vote. Demonstrates that the ANN operators are
+    building blocks, not endpoints.
+
+    Vote is deterministic: count per (query, neighbor label), winner
+    by (votes DESC, label ASC); queries whose LSH bucket held no other
+    vector get NULL prediction (stated, not dropped). The oracle embeds
+    the s02 oracle verbatim (shared builder), so candidate semantics
+    cannot drift between the two specs.
+
+    Scale: everything rides on s02's bucket equi-join; the vote adds
+    one partial-aggregatable count on (q_id, label) — ≤ k rows per
+    query — and a window over ≤ k rows per partition."""
+    from pyspark.sql.window import Window
+
+    from .simplans import s02_ann_lsh
+
+    knn = s02_ann_lsh(spark, sf_dir).select("q_id", "n_id")
+    emb = tables.load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    votes = (
+        knn.join(
+            emb.select(
+                F.col("vec_id").alias("n_id"),
+                F.col("label").alias("nb_label"),
+            ),
+            "n_id",
+        )
+        .groupBy("q_id", "nb_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("n_votes"), "nb_label")
+    top = (
+        votes.withColumn("vr", F.row_number().over(w))
+        .filter(F.col("vr") == 1)
+        .select("q_id", F.col("nb_label").alias("pred_label"), "n_votes")
+    )
+    return (
+        emb.join(top, emb["vec_id"] == top["q_id"], "left")
+        .select("vec_id", "label", "pred_label", "n_votes")
+        .orderBy("vec_id")
+    )
+
+
+def _ml09_oracle() -> str:
+    from .simplans import _s02_sql
+
+    return f"""
+    WITH votes AS (
+      SELECT k.q_id, e.label AS nb_label, count(1) AS n_votes
+      FROM ({_s02_sql()}) k JOIN embeddings e ON e.vec_id = k.n_id
+      GROUP BY k.q_id, e.label
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY n_votes DESC, nb_label) AS vr
+      FROM votes
+    )
+    SELECT q.vec_id, q.label, r.nb_label AS pred_label, r.n_votes
+    FROM embeddings q
+    LEFT JOIN ranked r ON r.q_id = q.vec_id AND r.vr = 1
+    ORDER BY q.vec_id
+    """
+
+
 SPECS = [
     QuerySpec("ml01_lda_themes", ml01_lda_themes, None),
     QuerySpec("ml02_topic_top_words", ml02_topic_top_words, None),
@@ -472,4 +540,5 @@ SPECS = [
     QuerySpec("ml06_kmeans", ml06_kmeans, _km_oracle()),
     QuerySpec("ml07_naive_bayes", ml07_naive_bayes, _nb_oracle()),
     QuerySpec("ml08_linreg", ml08_linreg, _ML08_SQL),
+    QuerySpec("ml09_knn_label", ml09_knn_label, _ml09_oracle()),
 ]

@@ -516,6 +516,33 @@ def _cos(a: str, b: str) -> str:
     return _SQL_COS.format(a=a, b=b)
 
 
+def _s02_sql() -> str:
+    """The full s02 ANN query — shared verbatim by the s02 spec and
+    ml09's kNN-vote oracle (the _s03_pairs_sql sharing pattern) so the
+    candidate semantics can never drift between the two."""
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding, embedding::DOUBLE[] AS v,
+                 {_sql_bucket(ANN_PLANES)} AS bucket
+          FROM embeddings
+        ),
+        pairs AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                 {_cos('q.v', 'c.v')} AS cos
+          FROM e q JOIN e c
+            ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+          SELECT q_id, n_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, n_id) AS rn
+          FROM pairs
+        )
+        SELECT q_id, n_id, cos, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= {ANN_TOPK}
+        """
+
+
 def _s03_pairs_sql() -> str:
     """The s03 near-dup pair set WITHOUT the final ORDER BY — shared
     verbatim by the s03 spec and s05's recursive closure so the two
@@ -579,27 +606,7 @@ SPECS = [
     QuerySpec(
         "s02_ann_lsh",
         s02_ann_lsh,
-        f"""
-        WITH e AS (
-          SELECT vec_id, embedding, embedding::DOUBLE[] AS v,
-                 {_sql_bucket(ANN_PLANES)} AS bucket
-          FROM embeddings
-        ),
-        pairs AS (
-          SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-                 {_cos('q.v', 'c.v')} AS cos
-          FROM e q JOIN e c
-            ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-        ),
-        ranked AS (
-          SELECT q_id, n_id, cos,
-                 row_number() OVER (PARTITION BY q_id
-                                    ORDER BY cos DESC, n_id) AS rn
-          FROM pairs
-        )
-        SELECT q_id, n_id, cos, CAST(rn AS BIGINT) AS rn
-        FROM ranked WHERE rn <= {ANN_TOPK}
-        """,
+        _s02_sql(),
     ),
     QuerySpec(
         "s03_embedding_neardup",

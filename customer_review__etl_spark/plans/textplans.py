@@ -530,6 +530,52 @@ def t15_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOPK = 3
+
+
+def t16_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF top terms per document — the deterministic twin of
+    the reference's TF-IDF vectorization step (SURVEY M1, which ml01
+    covers only rows-only through pyspark.ml): idf is measured in
+    INTEGER BITS (bitlen(N_docs) - bitlen(df_t), the floor-log2 device
+    of t13/t15/ml07), so score = tf · idf_bits is an exact integer and
+    the whole ranking carries a full SQL oracle. Production swaps a
+    float idf into the same plan shape; what's gated here is the
+    tf/df/N plumbing and the per-doc ranking.
+
+    Scale: tf is one partial-aggregatable shuffle on (doc, term); df
+    is one on term; N rides along broadcast; ranking windows partition
+    by doc (small state). Bodies never shuffle."""
+    toks = (
+        _docs_par(spark, sf_dir)
+        .select("doc_id", F.explode(T.clean_tokens(F.col("text"))).alias("term"))
+        .cache()
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df_t")
+    )
+    n_docs = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("nd"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (F.length(F.bin(F.col("nd"))) - F.length(F.bin(F.col("df_t"))))
+            .cast("long")
+            .alias("idf_bits"),
+        )
+        .withColumn("score", F.col("tf") * F.col("idf_bits"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "idf_bits", "score", "rn")
+        .orderBy("doc_id", "rn")
+    )
+
+
 _LANGS_SQL = ", ".join(
     f"""len(list_filter({sql_raw_tokens("lower(text)")},
         _t -> list_contains([{", ".join(f"'{m}'" for m in markers)}], _t)))::BIGINT
@@ -792,6 +838,36 @@ SPECS = [
                pd.sum_bits::DOUBLE / pd.n_bigrams::DOUBLE AS mean_bits
         FROM documents d LEFT JOIN pd USING (doc_id)
         ORDER BY d.doc_id
+        """,
+    ),
+    QuerySpec(
+        "t16_tfidf_terms",
+        t16_tfidf_terms,
+        f"""
+        WITH toks AS (
+          SELECT doc_id, term
+          FROM documents, UNNEST({sql_clean_tokens("text")}) AS _u(term)
+        ),
+        tf AS (SELECT doc_id, term, count(1) AS tf
+               FROM toks GROUP BY doc_id, term),
+        dft AS (SELECT term, count(DISTINCT doc_id) AS df_t
+                FROM toks GROUP BY term),
+        nd AS (SELECT count(1) AS nd FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+                 (length(bin(nd)) - length(bin(df_t)))::BIGINT AS idf_bits,
+                 (tf.tf * (length(bin(nd)) - length(bin(df_t))))::BIGINT
+                   AS score
+          FROM tf JOIN dft USING (term) CROSS JOIN nd
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS rn
+          FROM scored
+        )
+        SELECT doc_id, term, tf, idf_bits, score, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= {TFIDF_TOPK}
+        ORDER BY doc_id, rn
         """,
     ),
 ]

@@ -53,7 +53,7 @@ DOCS_ONLY_QUERIES = [
     # round-6 additions over the documents corpus
     "t14_heavy_hitters", "t15_bigram_surprisal", "j11_fuzzy_blocked_join",
     "ml07_naive_bayes", "p17_oversample_mix", "u04_sentence_udtf",
-    "io07_compaction",
+    "io07_compaction", "t16_tfidf_terms",
 ]
 
 
@@ -162,7 +162,7 @@ EDGE_EMBEDDINGS = (
 
 EMB_ONLY_QUERIES = ["s01_cosine_topk", "s02_ann_lsh", "s03_embedding_neardup",
                     "s04_ivf_ann", "s05_semantic_clusters", "s06_pq_ann",
-                    "s07_multiprobe_ann", "ml06_kmeans"]
+                    "s07_multiprobe_ann", "ml06_kmeans", "ml09_knn_label"]
 
 
 @pytest.fixture(scope="module")

@@ -524,6 +524,58 @@ def test_io11_source_partition_planning(spark):
     assert all(r.score == (r.rid * PYDS_MULT) % PYDS_MOD for r in rows)
 
 
+def test_t16_top_terms_are_maximal(spark):
+    """For each doc, the rank-1 term's score must equal the max score
+    over all that doc's terms (recomputed without the window), idf
+    bits are non-negative, and ranks are dense from 1."""
+    from customer_review__etl_spark.functions import text as T
+    from customer_review__etl_spark.plans import textplans
+    from customer_review__etl_spark.sources import tables
+
+    out = textplans.t16_tfidf_terms(spark, SF_DIR).collect()
+    assert out
+    assert all(r.idf_bits >= 0 and r.score == r.tf * r.idf_bits for r in out)
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rows in by_doc.items():
+        assert [r.rn for r in sorted(rows, key=lambda r: r.rn)] == list(
+            range(1, len(rows) + 1)
+        )
+    docs = tables.load(spark, SF_DIR, "documents")
+    n = docs.count()
+    df_t = {
+        r.term: r.df_t
+        for r in docs.select(
+            F.explode(T.clean_tokens(F.col("text"))).alias("term"), "doc_id"
+        )
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df_t"))
+        .collect()
+    }
+    for r in out:
+        assert r.idf_bits == n.bit_length() - df_t[r.term].bit_length()
+    spark.catalog.clearCache()
+
+
+def test_ml09_vote_consistency(spark):
+    """Every embedding classified exactly once; votes never exceed the
+    ANN fan-in; NULL prediction iff the vector had no s02 neighbors."""
+    from customer_review__etl_spark.plans import mlplans, simplans
+
+    out = mlplans.ml09_knn_label(spark, SF_DIR).cache()
+    emb_n = out.count()
+    assert out.select("vec_id").distinct().count() == emb_n
+    assert out.filter(F.col("n_votes") > simplans.ANN_TOPK).count() == 0
+    with_nb = {
+        r.q_id
+        for r in simplans.s02_ann_lsh(spark, SF_DIR).select("q_id").collect()
+    }
+    for r in out.collect():
+        assert (r.pred_label is None) == (r.vec_id not in with_nb)
+    spark.catalog.clearCache()
+
+
 def test_st10_upsert_is_batch_chop_independent(spark, tmp_path):
     """Replay the same events in MANY micro-batches (one file each) and
     assert the final snapshot still equals the global latest-per-key —
