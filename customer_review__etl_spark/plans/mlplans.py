@@ -461,9 +461,19 @@ def ml09_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     query — and a window over ≤ k rows per partition."""
     from pyspark.sql.window import Window
 
+    from .dedupplans import materialized_df
     from .simplans import s02_ann_lsh
 
-    knn = s02_ann_lsh(spark, sf_dir).select("q_id", "n_id")
+    # the (q_id, n_id) neighbor set is a tiny pair table consumed by
+    # both the s02 registry entry and this vote — materialize it once
+    # per process per corpus (the shared-intermediate pattern)
+    knn = materialized_df(
+        spark,
+        sf_dir,
+        "s02_knn",
+        lambda sp, sd: s02_ann_lsh(sp, sd).select("q_id", "n_id"),
+        ["q_id", "n_id"],
+    )
     emb = tables.load(spark, sf_dir, "embeddings").select("vec_id", "label")
     votes = (
         knn.join(

@@ -1269,9 +1269,10 @@ def a11_scalable_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = li.groupBy(
         F.expr(f"c DIV {A11_BUCKET}").alias("b")
     ).agg(F.count(F.lit(1)).alias("n_b"))
-    tot = li.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr("CAST((count(1) + 1) DIV 2 AS BIGINT)").alias("k"),
+    # N and the target rank come from the O(#buckets) histogram —
+    # never a second scan of the table
+    tot = hist.agg(F.sum("n_b").alias("n")).select(
+        "n", F.expr("CAST((n + 1) DIV 2 AS BIGINT)").alias("k")
     )
     wc = Window.orderBy("b").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -1482,8 +1483,13 @@ def u05_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         vals = c.astype("int64")
         if len(vals) <= 2:  # nothing left after trimming min+max
             return None
-        return int(
-            (vals.sum() - vals.min() - vals.max()) // (len(vals) - 2)
+        # the sum runs over PYTHON ints (tolist), not numpy int64 —
+        # an int64 accumulator would wrap past 2^63 while the oracle's
+        # HUGEINT sum stays exact; min/max don't accumulate, so the
+        # vectorized numpy forms are safe
+        total = sum(vals.tolist())
+        return (total - int(vals.min()) - int(vals.max())) // (
+            len(vals) - 2
         )
 
     ev = (
