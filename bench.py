@@ -99,6 +99,7 @@ HEADLINE = [
     "t14_heavy_hitters",
     "t15_bigram_surprisal",
     "t16_tfidf_terms",
+    "t17_reading_ease",
     "ml09_knn_label",
     "j11_fuzzy_blocked_join",
     "io10_zorder_cluster",

@@ -530,6 +530,42 @@ def t15_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t17_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style reading-ease score per document from three exact
+    integer counts — words (whitespace tokens), sentences (non-empty
+    [.!?] fragments, the u04 split), and a syllable proxy (vowel-group
+    runs [aeiouy]+ in the normalized text). The readability band is a
+    standard pre-training quality signal next to t04's ratios.
+
+    Determinism: the three counts are exact integers; the score is the
+    classic 206.835 − 1.015·(W/S) − 84.6·(Syl/W) evaluated as the same
+    fixed IEEE expression on both engines (two divisions, two
+    multiplies, two subtractions — same order). NULL when a doc has no
+    sentences or words. Pure map-side column math, no shuffle."""
+    txt = F.col("text")
+    words = F.size(T.raw_tokens(F.lower(txt)))
+    sents = F.size(
+        F.filter(F.split(F.coalesce(txt, F.lit("")), r"[.!?]"), lambda x: x != "")
+    )
+    syll = F.size(
+        F.regexp_extract_all(
+            T.normalize_text(txt), F.lit("[aeiouy]+"), F.lit(0)
+        )
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sents.cast("double"))
+        - F.lit(84.6) * (syll.cast("double") / words.cast("double"))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sents"),
+        syll.cast("long").alias("n_syll"),
+        F.when((words > 0) & (sents > 0), score).alias("reading_ease"),
+    )
+
+
 TFIDF_TOPK = 3
 
 
@@ -868,6 +904,29 @@ SPECS = [
         SELECT doc_id, term, tf, idf_bits, score, CAST(rn AS BIGINT) AS rn
         FROM ranked WHERE rn <= {TFIDF_TOPK}
         ORDER BY doc_id, rn
+        """,
+    ),
+    QuerySpec(
+        "t17_reading_ease",
+        t17_reading_ease,
+        f"""
+        WITH c AS (
+          SELECT doc_id,
+                 len({sql_raw_tokens('lower(text)')})::BIGINT AS n_words,
+                 len(list_filter(
+                   string_split_regex(coalesce(text, ''), '[.!?]'),
+                   x -> x <> ''))::BIGINT AS n_sents,
+                 len(regexp_extract_all({sql_normalize('text')},
+                     '[aeiouy]+'))::BIGINT AS n_syll
+          FROM documents
+        )
+        SELECT doc_id, n_words, n_sents, n_syll,
+               CASE WHEN n_words > 0 AND n_sents > 0 THEN
+                 206.835
+                 - 1.015 * (n_words::DOUBLE / n_sents::DOUBLE)
+                 - 84.6 * (n_syll::DOUBLE / n_words::DOUBLE)
+               END AS reading_ease
+        FROM c
         """,
     ),
 ]

@@ -53,7 +53,7 @@ DOCS_ONLY_QUERIES = [
     # round-6 additions over the documents corpus
     "t14_heavy_hitters", "t15_bigram_surprisal", "j11_fuzzy_blocked_join",
     "ml07_naive_bayes", "p17_oversample_mix", "u04_sentence_udtf",
-    "io07_compaction", "t16_tfidf_terms",
+    "io07_compaction", "t16_tfidf_terms", "t17_reading_ease",
 ]
 
 
