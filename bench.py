@@ -96,6 +96,7 @@ HEADLINE = [
     "gr01_pagerank",
     "gr02_triangle_count",
     "gr03_khop_reachability",
+    "gr04_item_similarity",
     "t14_heavy_hitters",
     "t15_bigram_surprisal",
     "t16_tfidf_terms",

@@ -330,6 +330,100 @@ def _khop_oracle() -> str:
     """
 
 
+SIM_TOPK = 3  # gr04: similar items kept per item
+
+
+def gr04_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering ("customers also bought"):
+    for every part, the SIM_TOPK most similar parts by JACCARD overlap
+    of their order sets — sim(a,b) = co(a,b) / (n_a + n_b − co(a,b)).
+    The non-iterative sibling of gr01-gr03: association mining over
+    the same market-basket structure.
+
+    Scale manners: candidate pairs come only from actual co-occurrence
+    (the within-order self-join, fan-out bounded by basket size — the
+    gr01 edge-build argument), never from the |parts|² cross space;
+    co-counts and per-part order counts are partial-aggregatable; the
+    top-K window partitions per part (state ≤ its co-purchase degree).
+    Jaccard is ONE IEEE division of exact integer counts, so even the
+    float similarity hash-matches; ties break (co DESC, b ASC)."""
+    li = (
+        tables.load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey").isNotNull())
+        .distinct()
+        .cache()
+    )
+    n_ord = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_o"))
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    # both directions so every part ranks its own neighbor list
+    sym = co.unionByName(
+        co.select(
+            F.col("pb").alias("pa"), F.col("pa").alias("pb"), "co"
+        )
+    )
+    na = n_ord.select(F.col("l_partkey").alias("pa"), F.col("n_o").alias("n_a"))
+    nb = n_ord.select(F.col("l_partkey").alias("pb"), F.col("n_o").alias("n_b"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("pa").orderBy(
+        F.desc("jaccard"), F.desc("co"), "pb"
+    )
+    return (
+        sym.join(na, "pa")
+        .join(nb, "pb")
+        .withColumn(
+            "jaccard",
+            F.col("co").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("co")).cast("double"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= SIM_TOPK)
+        .select("pa", "pb", "co", "n_a", "n_b", "jaccard", "rn")
+        .orderBy("pa", "rn")
+    )
+
+
+_GR04_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+  FROM lineitem WHERE l_partkey IS NOT NULL
+),
+n_ord AS (SELECT pk, count(1) AS n_o FROM li GROUP BY pk),
+co AS (
+  SELECT a.pk AS pa, b.pk AS pb, count(1) AS co
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+),
+sym AS (
+  SELECT pa, pb, co FROM co
+  UNION ALL SELECT pb, pa, co FROM co
+),
+scored AS (
+  SELECT s.pa, s.pb, s.co, na.n_o AS n_a, nb.n_o AS n_b,
+         s.co::DOUBLE / (na.n_o + nb.n_o - s.co)::DOUBLE AS jaccard
+  FROM sym s
+  JOIN n_ord na ON na.pk = s.pa
+  JOIN n_ord nb ON nb.pk = s.pb
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY pa
+                               ORDER BY jaccard DESC, co DESC, pb) AS rn
+  FROM scored
+)
+SELECT pa, pb, co, n_a, n_b, jaccard, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {SIM_TOPK}
+ORDER BY pa, rn
+"""
+
+
 _GR02_SQL = """
 WITH li AS (
   SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
@@ -364,4 +458,5 @@ SPECS = [
     QuerySpec("gr01_pagerank", gr01_pagerank, _pr_oracle()),
     QuerySpec("gr02_triangle_count", gr02_triangle_count, _GR02_SQL),
     QuerySpec("gr03_khop_reachability", gr03_khop_reachability, _khop_oracle()),
+    QuerySpec("gr04_item_similarity", gr04_item_similarity, _GR04_SQL),
 ]

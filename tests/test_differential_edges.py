@@ -447,6 +447,7 @@ TPCH_ONLY_QUERIES = [
     # round-6 additions over the TPC-H edge tables (io10 needs
     # l_linenumber, absent from this fixture — covered by the main gate)
     "gr02_triangle_count", "gr03_khop_reachability",
+    "gr04_item_similarity",
     "io08_dynamic_partition_overwrite", "io09_table_diff",
 ]
 
