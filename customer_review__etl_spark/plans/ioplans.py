@@ -426,6 +426,34 @@ def io10_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def io12_nested_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct schema pruning — the columnar guarantee for the
+    nested layouts every multimodal/metadata table uses: selecting ONE
+    leaf of a struct column must scan only that leaf's parquet column
+    chunk, not the whole struct. supplier is rewritten with its payload
+    nested under a struct, read back selecting only s_suppkey +
+    meta.s_name, and tests/test_round6_ops.py asserts the scan's
+    ReadSchema carries the s_name leaf but NOT the acctbal sibling
+    (Catalyst's nested-schema pruning, on by default). At 100 TB the
+    pruned sibling is the difference between scanning metadata and
+    scanning the blobs it sits next to. The oracle states the same
+    projection over the flat original — nesting must be a pure layout
+    choice."""
+    out = run_scratch("io12_nested_")
+    src = tables.load(spark, sf_dir, "supplier")
+    nested = src.select(
+        "s_suppkey",
+        F.struct("s_name", "s_nationkey", "s_acctbal").alias("meta"),
+    )
+    nested.write.mode("overwrite").parquet(out)
+    return (
+        spark.read.schema(nested.schema)
+        .parquet(out)
+        .select("s_suppkey", F.col("meta.s_name").alias("s_name"))
+        .orderBy("s_suppkey")
+    )
+
+
 def io11_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python DataSource read (sources/pyds.py): register the
     synthetic_scores source, scan its 8 planned partitions, and roll
@@ -551,6 +579,11 @@ SPECS = [
         FROM range(0, {PYDS_ROWS}) t(i)
         GROUP BY 1 ORDER BY 1
         """,
+    ),
+    QuerySpec(
+        "io12_nested_projection",
+        io12_nested_projection,
+        "SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey",
     ),
     QuerySpec(
         "io06_schema_evolution",

@@ -449,6 +449,7 @@ TPCH_ONLY_QUERIES = [
     "gr02_triangle_count", "gr03_khop_reachability",
     "gr04_item_similarity",
     "io08_dynamic_partition_overwrite", "io09_table_diff",
+    "io12_nested_projection",
 ]
 
 

@@ -576,6 +576,22 @@ def test_ml09_vote_consistency(spark):
     spark.catalog.clearCache()
 
 
+def test_io12_scan_prunes_struct_siblings(spark):
+    """The physical claim: selecting meta.s_name must leave the
+    acctbal sibling OUT of the parquet scan's ReadSchema."""
+    from customer_review__etl_spark.plans import ioplans
+
+    df = ioplans.io12_nested_projection(spark, SF_DIR)
+    plan = _plan(df)
+    read_schema = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ]
+    assert read_schema, "no scan in plan"
+    assert "s_name" in read_schema[0]
+    assert "s_acctbal" not in read_schema[0]
+    assert "s_nationkey" not in read_schema[0]
+
+
 def test_st10_upsert_is_batch_chop_independent(spark, tmp_path):
     """Replay the same events in MANY micro-batches (one file each) and
     assert the final snapshot still equals the global latest-per-key —
