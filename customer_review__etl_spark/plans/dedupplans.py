@@ -517,12 +517,26 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet: d04 is their only direct consumer (d05/d06 consume d04's
     materialized PAIR set, never the raw grams), so a parquet landing
     would pay the big array column's write+3×decode for zero sharing —
-    measured ≈ equal steady-state and +60% on the first call."""
+    measured ≈ equal steady-state and +60% on the first call.
+
+    PERF (round-7 root-cause of the r6 17 s bench anomaly): the
+    candidate pair set is tiny on disk (~16 B/row), so AQE's
+    post-shuffle coalescing collapsed the distinct's exchange to 1-2
+    partitions — and ALL the array_intersect CPU (the dominant cost of
+    the query, ~125 CPU-s at sf0.1) then ran in 1-2 straggler tasks
+    (wall 7.8 s vs 17.5 s rep-to-rep in one process, JVM CPU constant).
+    The explicit repartition below spreads the verify across the
+    cluster; per-row verify cost is what matters, not pair-set bytes.
+    Catalyst also pushed the jaccard filter INTO the join condition,
+    evaluating array_intersect twice per pair (condition + projection);
+    the nondeterministic `_pd_barrier` column blocks that pushdown
+    (PushPredicateThroughNonJoin requires an all-deterministic
+    projection), halving intersect work. Same rows either way."""
     arrays = _d04_gram_arrays(spark, sf_dir).cache()
     grams = arrays.select(
         "doc_id", "lang", "lbucket", F.explode("grams").alias("g")
     )
-    cand = _d04_candidates(grams, NGRAM_DF_CAP)
+    cand = _d04_candidates(grams, NGRAM_DF_CAP).repartition(64, "doc_a")
     # Exact-verify against per-doc gram ARRAYS, not the exploded gram
     # stream: the candidate⋈gram⋈gram form shuffles |cand|·|grams per
     # doc| rows (~65M at sf0.1) into a pair-count aggregate, which was
@@ -553,6 +567,7 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "n_a",
             "n_b",
+            F.monotonically_increasing_id().alias("_pd_barrier"),
         )
     )
     return (
@@ -563,8 +578,10 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("inter").cast("double")
                 / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
             ).alias("jaccard"),
+            "_pd_barrier",
         )
         .filter(F.col("jaccard") >= NGRAM_JACCARD_MIN)
+        .drop("_pd_barrier")
         .orderBy("doc_a", "doc_b")
     )
 
