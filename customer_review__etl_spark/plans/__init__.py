@@ -35,109 +35,83 @@ class QuerySpec:
 # explicitly; everything else follows in module order and is covered by the
 # local differential harness (tools/verify_local.py) + pytest.
 PRIORITY: tuple[str, ...] = (
-    # relational core: scan/project/filter/dedup (p02's plain
-    # projection is head-covered by p01; the correlated-aggregate
-    # family rep q17 takes its slot — round-3 VERDICT #4; p04's
-    # cast chain is exercised by every money-scaled plan, so the
-    # never-driver-sampled outer-join-agg q13 takes its slot —
-    # round-5 VERDICT #4 rotation)
-    # (round-6 rotation: p03's keep-first window is shape-covered by
-    # w07/d01 — the oversampling mixture p17 takes its slot)
-    "p01_project_sort",
+    # ROTATION LOG (cumulative; each round swaps multiply-driver-
+    # sampled, shape-covered heads for never-sampled entries so every
+    # registry query eventually earns a driver row — round-6 VERDICT
+    # "Next round" #2):
+    #   r3-r6: see git history for the per-slot rationale comments.
+    #   r7 (13 swaps, every incoming entry never driver-sampled in
+    #   r1-r6 and oracle-backed):
+    #     p01→gr02  (scan+sort shape inside q1/q3/p17, sampled 5×)
+    #     a01→io11  (group-count shape inside a08/a10; a01 still runs
+    #                every round as the entry() smoke flagship)
+    #     q5→q8     (q8's 6-table join strictly supersedes q5's 5)
+    #     j01→q9    (broadcast-dim shape inside q8/q9/j11, sampled 5×)
+    #     j08→u03   (as-of join sampled 5×; u03 = the genuinely
+    #                sequential applyInPandas recurrence)
+    #     w05→t15   (frame surface covered by w07+w09-local; t15 =
+    #                two-pass bigram LM)
+    #     t01→t16   (normalize chain inside t08/t11/t13; t16 = exact
+    #                TF-IDF top terms)
+    #     s01→u05   (brute-force cosine inside s06's rerank and ml09;
+    #                u05 = GROUPED_AGG pandas UDF)
+    #     st01→a11  (batch tumbling inside st04's real readStream twin;
+    #                a11 = two-pass exact median)
+    #     st04→st11 (same readStream surface plus checkpointed resume)
+    #     ml03→gr04 (md5 split inside ml05's exact stratified split;
+    #                gr04 = item-item CF cosine)
+    #     mm01→mm02 (metadata projection inside mm02's decode path)
+    #     io01→io09 (csv roundtrip sampled 4×; io09 = full-outer
+    #                table diff)
     "p17_oversample_mix",
+    "gr02_triangle_count",
     "q13_customer_distribution",
-    "a01_group_count",
+    "io11_python_datasource",
     "a08_median_disc",
-    # TPC-H headliners (q17 = correlated scalar-aggregate subquery;
-    # q12's two-table agg shape is covered by q1/q3 — the round-5
-    # iterative-graph PageRank takes its slot)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
+    "q8_market_share",
     "gr01_pagerank",
     "q17_small_qty_revenue",
-    # join surface (j06's theta/BNLJ baseline is row-identical to j10's
-    # bucketed rewrite, which stays — u02's grouped-map packer takes
-    # the slot so the sequence-packing family gets driver rows)
-    # (round-6: j02's plain equi-join underlies every q-family head
-    # entry — the blocked fuzzy Levenshtein join takes its slot)
-    "j01_broadcast_theme_label",
+    "q9_product_profit",
     "j11_fuzzy_blocked_join",
-    "j08_asof_join",
+    "u03_ewma_smooth",
     "j09_salted_skew_agg",
     "j10_bucketed_range",
     "u02_sequence_pack",
-    # windows / grouping extensions / functions / UDF (w01's top-N
-    # row_number shape is exercised by p03's keep-first window — the
-    # SCD2 interval build takes its slot; u01's grouped-map UDF shape
-    # stays covered by u02, so MinHash decontamination takes u01's)
-    # (round-6: w03's running sum is a frame subset of w05/w07 — the
-    # ordered conversion funnel a10 takes its slot)
     "w07_scd2_intervals",
     "a10_funnel_stages",
-    "w05_ntile_frames",
+    "t15_bigram_surprisal",
     "t11_chunk_dedup",
     "g04_pivot",
     "f03_json_map_funcs",
     "dc02_neardup_decontaminate",
-    # text analysis (t04's per-doc ratio map is shape-covered by
-    # t01/t10, and t05's n-gram-score projection by t01/t08 — the
-    # two-pass corpus-LM surprisal and the unified-cluster collapse
-    # take their slots)
-    # (round-6: t03's explode+count shape is inside t13/t14 — the
-    # Misra-Gries sketch-then-verify heavy hitters takes its slot)
-    "t01_text_chain",
+    "t16_tfidf_terms",
     "t14_heavy_hitters",
     "t13_unigram_surprisal",
     "d06_unified_clusters",
     "t08_bpe_token_count",
-    # deduplication (t06_fingerprint's md5 path is already head-covered
-    # by d01; the cluster collapse d05 takes its slot; d03's chunk
-    # equi-join shape matches d02's band join — the iterative
-    # fixed-point k-means takes d03's slot)
     "d01_exact_dedup",
     "d02_minhash_near_dup",
-    # (round-6: d05's CC collapse is transitively exercised by d06's
-    # unified-edge CC — the integer-bits Naive Bayes takes its slot)
     "ml06_kmeans",
     "d04_ngram_jaccard",
     "ml07_naive_bayes",
-    # similarity search (s04's bucketed-probe shape matches s02 — the
-    # PQ asymmetric-distance path takes its slot; s03's band join is
-    # transitively driver-exercised by s05, whose SemDeDup cluster
-    # collapse consumes s03's pair set — s05 takes s03's slot)
-    "s01_cosine_topk",
+    "u05_grouped_agg_udf",
     "s02_ann_lsh",
     "s05_semantic_clusters",
     "s06_pq_ann",
-    # streaming (st02's sliding window is the tumbling shape with
-    # overlap, and st08's gapfill is batch-expressible st01 + the
-    # left-join spine — st09's stream-stream join takes st08's slot so
-    # the only two-sided streaming state shape gets driver rows;
-    # st05's watermarked-dropDuplicates state is a strict subset of
-    # st06's applyInPandasWithState surface — the exact stratified
-    # split ml05 takes st05's slot; dc01 decontamination keeps its
-    # slot)
-    # (round-6: dc01's exact 5-gram overlap join is a sub-shape of
-    # dc02's cross-corpus LSH, which stays — the Z-order clustered
-    # layout io10 takes its slot)
-    "st01_tumbling_window",
+    "a11_scalable_median",
     "st03_session_window",
     "io10_zorder_cluster",
-    "st04_stream_tumbling",
+    "st11_incremental_resume",
     "ml05_stratified_split",
     "st06_stateful_stats",
     "st07_stream_static_join",
     "st09_stream_stream_join",
-    # ML / multimodal / IO (io02's partitioned-parquet roundtrip is
-    # physically exercised by every scratch-sink query — the bucketed
-    # co-located join takes its slot; mm03's mapInPandas iterator
-    # shape is mm01+u-family-covered — the mergeSchema evolution read
-    # io06 takes its slot)
-    "ml03_train_test_split",
-    "mm01_binary_meta",
+    "gr04_item_similarity",
+    "mm02_decode_features",
     "io06_schema_evolution",
-    "io01_csv_roundtrip",
+    "io09_table_diff",
     "io05_bucketed_join",
 )
 
