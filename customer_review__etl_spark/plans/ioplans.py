@@ -356,23 +356,31 @@ def io07_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _spread16(expr: str) -> str:
-    """Bit-spread of a 16-bit value to even bit positions (the classic
+def _spread32(expr: str) -> str:
+    """Bit-spread of a 32-bit value to even bit positions (the classic
     shift-or-mask interleave ladder) — plain integer arithmetic, valid
     in BOTH Spark SQL and DuckDB, so one string serves engine and
-    oracle. Masks are the usual 0x00FF00FF / 0x0F0F0F0F / 0x33333333 /
-    0x55555555 ladder in decimal."""
-    x = f"(CAST({expr} AS BIGINT) & 65535)"
-    x = f"(({x} | ({x} << 8)) & 16711935)"
-    x = f"(({x} | ({x} << 4)) & 252645135)"
-    x = f"(({x} | ({x} << 2)) & 858993459)"
-    x = f"(({x} | ({x} << 1)) & 1431655765)"
+    oracle. Masks are the 64-bit ladder 0x0000FFFF0000FFFF /
+    0x00FF00FF00FF00FF / 0x0F0F0F0F0F0F0F0F / 0x3333333333333333 /
+    0x5555555555555555 in decimal. The initial CAST AS BIGINT keeps
+    every shift in 64-bit space on both engines (Spark int << would
+    wrap at 32 bits). 32 bits per key (vs 16 in earlier rounds) keeps
+    the z-layout claim honest past l_partkey = 65535, i.e. beyond
+    SF ≈ 0.33 where the old mask aliased keys (round-6 ADVICE #2);
+    keys ≥ 2^31 would wrap the curve via the sign bit — identically in
+    both engines, but layout locality would degrade there."""
+    x = f"(CAST({expr} AS BIGINT) & 4294967295)"
+    x = f"(({x} | ({x} << 16)) & 281470681808895)"
+    x = f"(({x} | ({x} << 8)) & 71777214294589695)"
+    x = f"(({x} | ({x} << 4)) & 1085102592571150095)"
+    x = f"(({x} | ({x} << 2)) & 3689348814741910323)"
+    x = f"(({x} | ({x} << 1)) & 6148914691236517205)"
     return x
 
 
 def _morton(a: str, b: str) -> str:
-    """32-bit Morton (Z-order) code interleaving two 16-bit keys."""
-    return f"({_spread16(a)} | ({_spread16(b)} << 1))"
+    """64-bit Morton (Z-order) code interleaving two 32-bit keys."""
+    return f"({_spread32(a)} | ({_spread32(b)} << 1))"
 
 
 IO10_FILES = 8    # range partitions = output files of the clustered layout

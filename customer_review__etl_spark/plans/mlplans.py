@@ -403,7 +403,15 @@ def ml08_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    slope = num.cast("double") / den.cast("double")
+    # den = 0 (all x equal within a group, e.g. every event in one
+    # hour) is pinned to NULL EXPLICITLY on both sides: Spark non-ANSI
+    # x/0 happens to give NULL, but DuckDB >= 1.1 defaults
+    # ieee_floating_point_ops=true and returns inf/NaN, so relying on
+    # the engines' implicit divide-by-zero semantics makes the oracle
+    # gate DuckDB-version-dependent (round-6 ADVICE #1).
+    slope = F.when(
+        den != 0, num.cast("double") / den.cast("double")
+    ).otherwise(F.lit(None).cast("double"))
     intercept = (
         F.col("sy").cast("double") - slope * F.col("sx").cast("double")
     ) / F.col("n").cast("double")
@@ -434,9 +442,13 @@ agg AS (
 SELECT event_type, n,
        CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
        CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
-       (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE AS slope,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE (n * sxy - sx * sy)::DOUBLE
+                 / (n * sxx - sx * sx)::DOUBLE END AS slope,
        (sy::DOUBLE
-        - ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE)
+        - CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+               ELSE (n * sxy - sx * sy)::DOUBLE
+                    / (n * sxx - sx * sx)::DOUBLE END
           * sx::DOUBLE) / n::DOUBLE AS intercept
 FROM agg ORDER BY event_type
 """

@@ -448,7 +448,13 @@ def t14_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     def mg_partition(batches):
         counts = pd.Series(dtype="int64")
         for pdf in batches:
-            counts = counts.add(pdf["word"].value_counts(), fill_value=0)
+            # Series.add(fill_value=0) promotes to float64; cast back so
+            # the MG counters stay exact integers at any partition size
+            # (past 2^53 a float64 counter would silently round and the
+            # documented superset guarantee would bend — round-6 ADVICE).
+            counts = counts.add(
+                pdf["word"].value_counts(), fill_value=0
+            ).astype("int64")
             if len(counts) > HH_K:
                 cut = counts.nlargest(HH_K + 1).iloc[-1]
                 counts = counts[counts > cut] - cut
