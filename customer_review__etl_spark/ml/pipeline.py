@@ -154,25 +154,60 @@ def stratified_split(
     comparison (rn·den ≤ cnt·num): no float rounding to diverge
     cross-engine.
 
-    Scale: one shuffle on strata_col + a per-stratum sort of 32-char
-    digests. Dominant-language skew makes single strata large; at that
-    scale either pre-salt the sort or switch to the sort-free global
-    hash threshold (md5_split) whose drift is negligible for huge
-    strata — the two are the small-strata/huge-strata halves of the
-    same M6 contract."""
+    Scale (the salted path, round-6 VERDICT ask #3): a naive
+    row_number over Window.partitionBy(strata) serializes each stratum
+    into ONE sort partition — a dominant-language stratum at corpus
+    scale becomes a single straggler task. Instead the within-stratum
+    rank is computed exactly in two phases over ordered digest
+    BUCKETS (the leading byte of the md5 itself, so bucket order ==
+    digest order and the rank is bit-identical to the naive form):
+      1. row_number within (stratum, bucket) — 256-way parallel per
+         stratum, partitions shrink 256× (more leading bytes widen
+         this arbitrarily);
+      2. per-(stratum, bucket) counts roll up into exclusive running
+         offsets with a window over the TINY aggregate (≤ 256 rows per
+         stratum), broadcast-joined back; global rank = offset +
+         within-bucket rank. Stratum totals ride the same aggregate,
+         so the naive form's second full-data window disappears too.
+    The p16 two-phase-ordinal idea applied per stratum; strata counts
+    are assumed driver-broadcastable (a label column, not an ID)."""
     from pyspark.sql.window import Window
 
     h = F.md5(F.col(key_col).cast("string"))
-    rn = F.row_number().over(
-        Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    with_h = df.withColumn("_h", h).withColumn(
+        "_bkt", F.substring(F.col("_h"), 1, 2)
     )
-    cnt = F.count(F.lit(1)).over(Window.partitionBy(strata_col))
-    return df.withColumn(
+    within = F.row_number().over(
+        Window.partitionBy(strata_col, "_bkt").orderBy("_h", F.col(key_col))
+    )
+    per_bucket = with_h.groupBy(strata_col, "_bkt").agg(
+        F.count(F.lit(1)).alias("_bn")
+    )
+    offsets = per_bucket.select(
+        F.col(strata_col).alias("_strat"),
+        F.col("_bkt").alias("_obkt"),
+        F.sum("_bn")
+        .over(
+            Window.partitionBy(strata_col)
+            .orderBy("_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("_off"),
+        F.sum("_bn").over(Window.partitionBy(strata_col)).alias("_cnt"),
+    )
+    joined = with_h.withColumn("_rn0", within).join(
+        F.broadcast(offsets),
+        with_h[strata_col].eqNullSafe(F.col("_strat"))
+        & (F.col("_bkt") == F.col("_obkt")),
+    )
+    rn = F.coalesce(F.col("_off"), F.lit(0)) + F.col("_rn0")
+    return joined.withColumn(
         "split",
         F.when(
-            rn * F.lit(train_den) <= cnt * F.lit(train_num), F.lit("train")
+            rn * F.lit(train_den) <= F.col("_cnt") * F.lit(train_num),
+            F.lit("train"),
         ).otherwise(F.lit("test")),
-    )
+    ).drop("_h", "_bkt", "_rn0", "_strat", "_obkt", "_off", "_cnt")
 
 
 def fit_classifier(
