@@ -511,7 +511,11 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     its block is never considered — the cap trades unbounded worst-case
     recall for bounded candidate fan-out. In practice near-dups share
     rare grams (typos, names, numbers); tune the cap per corpus via
-    SPARK_GRAFT_NGRAM_DF_CAP.
+    SPARK_GRAFT_NGRAM_DF_CAP. MEASURED (round 7): recall vs the
+    uncapped candidate join at cap=64 on the sf0.01 corpus is 1.0
+    (4579/4579 pairs at jaccard ≥ 0.4);
+    tests/test_dedup.py::test_d04_cap_recall_floor_on_corpus pins a
+    0.95 floor as the tripwire for future cap/corpus changes.
 
     The gram arrays stay an in-memory .cache(), NOT a materialized_df
     parquet: d04 is their only direct consumer (d05/d06 consume d04's
