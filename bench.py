@@ -135,21 +135,34 @@ def _materialize(df) -> None:
         df.count()
 
 
-def _time_queries(spark, qs, sf_dir: str, reps: int) -> dict[str, float]:
+def _time_queries(
+    spark, qs, sf_dir: str, reps: int
+) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Returns (min-per-query, all-rep timings). Every rep is recorded
+    so ambient-load / cache-state anomalies show up as VARIANCE in
+    bench_full.json instead of a mystery cross-round regression (the
+    round-6 d04 lesson: 7.8 s vs 17.5 s rep-to-rep with constant JVM
+    CPU). Caches are cleared after every rep so each number is a
+    cold-cache measurement attributable to the query alone; the
+    once-per-process scratch-parquet materializations of SHARED
+    intermediates (shingle/pair sets) survive by design — they are the
+    claimed cross-query plan, and their build cost lands on the first
+    consumer's first rep, visible in that query's rep spread."""
     timings: dict[str, float] = {}
+    all_reps: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
-        best = None
+        times: list[float] = []
         for _ in range(reps):
             t0 = time.time()
             _materialize(fn(spark, sf_dir))
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            times.append(round(time.time() - t0, 3))
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
-    return timings
+        timings[name] = min(times)
+        all_reps[name] = times
+    return timings, all_reps
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -181,15 +194,25 @@ def main() -> int:
     out: dict = {"metric": "wall_sec_total", "unit": "sec", "reps": reps}
 
     if small_dir and os.path.isdir(small_dir) and small_dir != sf_dir:
-        small = _time_queries(spark, qs, small_dir, reps)
+        small, _ = _time_queries(spark, qs, small_dir, reps)
         out["sf_small"] = _sf_of(small_dir)
         out["queries_small"] = small
     else:
         small = {}
 
-    timings = _time_queries(spark, qs, sf_dir, reps)
+    timings, rep_detail = _time_queries(spark, qs, sf_dir, reps)
     out["value"] = round(sum(timings.values()), 3)
     out["queries"] = timings
+    out["queries_reps"] = rep_detail
+    # spread = (max-min)/min per query — the contention/caching
+    # instability signal; anything > ~0.5 means the min is not a
+    # steady-state number and cross-round deltas for that query are
+    # noise until root-caused.
+    out["rep_spread"] = {
+        n: round((max(ts) - min(ts)) / min(ts), 2)
+        for n, ts in rep_detail.items()
+        if min(ts) > 0
+    }
     out["sf"] = _sf_of(sf_dir)
     if small:
         out["scale_ratio"] = {
@@ -215,6 +238,10 @@ def main() -> int:
     if ratios:
         worst = sorted(ratios.items(), key=lambda kv: -kv[1])[:5]
         compact["worst_scale_ratio"] = dict(worst)
+    spreads = out.get("rep_spread", {})
+    if spreads:
+        noisy = sorted(spreads.items(), key=lambda kv: -kv[1])[:5]
+        compact["worst_rep_spread"] = dict(noisy)
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     compact["slowest"] = dict(slowest)
     # Only the last ~2000 stdout chars survive; include the full

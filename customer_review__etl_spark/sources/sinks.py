@@ -5,7 +5,11 @@ The reference hand-rolls every sink through pandas buffers and boto3
 puts (loader.py:74-130, 212-247); here each is the native Spark writer
 — streaming-committed, directory-structured, s3a-ready (pass an
 ``s3a://bucket/...`` path on a cluster with hadoop-aws; bucket
-creation/lifecycle stays in the control plane, not here).
+creation/lifecycle stays in the control plane, not here). The
+object-store key/value surface itself (put/get/list, versioned run
+publish with the reference's exact key layout) lives in
+``sources/objectstore.py`` over the Hadoop FileSystem API — tested
+end-to-end against a ``file://`` bucket, same code path as ``s3a://``.
 
 Scale notes: writers never funnel data through the driver; `coalesce`
 is exposed but defaults to off (a 100 TB write wants many output
