@@ -1310,15 +1310,97 @@ FROM t JOIN m ON m.rn = t.k
 
 def a09_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A7 scale path: sketch aggregates — HLL++ count-distinct and
-    KLL-style approx percentiles. At 100 TB these replace their exact
-    twins (a02/a08): one pass, mergeable fixed-size state, no giant
-    hash tables. ⊘ rows-only for the oracle (sketch internals are
-    engine-specific); tests/test_plans.py pins each estimate within
-    rel_sd/tolerance of the exact answer."""
-    return _t(spark, sf_dir, "orders").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median_price"),
-        F.percentile_approx("o_totalprice", 0.99, 10000).alias("approx_p99_price"),
+    GK approx percentiles. At 100 TB these replace their exact twins
+    (a02/a08): one pass, mergeable fixed-size state, no giant hash
+    tables.
+
+    ORACLE CONTRACT (round-6 VERDICT ask #7 — the driver-facing
+    tolerance gate): raw sketch estimates can never hash-match a
+    different engine, so the row carries (a) the EXACT values the
+    sketches approximate — n, count-distinct, and the two-pass
+    histogram-exact median/p99 cents (the a11 machinery, generalized
+    to a rank table) — which DuckDB reproduces bit-for-bit, and (b)
+    boolean within-tolerance verdicts comparing each sketch to its
+    exact bracket, which the oracle pins to TRUE. A sketch drifting
+    out of tolerance turns a flag false and the driver row red: the
+    old pytest-only tolerance check is now IN the oracle gate.
+    Tolerances: HLL rsd=0.02 → 3σ = 6 %; percentile_approx accuracy
+    10000 → rank error ≤ ⌊n/10000⌋+1, so the estimate must lie between
+    the exact values at ranks k∓(⌊n/10000⌋+1) (GK returns an observed
+    element, so the value bracket is exact)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    vals = o.select(cents(F.col("o_totalprice")).alias("c"))
+    hist = vals.groupBy(F.expr(f"c DIV {A11_BUCKET}").alias("b")).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    # six named ranks from the O(#buckets) histogram: the two targets
+    # (lower median, ceil-rank p99) plus the ± rank-slack brackets
+    ranks = (
+        hist.agg(F.sum("n_b").alias("n"))
+        .selectExpr(
+            "n",
+            """stack(6,
+               'med_lo', greatest(1L, (n + 1) DIV 2 - (n DIV 10000 + 1)),
+               'med',    (n + 1) DIV 2,
+               'med_hi', least(n, (n + 1) DIV 2 + (n DIV 10000 + 1)),
+               'p99_lo', greatest(1L,
+                           (99 * n + 99) DIV 100 - (n DIV 10000 + 1)),
+               'p99',    (99 * n + 99) DIV 100,
+               'p99_hi', least(n, (99 * n + 99) DIV 100 + (n DIV 10000 + 1))
+             ) AS (rk, k)""",
+        )
+    )
+    wc = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sel = (
+        hist.withColumn("cum", F.sum("n_b").over(wc))
+        .withColumn("prev", F.col("cum") - F.col("n_b"))
+        .join(
+            F.broadcast(ranks),
+            (F.col("cum") >= F.col("k")) & (F.col("prev") < F.col("k")),
+        )
+        .select("rk", "b", (F.col("k") - F.col("prev")).alias("r"))
+    )
+    # pass 2: per-rank row_number inside ONLY the selected buckets —
+    # partition state bounded by bucket width, never by the table
+    w2 = Window.partitionBy("rk").orderBy("c")
+    kth = (
+        vals.join(
+            F.broadcast(sel), F.expr(f"c DIV {A11_BUCKET}") == F.col("b")
+        )
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == F.col("r"))
+        .groupBy()
+        .agg(
+            *[
+                F.max(F.when(F.col("rk") == rk, F.col("c"))).alias(f"c_{rk}")
+                for rk in ("med_lo", "med", "med_hi", "p99_lo", "p99", "p99_hi")
+            ]
+        )
+    )
+    stats = o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("ac"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("am"),
+        F.percentile_approx("o_totalprice", 0.99, 10000).alias("ap"),
+    )
+    return stats.crossJoin(F.broadcast(kth)).select(
+        "n_orders",
+        "exact_customers",
+        F.col("c_med").alias("exact_median_cents"),
+        F.col("c_p99").alias("exact_p99_cents"),
+        (
+            F.abs(F.col("ac") - F.col("exact_customers"))
+            <= 0.06 * F.col("exact_customers")
+        ).alias("approx_customers_ok"),
+        cents(F.col("am"))
+        .between(F.col("c_med_lo"), F.col("c_med_hi"))
+        .alias("approx_median_ok"),
+        cents(F.col("ap"))
+        .between(F.col("c_p99_lo"), F.col("c_p99_hi"))
+        .alias("approx_p99_ok"),
     )
 
 
@@ -3085,7 +3167,27 @@ SPECS = [
         ORDER BY user_id, version
         """,
     ),
-    QuerySpec("a09_approx_stats", a09_approx_stats, None),
+    QuerySpec(
+        "a09_approx_stats",
+        a09_approx_stats,
+        f"""
+        WITH o AS (SELECT o_custkey, o_totalprice FROM orders
+                   WHERE o_totalprice IS NOT NULL),
+        v AS (SELECT {sql_cents('o_totalprice')} AS c FROM o),
+        t AS (SELECT count(1) AS n FROM v),
+        m AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v)
+        SELECT t.n AS n_orders,
+               (SELECT count(DISTINCT o_custkey) FROM o) AS exact_customers,
+               (SELECT c FROM m, t WHERE rn = (t.n + 1) // 2)
+                 AS exact_median_cents,
+               (SELECT c FROM m, t WHERE rn = (99 * t.n + 99) // 100)
+                 AS exact_p99_cents,
+               TRUE AS approx_customers_ok,
+               TRUE AS approx_median_ok,
+               TRUE AS approx_p99_ok
+        FROM t
+        """,
+    ),
     QuerySpec(
         "u01_grouped_minmax",
         u01_grouped_minmax,
