@@ -71,6 +71,7 @@ HEADLINE = [
     "t11_chunk_dedup",
     "t12_vocab_coverage",
     "u02_sequence_pack",
+    "pl01_training_pipeline",
     "dc01_decontaminate",
     "d01_exact_dedup",
     "d02_minhash_near_dup",

@@ -123,6 +123,7 @@ def build_registry() -> dict[str, QuerySpec]:
         ioplans,
         mlplans,
         multimodalplans,
+        pipelineplans,
         relational,
         simplans,
         streamplans,
@@ -140,6 +141,7 @@ def build_registry() -> dict[str, QuerySpec]:
         multimodalplans,
         ioplans,
         graphplans,
+        pipelineplans,
     ):
         for spec in mod.SPECS:
             if spec.name in by_name:
