@@ -66,6 +66,8 @@ HEADLINE = [
     "g04_pivot",
     "j02_inner_equi",
     "j10_bucketed_range",
+    "j12_interval_overlap",
+    "t18_sliding_chunks",
     "t03_topk_words",
     "t04_quality_scores",
     "t11_chunk_dedup",

@@ -880,6 +880,74 @@ def j11_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+J12_W = 10_000       # interval length == bucket width (cents: $100)
+J12_OFF = 10_000_000  # shift cents non-negative so DIV bucketing is
+                      # floor on both engines (no negative-division
+                      # truncation divergence)
+
+
+def j12_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join — BOTH sides are intervals (j10 covers the
+    point-in-interval half of the range-join family). Supplier and
+    customer account-balance bands of width $100 overlap iff
+    s_lo ≤ c_hi AND c_lo ≤ s_hi; output carries the overlap segment.
+
+    Scale plan: bucketize at W = interval length, so each interval
+    covers ≤ 2 buckets; explode both sides to their covered buckets
+    (≤ 2× row inflation), hash equi-join on the integer bucket — every
+    overlapping pair shares the bucket containing its overlap start —
+    then apply the exact overlap predicate and keep ONLY the canonical
+    bucket (the overlap start's), which dedupes pairs without a
+    distinct shuffle. O(n+m+matches) instead of the BNLJ O(n·m); at
+    skewed balance distributions the bucket key salts like any hash
+    key. Arithmetic is integer cents shifted non-negative, identical
+    in the oracle."""
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (cents(F.col("s_acctbal")) + J12_OFF).alias("s_lo"),
+        (cents(F.col("s_acctbal")) + J12_OFF + J12_W).alias("s_hi"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (cents(F.col("c_acctbal")) + J12_OFF).alias("c_lo"),
+        (cents(F.col("c_acctbal")) + J12_OFF + J12_W).alias("c_hi"),
+    )
+    sx = s.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_lo DIV {J12_W}"), F.expr(f"s_hi DIV {J12_W}")
+            )
+        ).alias("b"),
+    )
+    cx = c.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr(f"c_lo DIV {J12_W}"), F.expr(f"c_hi DIV {J12_W}")
+            )
+        ).alias("b"),
+    )
+    return (
+        sx.join(cx, "b")
+        .filter(
+            (F.col("s_lo") <= F.col("c_hi"))
+            & (F.col("c_lo") <= F.col("s_hi"))
+            & (
+                F.col("b")
+                == F.expr(f"greatest(s_lo, c_lo) DIV {J12_W}")
+            )
+        )
+        .select(
+            "s_suppkey",
+            "c_custkey",
+            (F.greatest("s_lo", "c_lo") - J12_OFF).alias("overlap_lo_cents"),
+            (F.least("s_hi", "c_hi") - J12_OFF).alias("overlap_hi_cents"),
+        )
+        .orderBy("s_suppkey", "c_custkey")
+    )
+
+
 def j07_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RIGHT join: all nations kept, unmatched suppliers → NULL counts."""
     supp = _t(spark, sf_dir, "supplier")
@@ -2851,6 +2919,27 @@ SPECS = [
         FROM part JOIN supplier
           ON p_retailprice >= s_acctbal / 10
          AND p_retailprice <  s_acctbal / 10 + 50
+        """,
+    ),
+    QuerySpec(
+        "j12_interval_overlap",
+        j12_interval_overlap,
+        f"""
+        WITH s AS (SELECT s_suppkey,
+                          {sql_cents('s_acctbal')} + {J12_OFF} AS s_lo,
+                          {sql_cents('s_acctbal')} + {J12_OFF} + {J12_W}
+                            AS s_hi
+                   FROM supplier),
+             c AS (SELECT c_custkey,
+                          {sql_cents('c_acctbal')} + {J12_OFF} AS c_lo,
+                          {sql_cents('c_acctbal')} + {J12_OFF} + {J12_W}
+                            AS c_hi
+                   FROM customer)
+        SELECT s_suppkey, c_custkey,
+               greatest(s_lo, c_lo) - {J12_OFF} AS overlap_lo_cents,
+               least(s_hi, c_hi) - {J12_OFF} AS overlap_hi_cents
+        FROM s JOIN c ON s_lo <= c_hi AND c_lo <= s_hi
+        ORDER BY s_suppkey, c_custkey
         """,
     ),
     QuerySpec(

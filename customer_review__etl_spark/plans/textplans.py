@@ -618,6 +618,50 @@ def t16_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_WIN = 32     # sliding-window chunk size (tokens)
+CHUNK_STRIDE = 24  # stride (8-token overlap between neighbors)
+
+
+def t18_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the doc→chunk expansion an
+    embedding/RAG pipeline runs before vectorizing: windows of
+    CHUNK_WIN tokens at CHUNK_STRIDE (so neighbors share
+    WIN−STRIDE = 8 tokens and no token is orphaned at a hard
+    boundary; t11's disjoint chunks are the dedup variant). Output one
+    row per chunk: (doc_id, chunk_id, n_chunk_tokens, chunk_md5) —
+    the md5 stands in for the chunk body downstream (embedding input
+    key), keeping the result compact and exactly comparable.
+
+    Scale: pure narrow map — tokenize, one transform over the chunk
+    index sequence, explode; no shuffle at all (the final sort is
+    presentation). Chunk count per doc is 1 + ⌈max(n−WIN,0)/STRIDE⌉,
+    linear in corpus tokens."""
+    toks = T.raw_tokens(F.lower(F.col("text")))
+    base = _docs_par(spark, sf_dir).select("doc_id", toks.alias("toks"))
+    w, st = CHUNK_WIN, CHUNK_STRIDE
+    chunks = F.expr(
+        f"CASE WHEN size(toks) = 0 THEN CAST(array() AS array<string>) "
+        f"ELSE transform("
+        f"sequence(1, 1 + CAST(ceil(greatest(size(toks) - {w}, 0) / {st}.0)"
+        f" AS INT)), "
+        f"i -> concat_ws(' ', slice(toks, (i - 1) * {st} + 1, {w}))) END"
+    )
+    return (
+        base.select(
+            "doc_id", F.posexplode(chunks).alias("pos", "chunk_text")
+        )
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("long").alias("chunk_id"),
+            F.size(F.split("chunk_text", " ")).cast("long").alias(
+                "n_chunk_tokens"
+            ),
+            F.md5("chunk_text").alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
 _LANGS_SQL = ", ".join(
     f"""len(list_filter({sql_raw_tokens("lower(text)")},
         _t -> list_contains([{", ".join(f"'{m}'" for m in markers)}], _t)))::BIGINT
@@ -933,6 +977,28 @@ SPECS = [
                  - 84.6 * (n_syll::DOUBLE / n_words::DOUBLE)
                END AS reading_ease
         FROM c
+        """,
+    ),
+    QuerySpec(
+        "t18_sliding_chunks",
+        t18_sliding_chunks,
+        f"""
+        WITH b AS (SELECT doc_id, {sql_raw_tokens("lower(text)")} AS toks
+                   FROM documents),
+        c AS (SELECT doc_id, i,
+                     array_to_string(list_slice(toks,
+                       (i - 1) * {CHUNK_STRIDE} + 1,
+                       (i - 1) * {CHUNK_STRIDE} + {CHUNK_WIN}), ' ')
+                       AS chunk_text
+              FROM b,
+                   UNNEST(range(1, 2 + CAST(ceil(
+                     greatest(len(toks) - {CHUNK_WIN}, 0)
+                     / {CHUNK_STRIDE}.0) AS INT))) AS u(i)
+              WHERE len(toks) > 0)
+        SELECT doc_id, i::BIGINT AS chunk_id,
+               len(string_split(chunk_text, ' '))::BIGINT AS n_chunk_tokens,
+               md5(chunk_text) AS chunk_md5
+        FROM c ORDER BY doc_id, chunk_id
         """,
     ),
 ]

@@ -147,6 +147,32 @@ def test_approx_stats_within_tolerance(spark):
     assert row["exact_p99_cents"] == cents_sorted[(99 * n + 99) // 100 - 1]
 
 
+def test_interval_overlap_join_is_hash_join(spark):
+    """j12 must co-locate overlapping intervals through a bucket hash
+    join — no nested loop, no cartesian — and match the declarative
+    overlap join row-for-row (pairs already deduped, no distinct)."""
+    from pyspark.sql import functions as F
+
+    df = relational.j12_interval_overlap(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    pairs = [(r["s_suppkey"], r["c_custkey"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    s = relational._t(spark, SF_DIR, "supplier")
+    c = relational._t(spark, SF_DIR, "customer")
+    from customer_review__etl_spark.plans.helpers import cents
+
+    want = (
+        s.select("s_suppkey", cents(F.col("s_acctbal")).alias("sl"))
+        .crossJoin(c.select("c_custkey", cents(F.col("c_acctbal")).alias("cl")))
+        .filter(F.abs(F.col("sl") - F.col("cl")) <= relational.J12_W)
+        .count()
+    )
+    assert len(rows) == want
+
+
 def test_bucketed_range_join_is_hash_join(spark):
     """j10 must produce j06's exact rows through a hash join, not BNLJ."""
     plan = _plan(relational.j10_bucketed_range(spark, SF_DIR))

@@ -196,3 +196,35 @@ def test_u02_packs_greedily_with_reset(spark, tmp_path):
     assert (out[16]["seq_id"], out[16]["tok_offset"]) == (1, 0)
     assert (out[24]["seq_id"], out[24]["tok_offset"]) == (2, 0)  # oversize
     assert (out[32]["seq_id"], out[32]["tok_offset"]) == (3, 0)  # after overflow
+
+
+def test_t18_sliding_chunks_overlap_and_no_shuffle(spark, tmp_path):
+    """Neighbor chunks must share WIN-STRIDE tokens, every token must
+    appear in some chunk, and the plan must be pure map (the only
+    Exchange is the presentation sort's range partitioning)."""
+    from customer_review__etl_spark.plans import textplans as TP
+
+    words = " ".join(f"w{i:03d}" for i in range(1, 81))  # 80 tokens
+    df = spark.createDataFrame(
+        [(1, words, "en", "s", len(words))],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    d = str(tmp_path / "t18")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    out = TP.t18_sliding_chunks(spark, d)
+    rows = out.collect()
+    # 80 tokens, win 32, stride 24 -> 1 + ceil(48/24) = 3 chunks
+    assert [r["chunk_id"] for r in rows] == [1, 2, 3]
+    assert [r["n_chunk_tokens"] for r in rows] == [32, 32, 32]
+    # chunk 2 starts at token 25: md5 check of the reconstruction
+    import hashlib
+
+    toks = words.split(" ")
+    for r, start in zip(rows, (0, 24, 48)):
+        expect = " ".join(toks[start:start + 32])
+        assert r["chunk_md5"] == hashlib.md5(expect.encode()).hexdigest()
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no hash/shuffle exchange before the final sort
+    assert "hashpartitioning" not in plan
