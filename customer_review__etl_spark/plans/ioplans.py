@@ -462,6 +462,47 @@ def io12_nested_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IO13_TYPE = "purchase"  # the one partition the pruned read touches
+
+
+def io13_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout partition pruning — the first-order 100 TB scan
+    optimization: a table laid out as .../event_type=X/part-*.parquet
+    answers a filter on the partition column by LISTING, not reading —
+    the scan plans only the matching directory and the other
+    partitions contribute zero I/O. io10 prunes WITHIN files via
+    min/max stats; this prunes whole directories before any footer is
+    opened.
+
+    The read uses an explicit schema + the Hive partition discovery
+    (event_type materializes from directory names, not file bytes) and
+    aggregates one event type's exact value stats. pytest asserts the
+    physical proof: PartitionFilters on the scan carries the
+    event_type predicate and the scan's input files all live under the
+    one matching directory.
+
+    Scale: the write shuffles nothing (partitionBy on an existing
+    narrow scan); the pruned read's cost is O(matching partition).
+    The oracle states the same aggregate over the flat original —
+    layout must be a pure I/O choice (the io05/io10 lesson again)."""
+    from .helpers import cents
+
+    out = run_scratch("io13_hivepart_")
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    back = (
+        spark.read.schema("event_id BIGINT, value DOUBLE, event_type STRING")
+        .parquet(out)
+        .filter(F.col("event_type") == IO13_TYPE)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents(F.col("value"))).alias("sum_value_cents"),
+    )
+
+
 def io11_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python DataSource read (sources/pyds.py): register the
     synthetic_scores source, scan its 8 planned partitions, and roll
@@ -601,6 +642,18 @@ SPECS = [
                CASE WHEN n_nationkey < 12 THEN NULL
                     ELSE n_regionkey END AS n_regionkey
         FROM nation ORDER BY n_nationkey
+        """,
+    ),
+    QuerySpec(
+        "io13_partition_pruned_read",
+        io13_partition_pruned_read,
+        f"""
+        SELECT event_type, count(1) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_value_cents
+        FROM events
+        WHERE event_type = '{IO13_TYPE}'
+        GROUP BY event_type
         """,
     ),
 ]
