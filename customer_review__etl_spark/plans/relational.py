@@ -1463,11 +1463,18 @@ def a09_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("ac") - F.col("exact_customers"))
             <= 0.06 * F.col("exact_customers")
         ).alias("approx_customers_ok"),
-        cents(F.col("am"))
-        .between(F.col("c_med_lo"), F.col("c_med_hi"))
+        # empty input: no data → the sketch is "ok" iff it returns
+        # NULL (vacuously within tolerance; the BETWEEN would yield
+        # NULL and diverge from the oracle's pinned TRUE)
+        F.when(F.col("n_orders") == 0, F.col("am").isNull())
+        .otherwise(
+            cents(F.col("am")).between(F.col("c_med_lo"), F.col("c_med_hi"))
+        )
         .alias("approx_median_ok"),
-        cents(F.col("ap"))
-        .between(F.col("c_p99_lo"), F.col("c_p99_hi"))
+        F.when(F.col("n_orders") == 0, F.col("ap").isNull())
+        .otherwise(
+            cents(F.col("ap")).between(F.col("c_p99_lo"), F.col("c_p99_hi"))
+        )
         .alias("approx_p99_ok"),
     )
 
