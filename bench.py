@@ -124,6 +124,7 @@ HEADLINE = [
     "io08_dynamic_partition_overwrite",
     "io09_table_diff",
     "io11_python_datasource",
+    "io13_partition_pruned_read",
 ]
 
 
