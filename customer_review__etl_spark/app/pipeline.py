@@ -63,10 +63,21 @@ def top_words(themed: DataFrame, k: int = 50) -> DataFrame:
 
 
 def run_pipeline(
-    spark: SparkSession, sf_dir: str, out_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    bucket_url: str | None = None,
+    execution_ts: str = "19700101_000000",
 ) -> dict[str, Any]:
     """Run the full ETL+ML chain; write parquet/model/metrics; return
-    paths + metrics (the reference's XCom dict, ml_pipeline_dag.py:114)."""
+    paths + metrics (the reference's XCom dict, ml_pipeline_dag.py:114).
+
+    When ``bucket_url`` is given (``file://…`` or ``s3a://…``), the
+    run also publishes to the object store with the reference DAG's
+    versioned key layout (upload_to_s3, ml_pipeline_dag.py:225-260):
+    processed data under data/, metrics under metrics/, the model dir
+    under models/{execution_ts}/ — and the returned dict gains the
+    "s3_locations"-style manifest."""
     docs = tables.load(spark, sf_dir, "documents")
     n_raw = docs.count()
 
@@ -104,7 +115,7 @@ def run_pipeline(
     metrics_path = sinks.write_metrics_json(
         metrics, f"{out_dir}/metrics/pipeline_metrics.json"
     )
-    return {
+    result: dict[str, Any] = {
         "metrics": metrics,
         "processed_path": processed_path,
         "theme_distribution_path": dist_path,
@@ -112,3 +123,17 @@ def run_pipeline(
         "model_path": model_path,
         "metrics_path": metrics_path,
     }
+    if bucket_url is not None:
+        from ..sources.objectstore import ObjectBucket, publish_run
+
+        bucket = ObjectBucket(spark, bucket_url).ensure()
+        result["store_locations"] = publish_run(
+            bucket,
+            execution_ts,
+            processed_df=themed.select(
+                "doc_id", "lang", "source", "topic", "theme"
+            ),
+            metrics=metrics,
+            models_dir=model_path,
+        )
+    return result

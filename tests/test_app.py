@@ -12,7 +12,14 @@ from conftest import SF_DIR
 
 
 def test_run_pipeline_end_to_end(spark, tmp_path):
-    out = run_pipeline(spark, SF_DIR, str(tmp_path / "out"))
+    ts = "20240301_120000"
+    out = run_pipeline(
+        spark,
+        SF_DIR,
+        str(tmp_path / "out"),
+        bucket_url=f"file://{tmp_path}/bucket",
+        execution_ts=ts,
+    )
 
     m = out["metrics"]
     assert m["rows_clean"] <= m["rows_raw"]
@@ -36,3 +43,16 @@ def test_run_pipeline_end_to_end(spark, tmp_path):
 
     model = sinks.load_model(out["model_path"])
     assert len(model.stages) == 4
+
+    # S5 publish: reference-DAG key layout, readable back from the store
+    loc = out["store_locations"]
+    assert loc["processed_data"].endswith(f"data/processed_reviews_{ts}.csv")
+    assert loc["metrics"].endswith(f"metrics/model_metrics_{ts}.json")
+    assert loc["models"], "model files published"
+    assert all(f"models/{ts}/" in u for u in loc["models"])
+    published = sinks.read_csv(
+        spark,
+        loc["processed_data"],
+        "doc_id BIGINT, lang STRING, source STRING, topic INT, theme STRING",
+    )
+    assert published.count() == m["rows_clean"]
