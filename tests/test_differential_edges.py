@@ -54,6 +54,8 @@ DOCS_ONLY_QUERIES = [
     "t14_heavy_hitters", "t15_bigram_surprisal", "j11_fuzzy_blocked_join",
     "ml07_naive_bayes", "p17_oversample_mix", "u04_sentence_udtf",
     "io07_compaction", "t16_tfidf_terms", "t17_reading_ease",
+    # round-7 additions over the documents corpus
+    "t18_sliding_chunks", "pl01_training_pipeline",
 ]
 
 
@@ -136,6 +138,8 @@ EVENTS_ONLY_QUERIES = [
     # w09's RANGE frame: the duplicate-timestamp rows (edge) and the
     # coarse-minute collision grid (fuzz) pin the frame-peer semantics
     "w09_range_frame",
+    # round-7: Hive partition-pruned read over the events corpus
+    "io13_partition_pruned_read",
 ]
 
 
@@ -450,6 +454,8 @@ TPCH_ONLY_QUERIES = [
     "gr04_item_similarity",
     "io08_dynamic_partition_overwrite", "io09_table_diff",
     "io12_nested_projection",
+    # round-7: both-sides interval overlap on the acctbal bands
+    "j12_interval_overlap",
 ]
 
 
