@@ -1312,6 +1312,53 @@ def w07_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 A11_BUCKET = 10_000  # histogram bucket width: 10k cents = $100
 
 
+def a12_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline health accounting via ``Dataset.observe`` (the
+    CollectMetrics operator) — the 100 TB way to reconcile row counts
+    and money totals: the metrics are computed as accumulator-style
+    aggregates DURING the main pass, so the audit costs ZERO extra
+    scans (a separate count()+sum() job would double the I/O). The
+    observed pass here is a real filter stage (non-null shipdates →
+    the noop-equivalent count action); the query returns the observed
+    values as a one-row DataFrame, so the oracle gate proves the
+    observe() channel reports exactly what a declarative aggregate
+    would.
+
+    The driver-side hop is O(1) — three scalars off the Observation —
+    the same shape as the metrics-JSON sink (S7)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("etl_health")
+    li = _t(spark, sf_dir, "lineitem")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents(F.col("l_extendedprice"))).alias("sum_price_cents"),
+        F.sum(F.col("l_shipdate").isNull().cast("long")).alias(
+            "null_shipdates"
+        ),
+    )
+    # drive the observed pass with the downstream stage it instruments
+    n_shipped = observed.filter(F.col("l_shipdate").isNotNull()).count()
+    m = obs.get
+
+    def _i(v):  # sums are NULL over zero rows — keep that, as SQL does
+        return None if v is None else int(v)
+
+    return spark.createDataFrame(
+        [
+            (
+                _i(m["n_rows"]),
+                _i(m["sum_price_cents"]),
+                _i(m["null_shipdates"]),
+                int(n_shipped),
+            )
+        ],
+        "n_rows BIGINT, sum_price_cents BIGINT, null_shipdates BIGINT, "
+        "n_shipped BIGINT",
+    )
+
+
 def a11_scalable_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT global median at scale — the two-pass histogram algorithm
     that replaces a full global sort: a GLOBAL percentile over 100 TB
@@ -2580,6 +2627,19 @@ SPECS = [
     ),
     QuerySpec("a10_funnel_stages", a10_funnel_stages, _A10_SQL),
     QuerySpec("a11_scalable_median", a11_scalable_median, _A11_SQL),
+    QuerySpec(
+        "a12_observed_metrics",
+        a12_observed_metrics,
+        f"""
+        SELECT count(1) AS n_rows,
+               CAST(sum({sql_cents('l_extendedprice')}) AS BIGINT)
+                 AS sum_price_cents,
+               CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS null_shipdates,
+               count(l_shipdate) AS n_shipped
+        FROM lineitem
+        """,
+    ),
     QuerySpec(
         "a02_count_distinct",
         a02_count_distinct,
