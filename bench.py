@@ -111,6 +111,7 @@ HEADLINE = [
     "p17_oversample_mix",
     "a10_funnel_stages",
     "a11_scalable_median",
+    "a12_observed_metrics",
     "ml06_kmeans",
     "st01_tumbling_window",
     "st03_session_window",

@@ -454,6 +454,81 @@ FROM agg ORDER BY event_type
 """
 
 
+def ml10_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated classifier QUALITY claim — the a09 pattern applied
+    to the ML pipeline: RF numerics can never hash-match another
+    engine (ml04 stays rows-only and informative), but the claims a
+    user actually relies on ARE cross-engine checkable:
+
+      - n_test / n_majority: exact integers the oracle reproduces from
+        the ml05 stratified-split formula (test = per-lang n − ⌊4n/5⌋;
+        majority = the largest per-lang test count);
+      - covered_all_test: the trained pipeline scored every test row
+        (no silent row loss through the vectorize→predict chain);
+      - beats_majority: exact correct-count ≥ n_majority — the model
+        outperforms-or-ties the best constant predictor, the minimum
+        bar for "the classifier learned something". Oracle pins TRUE;
+        a regression in featurization, split, or seed plumbing that
+        degrades the model to baseline turns the driver row red."""
+    toks = P.stratified_split(
+        P.with_tokens(_docs(spark, sf_dir)), "doc_id", "lang"
+    )
+    n_test = toks.filter(F.col("split") == "test").count()
+    if n_test == 0:
+        # empty corpus: nothing to score; the claims hold vacuously
+        # (CountVectorizer cannot fit an empty train set)
+        return spark.createDataFrame(
+            [(0, 0, True, True)],
+            "n_test BIGINT, n_majority BIGINT, covered_all_test BOOLEAN, "
+            "beats_majority BOOLEAN",
+        )
+    _, predictions, _ = P.fit_classifier(toks)
+    n_major = (
+        toks.filter(F.col("split") == "test")
+        .groupBy("lang")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+        or 0
+    )
+    scored = predictions.select(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(
+            (
+                F.col("label")
+                == F.col("prediction").cast("double")
+            ).cast("long")
+        ).alias("n_correct"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(n_test),
+                int(n_major),
+                bool(scored["n_scored"] == n_test),
+                bool((scored["n_correct"] or 0) >= n_major),
+            )
+        ],
+        "n_test BIGINT, n_majority BIGINT, covered_all_test BOOLEAN, "
+        "beats_majority BOOLEAN",
+    )
+
+
+_ML10_SQL = """
+WITH s AS (
+  SELECT lang, count(1) AS n FROM documents GROUP BY lang
+),
+t AS (
+  SELECT lang, n - (4 * n) // 5 AS n_test_lang FROM s
+)
+SELECT CAST(coalesce(sum(n_test_lang), 0) AS BIGINT) AS n_test,
+       CAST(coalesce(max(n_test_lang), 0) AS BIGINT) AS n_majority,
+       TRUE AS covered_all_test,
+       TRUE AS beats_majority
+FROM t
+"""
+
+
 def ml09_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label prediction over ANN candidates — the weak-supervision
     / label-propagation primitive (label unlabeled items by majority
@@ -563,4 +638,5 @@ SPECS = [
     QuerySpec("ml07_naive_bayes", ml07_naive_bayes, _nb_oracle()),
     QuerySpec("ml08_linreg", ml08_linreg, _ML08_SQL),
     QuerySpec("ml09_knn_label", ml09_knn_label, _ml09_oracle()),
+    QuerySpec("ml10_classifier_gate", ml10_classifier_gate, _ML10_SQL),
 ]
