@@ -63,11 +63,24 @@ PRIORITY: tuple[str, ...] = (
     #     mm01→mm02 (metadata projection inside mm02's decode path)
     #     io01→io09 (csv roundtrip sampled 4×; io09 = full-outer
     #                table diff)
+    #   r7 late swaps (same-round additions, all oracle-backed, taking
+    #   slots of multiply-sampled shape-covered heads):
+    #     a08→pl01  (median machinery superseded by a11's rank table;
+    #                pl01 = the composed dedup→quality→decontam→split
+    #                flagship)
+    #     g04→j12   (pivot sampled r6; gr01/gr02/gr04 keep the g head;
+    #                j12 = both-sides interval-overlap join)
+    #     d02→t18   (MinHash LSH driver-sampled 5× and transitively in
+    #                d06/dc02; t18 = sliding-window chunking)
+    #     t11→a12   (chunk shape now also inside t18; a12 = observe()/
+    #                CollectMetrics health accounting)
+    #     io10→io13 (z-order sampled r6; io13 = Hive partition-pruned
+    #                read)
     "p17_oversample_mix",
     "gr02_triangle_count",
     "q13_customer_distribution",
     "io11_python_datasource",
-    "a08_median_disc",
+    "pl01_training_pipeline",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q8_market_share",
@@ -82,8 +95,8 @@ PRIORITY: tuple[str, ...] = (
     "w07_scd2_intervals",
     "a10_funnel_stages",
     "t15_bigram_surprisal",
-    "t11_chunk_dedup",
-    "g04_pivot",
+    "a12_observed_metrics",
+    "j12_interval_overlap",
     "f03_json_map_funcs",
     "dc02_neardup_decontaminate",
     "t16_tfidf_terms",
@@ -92,7 +105,7 @@ PRIORITY: tuple[str, ...] = (
     "d06_unified_clusters",
     "t08_bpe_token_count",
     "d01_exact_dedup",
-    "d02_minhash_near_dup",
+    "t18_sliding_chunks",
     "ml06_kmeans",
     "d04_ngram_jaccard",
     "ml07_naive_bayes",
@@ -102,7 +115,7 @@ PRIORITY: tuple[str, ...] = (
     "s06_pq_ann",
     "a11_scalable_median",
     "st03_session_window",
-    "io10_zorder_cluster",
+    "io13_partition_pruned_read",
     "st11_incremental_resume",
     "ml05_stratified_split",
     "st06_stateful_stats",
