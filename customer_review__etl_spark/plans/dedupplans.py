@@ -266,6 +266,17 @@ def d02_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     band bucket → exact Jaccard via shingle equi-join → keep ≥ 0.5.
     The shingle stream comes from the once-per-process materialization
     (shingles_m), so repeat consumers skip the tokenize pass.
+
+    SCALE ORDERING (the one adversarial regime LSH cannot bound):
+    banding bounds candidates when near-dup cliques are SMALL; a
+    corpus with k EXACT copies of one document puts all k in the same
+    bucket of every band → C(k,2) candidate pairs. The cure is not a
+    cap inside d02 (any bucket-size cutoff silently drops true pairs)
+    but pipeline ordering: run exact dedup (d01, hash-linear) FIRST so
+    identical bodies collapse to one representative, leaving residual
+    cliques genuinely-near-dup and small. pl01_training_pipeline
+    encodes exactly that order; d02 standalone states the pure
+    operator semantics.
     """
     sh = shingles_m(spark, sf_dir)
     bands = _bands(_minhash_sigs(sh))
