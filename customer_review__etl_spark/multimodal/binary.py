@@ -98,6 +98,53 @@ def frame_sample(df_blob: DataFrame) -> DataFrame:
     )
 
 
+BLOB_CHUNK_BYTES = 128  # demo size; production shards media in MBs
+
+
+def blob_chunks(df_blob: DataFrame) -> DataFrame:
+    """Byte-range sharding of a binary column — the primitive behind
+    parallel processing of large media objects (multi-GB videos can't
+    be one task's row): fixed-size chunks with (chunk_idx, byte count,
+    content digest), all JVM-side via binary substring — bytes are
+    sliced, never decoded, never shuffled whole. Downstream per-chunk
+    work (upload parts, rolling hashes, scan-for-magic) parallelizes
+    on (doc_id, chunk_idx).
+
+    The digest is md5 of the chunk's lowercase hex — not of the raw
+    bytes — solely so the DuckDB oracle (which cannot slice blobs,
+    only their hex image) can recompute it; same information."""
+    n_bytes = F.length("blob").cast("long")
+    c = BLOB_CHUNK_BYTES
+    chunks = F.when(
+        n_bytes > 0,
+        F.sequence(
+            F.lit(0).cast("long"),
+            F.ceil(n_bytes / F.lit(c)).cast("long") - 1,
+        ),
+    )
+    return (
+        df_blob.select("doc_id", "blob", chunks.alias("idxs"))
+        .select("doc_id", "blob", F.explode("idxs").alias("chunk_idx"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.length(
+                F.expr(f"substring(blob, chunk_idx * {c} + 1, {c})")
+            )
+            .cast("long")
+            .alias("n_chunk_bytes"),
+            F.md5(
+                F.lower(
+                    F.hex(
+                        F.expr(f"substring(blob, chunk_idx * {c} + 1, {c})")
+                    )
+                )
+            ).alias("chunk_digest"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 def extract_features(df_blob: DataFrame, real: bool = False) -> DataFrame:
     """mapInPandas decode pass over the binary column.
 

@@ -52,6 +52,12 @@ def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.frame_sample(_blobs(spark, sf_dir))
 
 
+def mm04_blob_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-range blob sharding (see binary.blob_chunks): fixed-size
+    chunks with exact byte counts + content digests, JVM-side."""
+    return B.blob_chunks(_blobs(spark, sf_dir))
+
+
 SPECS = [
     QuerySpec(
         "mm01_binary_meta",
@@ -94,6 +100,30 @@ SPECS = [
         )
         SELECT doc_id, n_frames, CAST(_u.frame_idx AS BIGINT) AS frame_idx
         FROM meta, UNNEST(range(0, n_frames, {B.FRAME_STRIDE})) AS _u(frame_idx)
+        """,
+    ),
+    QuerySpec(
+        "mm04_blob_chunks",
+        mm04_blob_chunks,
+        f"""
+        WITH h AS (
+          SELECT doc_id, lower(hex(encode(text))) AS hx,
+                 octet_length(encode(text))::BIGINT AS n_bytes
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                 substr(hx, CAST(i AS INT) * {2 * B.BLOB_CHUNK_BYTES} + 1,
+                        {2 * B.BLOB_CHUNK_BYTES}) AS chunk_hex
+          FROM h,
+               UNNEST(range(0, CAST(ceil(n_bytes / {B.BLOB_CHUNK_BYTES}.0)
+                                   AS BIGINT))) AS u(i)
+          WHERE n_bytes > 0
+        )
+        SELECT doc_id, chunk_idx,
+               (len(chunk_hex) / 2)::BIGINT AS n_chunk_bytes,
+               md5(chunk_hex) AS chunk_digest
+        FROM c ORDER BY doc_id, chunk_idx
         """,
     ),
 ]

@@ -49,6 +49,7 @@ DOCS_ONLY_QUERIES = [
     "t11_chunk_dedup", "p14_weighted_mix",
     "u02_sequence_pack", "t12_vocab_coverage", "t13_unigram_surprisal",
     "mm01_binary_meta", "mm02_decode_features", "mm03_frame_sample",
+    "mm04_blob_chunks",
     "ml05_stratified_split", "io03_jsonl_roundtrip",
     # round-6 additions over the documents corpus
     "t14_heavy_hitters", "t15_bigram_surprisal", "j11_fuzzy_blocked_join",
