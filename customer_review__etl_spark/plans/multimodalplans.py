@@ -4,9 +4,13 @@ the stand-in decoder (multimodal/binary.py fake_decode) derives its
 fake (width, height, channels, luminance) from md5-digest bytes with
 pure integer arithmetic, so the oracle recomputes the identical values
 from the hex digest and the hash gate certifies the whole mapInPandas
-Arrow round-trip, not just row counts. (A REAL Pillow decoder would
-drop mm02 back to rows-only — the oracle checks the stub's contract,
-which is exactly the Spark-side plumbing under test.)"""
+Arrow round-trip, not just row counts. (A REAL decoder would drop mm02
+back to rows-only — the oracle checks the stub's contract, which is
+exactly the Spark-side plumbing under test. A real bytes→pixels
+decoder DOES exist and is tested through the same mapInPandas path:
+binary.decode_image parses uncompressed PPM(P6) natively, no
+libraries — tests/test_multimodal.py; only compressed formats still
+need Pillow.)"""
 
 from __future__ import annotations
 
