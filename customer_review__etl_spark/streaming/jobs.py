@@ -14,6 +14,14 @@ Scale notes:
 - availableNow processes the backlog in bounded micro-batches and
   stops — the idiomatic "catch-up then exit" trigger for hourly
   recompute jobs like the reference's (ml_pipeline_dag.py:37).
+
+Custom stateful surface: applyInPandasWithState (st06) is the covered
+arbitrary-state API. Its Spark-4 successor, transformWithStateInPandas,
+was evaluated and is environment-blocked, not design-blocked: its
+driver worker imports google.protobuf (StateMessage_pb2), which is not
+installed here and cannot be (no pip). The st06 processor's state
+shape ports to a StatefulProcessor.handleInputRows one-to-one when the
+dependency exists.
 """
 
 from __future__ import annotations
