@@ -93,6 +93,7 @@ HEADLINE = [
     "w07_scd2_intervals",
     "w09_range_frame",
     "u03_ewma_smooth",
+    "u06_ewma_partitioned",
     "u04_sentence_udtf",
     "u05_grouped_agg_udf",
     "p16_scalable_ordinal",

@@ -1619,6 +1619,63 @@ def u03_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def u06_ewma_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """u03's EXACT recurrence through the many-tiny-groups scale path.
+
+    Grouped-map applyInPandas pays one Arrow batch + one Python call
+    PER GROUP — fine for thousands of users, ruinous for millions of
+    tiny keys (the shape of per-user state over a 100 TB event log).
+    The scale form: repartition on the group key, sortWithinPartitions
+    by (key, event order), then ONE mapInPandas pass whose fold
+    carries the running state of the current key ACROSS Arrow batch
+    boundaries — per-batch overhead now amortizes over every group in
+    the batch instead of repeating per group. Keys never span
+    partitions (hash partitioning), batches arrive in partition sort
+    order, so the fold is exact; same oracle as u03, bit-identical
+    rows. u03 stays registered as the grouped-map surface; this is
+    the documented rewrite when group count explodes."""
+    import pandas as pd
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id", "event_id", "ts", cents(F.col("value")).alias("c")
+        )
+    )
+    schema = "user_id BIGINT, event_id BIGINT, ewma_cents BIGINT"
+
+    def fold(batches):
+        prev_key, prev = None, None
+        for pdf in batches:
+            out = []
+            for u, c in zip(
+                pdf["user_id"].astype("int64"), pdf["c"].astype("int64")
+            ):
+                if u != prev_key:
+                    prev_key, prev = u, None
+                q = int(c) if prev is None else int(c) + prev
+                if prev is not None:
+                    # truncate toward zero, matching SQL DIV / DuckDB //
+                    q = -((-q) // 2) if q < 0 else q // 2
+                prev = q
+                out.append(q)
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "event_id": pdf["event_id"],
+                    "ewma_cents": out,
+                }
+            )
+
+    return (
+        ev.repartition(64, "user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(fold, schema)
+        .orderBy("user_id", "event_id")
+    )
+
+
 def u04_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (SURVEY §2.9's table-function shape: pandas_udf /
     GROUPED_AGG / applyInPandas / mapInPandas / applyInPandasWithState
@@ -2486,6 +2543,28 @@ def a08_median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_nationkey")
     )
 
+
+# Shared by u03 (grouped-map surface) and u06 (many-tiny-groups
+# mapInPandas rewrite): one oracle, two execution strategies.
+_EWMA_SQL = f"""
+WITH RECURSIVE b AS (
+  SELECT user_id, event_id, {sql_cents('value')} AS c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL
+),
+rec AS (
+  SELECT user_id, event_id, rn, c AS ewma_cents
+  FROM b WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.rn,
+         (b.c + rec.ewma_cents) // 2
+  FROM b JOIN rec
+    ON b.user_id = rec.user_id AND b.rn = rec.rn + 1
+)
+SELECT user_id, event_id, ewma_cents
+FROM rec ORDER BY user_id, event_id
+"""
 
 SPECS = [
     QuerySpec(
@@ -3395,25 +3474,14 @@ SPECS = [
     QuerySpec(
         "u03_ewma_smooth",
         u03_ewma_smooth,
-        f"""
-        WITH RECURSIVE b AS (
-          SELECT user_id, event_id, {sql_cents('value')} AS c,
-                 row_number() OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS rn
-          FROM events WHERE value IS NOT NULL
-        ),
-        rec AS (
-          SELECT user_id, event_id, rn, c AS ewma_cents
-          FROM b WHERE rn = 1
-          UNION ALL
-          SELECT b.user_id, b.event_id, b.rn,
-                 (b.c + rec.ewma_cents) // 2
-          FROM b JOIN rec
-            ON b.user_id = rec.user_id AND b.rn = rec.rn + 1
-        )
-        SELECT user_id, event_id, ewma_cents
-        FROM rec ORDER BY user_id, event_id
-        """,
+        _EWMA_SQL,
+    ),
+    QuerySpec(
+        # same recurrence, many-tiny-groups execution path — one
+        # oracle string keeps the two forms pinned together
+        "u06_ewma_partitioned",
+        u06_ewma_partitioned,
+        _EWMA_SQL,
     ),
     QuerySpec(
         "u04_sentence_udtf",
