@@ -39,7 +39,7 @@ from pyspark.sql.window import Window
 from ..functions import text as T
 from ..sources import tables
 from . import QuerySpec
-from .helpers import sql_normalize, sql_raw_tokens
+from .helpers import shuffle_width, sql_normalize, sql_raw_tokens
 
 N_HASHES = 16      # minhash signature length
 N_BANDS = 4        # LSH bands (4 rows per band)
@@ -551,7 +551,9 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = arrays.select(
         "doc_id", "lang", "lbucket", F.explode("grams").alias("g")
     )
-    cand = _d04_candidates(grams, NGRAM_DF_CAP).repartition(64, "doc_a")
+    cand = _d04_candidates(grams, NGRAM_DF_CAP).repartition(
+        shuffle_width(spark), "doc_a"
+    )
     # Exact-verify against per-doc gram ARRAYS, not the exploded gram
     # stream: the candidate⋈gram⋈gram form shuffles |cand|·|grams per
     # doc| rows (~65M at sf0.1) into a pair-count aggregate, which was

@@ -95,3 +95,19 @@ def sql_clean_tokens(expr: str) -> str:
         rf"list_filter(string_split_regex({sql_normalize(expr)}, '\s+'), "
         rf"_t -> len(_t) > 2 AND NOT list_contains({sql_stopword_array()}, _t))"
     )
+
+
+def shuffle_width(spark) -> int:
+    """Explicit-repartition width for CPU-heavy verify stages.
+
+    Explicit `repartition(n, key)` is the cure for AQE coalescing a
+    byte-tiny exchange whose ROWS are expensive to process (the d04
+    straggler: per-row array_intersect cost, not byte size, is what
+    matters). The width must follow the session, not a constant — 64
+    on local[32], the configured shuffle width on a 1000-executor
+    cluster — or the fix itself becomes the bottleneck at scale.
+    AQE does not re-coalesce a user-specified numPartitions."""
+    try:
+        return max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except Exception:
+        return 64

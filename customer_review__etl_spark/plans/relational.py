@@ -32,6 +32,7 @@ from ..sources import tables
 from . import QuerySpec
 from .helpers import (
     cents,
+    shuffle_width,
     scaled,
     sql_cents,
     sql_clean_tokens,
@@ -1669,7 +1670,7 @@ def u06_ewma_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return (
-        ev.repartition(64, "user_id")
+        ev.repartition(shuffle_width(spark), "user_id")
         .sortWithinPartitions("user_id", "ts", "event_id")
         .mapInPandas(fold, schema)
         .orderBy("user_id", "event_id")
