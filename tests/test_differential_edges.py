@@ -394,15 +394,18 @@ EDGE_LINEITEM = [
     (107, None, 2, 1.0, 5.0, 0.0, _D97, "N"),
 ]
 _O = "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " \
-    "o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING"
+    "o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING, o_totalprice DOUBLE"
 EDGE_ORDERS = [
-    (100, 1, "F", datetime.datetime(1997, 3, 1), "1-URGENT"),
-    (101, 2, "F", datetime.datetime(1996, 6, 1), "5-LOW"),   # q13 excludes
-    (102, 3, "F", datetime.datetime(1995, 2, 1), "3-MEDIUM"),
-    (103, 4, "O", None, "2-HIGH"),                # NULL orderdate
-    (104, 1, "F", datetime.datetime(1997, 8, 1), None),      # NULL priority
-    (105, 5, "F", datetime.datetime(1996, 9, 1), "4-NOT SPECIFIED"),
-    (106, None, "F", datetime.datetime(1995, 12, 31), "1-URGENT"),
+    (100, 1, "F", datetime.datetime(1997, 3, 1), "1-URGENT", 1000.01),
+    # q13 excludes; negative money (a09 cents domain must stay exact)
+    (101, 2, "F", datetime.datetime(1996, 6, 1), "5-LOW", -3.75),
+    (102, 3, "F", datetime.datetime(1995, 2, 1), "3-MEDIUM", 0.0),
+    # NULL orderdate; huge price (p99 lands here)
+    (103, 4, "O", None, "2-HIGH", 987654.32),
+    # NULL priority; NULL price — a09 must exclude it from n/percentiles
+    (104, 1, "F", datetime.datetime(1997, 8, 1), None, None),
+    (105, 5, "F", datetime.datetime(1996, 9, 1), "4-NOT SPECIFIED", 1000.01),
+    (106, None, "F", datetime.datetime(1995, 12, 31), "1-URGENT", 0.005),
 ]
 _P = "p_partkey BIGINT, p_name STRING, p_brand STRING, p_type STRING, " \
     "p_size BIGINT, p_retailprice DOUBLE"
@@ -458,6 +461,9 @@ TPCH_ONLY_QUERIES = [
     "io12_nested_projection",
     # round-7: both-sides interval overlap on the acctbal bands
     "j12_interval_overlap",
+    # round-7: sketch stats w/ exact companions + tolerance verdicts,
+    # pinned on NULL/negative/duplicate/huge prices
+    "a09_approx_stats",
 ]
 
 
