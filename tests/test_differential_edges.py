@@ -426,19 +426,19 @@ EDGE_NATION = [
 ]
 EDGE_REGION = [(0, "ASIA"), (1, "EUROPE")]
 _C = "c_custkey BIGINT, c_nationkey BIGINT, c_acctbal DOUBLE, " \
-    "c_mktsegment STRING"
+    "c_mktsegment STRING, c_name STRING"
 EDGE_CUSTOMER = [
     # avg positive balance = (100+300+200)/3 = 200. mktsegment: 5 in
     # BUILDING (p13 keeps exactly 3), 2 in AUTO (quota underfilled),
     # one NULL segment (its own group in BOTH engines)
-    (1, 10, 100.0, "BUILDING"),    # below avg → out of q22
-    (2, 10, 300.0, "BUILDING"),    # above avg, has F orders → anti-joined
-    (3, 20, 200.0, "BUILDING"),    # equal to avg (strict >) → out
-    (4, 20, 250.0, "BUILDING"),    # above avg (250*3 > 600), 'O' only → kept
-    (5, None, 300.0, "BUILDING"),  # above avg, F order 105 → out; NULL nation
-    (6, 30, -50.0, "AUTO"),        # negative: excluded from avg AND below
-    (7, 30, 299.99, "AUTO"),       # above avg, never ordered → kept
-    (8, 40, None, None),           # NULL balance; NULL segment
+    (1, 10, 100.0, "BUILDING", "Customer#1"),    # below avg → out of q22
+    (2, 10, 300.0, "BUILDING", "Customer#2"),    # above avg, has F orders → anti-joined
+    (3, 20, 200.0, "BUILDING", "Customer#3"),    # equal to avg (strict >) → out
+    (4, 20, 250.0, "BUILDING", "Customer#4"),    # above avg (250*3 > 600), 'O' only → kept
+    (5, None, 300.0, "BUILDING", None),  # above avg, F order 105 → out; NULL nation
+    (6, 30, -50.0, "AUTO", "Customer#6"),        # negative: excluded from avg AND below
+    (7, 30, 299.99, "AUTO", "Customer#7"),       # above avg, never ordered → kept
+    (8, 40, None, None, "Customer#8"),  # NULL balance; NULL segment
 ]
 
 TPCH_VIEWS = [
@@ -451,6 +451,7 @@ TPCH_ONLY_QUERIES = [
     "q4_order_priority", "q8_market_share", "q9_product_profit",
     "q11_important_stock", "q12_shipmode_priority",
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q18_large_orders",
     "q16_parts_supplier", "q20_potential_promotion",
     "p13_group_quota_sample", "io05_bucketed_join", "gr01_pagerank",
     # round-6 additions over the TPC-H edge tables (io10 needs
