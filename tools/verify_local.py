@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import datetime
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -54,7 +55,21 @@ def _rows_to_multiset(cols, rows):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     prefixes = sys.argv[2:]
-    spark = get_spark("verify-local")
+    if os.environ.get("SPARK_GRAFT_BARE_SESSION"):
+        # Driver-parity mode: a plain builder with NONE of get_spark's
+        # tuned confs — ensure_confs (called by every plan entry point)
+        # must be the only thing the engine needs at runtime, exactly
+        # as when the external driver supplies the session.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .appName("verify-local-bare")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("verify-local")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
