@@ -152,3 +152,53 @@ def test_classifier_metrics_ranges(spark):
     assert 0.0 <= m["accuracy"] <= 1.0
     assert 0.0 <= m["weighted_f1"] <= 1.0
     assert m["n_correct"] <= m["n_test"]
+
+
+def test_stratified_split_property_quotas_and_parity(spark):
+    """Property check over arbitrary strata shapes (hypothesis): for
+    ANY multiset of stratum sizes — including singletons, a dominant
+    stratum, and sizes around the 4/5 boundary — the salted two-phase
+    rank must (a) give every stratum an exact floor(4n/5) train quota
+    and (b) match the naive whole-stratum window bit-for-bit."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql.window import Window
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        sizes=st.lists(st.integers(min_value=1, max_value=40),
+                       min_size=1, max_size=6)
+    )
+    def check(sizes):
+        rows, k = [], 0
+        for si, n in enumerate(sizes):
+            for _ in range(n):
+                rows.append((k, f"s{si}"))
+                k += 1
+        df = spark.createDataFrame(rows, "k BIGINT, strat STRING")
+        out = P.stratified_split(df, "k", "strat")
+        got = {(r["k"], r["split"]) for r in out.collect()}
+
+        h = F.md5(F.col("k").cast("string"))
+        rn = F.row_number().over(Window.partitionBy("strat").orderBy(h, "k"))
+        cnt = F.count(F.lit(1)).over(Window.partitionBy("strat"))
+        ref = df.withColumn(
+            "split",
+            F.when(rn * 5 <= cnt * 4, F.lit("train")).otherwise(F.lit("test")),
+        )
+        want = {(r["k"], r["split"]) for r in ref.collect()}
+        assert got == want
+
+        per = dict(
+            out.filter(F.col("split") == "train")
+            .groupBy("strat").count()
+            .rdd.map(lambda r: (r["strat"], r["count"])).collect()
+        )
+        for si, n in enumerate(sizes):
+            assert per.get(f"s{si}", 0) == (4 * n) // 5
+
+    check()
