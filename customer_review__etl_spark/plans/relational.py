@@ -1215,6 +1215,46 @@ def w06_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 W09_LOOKBACK_US = 3_600_000_000  # 1 hour in microseconds
 
 
+W08_FRAME = 10  # trailing rows in the rolling-median frame (11 incl. current)
+
+
+def w08_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame EXACT rolling median — the robust-statistics twin
+    of w06's moving average (a mean is skew-fragile; monitoring
+    pipelines roll medians): per event type, ordered by (ts,
+    event_id), the lower median of the last W08_FRAME+1 values in
+    integer cents.
+
+    No native windowed-percentile exists in either engine with
+    matching semantics, so the frame is made EXPLICIT: collect_list
+    over ROWS BETWEEN 10 PRECEDING AND CURRENT ROW, array_sort, take
+    element ⌈n/2⌉ — deterministic, integer-exact, identical in the
+    DuckDB twin (list() window aggregate → list_sort). This is the
+    honest scale contract for rolling order statistics: state per row
+    is the BOUNDED frame (11 ints), never the partition — contrast
+    a11, where the unbounded-global case needs the two-pass
+    histogram instead."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-W08_FRAME, 0)
+    )
+    base = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type", "event_id", "ts", cents(F.col("value")).alias("c")
+        )
+    )
+    frame = F.array_sort(F.collect_list("c").over(w))
+    med = F.element_at(frame, F.ceil(F.size(frame) / 2).cast("int"))
+    return base.select(
+        "event_type",
+        "event_id",
+        med.alias("rolling_median_cents"),
+    ).orderBy("event_type", "event_id")
+
+
 def w09_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VALUE-based window frame (RANGE, not ROWS): at every event, the
     count and cents-sum of that user's events in the trailing hour —
@@ -3380,6 +3420,30 @@ SPECS = [
         """,
     ),
     QuerySpec("w09_range_frame", w09_range_frame, _W09_SQL),
+    QuerySpec(
+        "w08_rolling_median",
+        w08_rolling_median,
+        f"""
+        WITH b AS (
+          SELECT event_type, event_id, ts,
+                 {sql_cents('value')} AS c
+          FROM events
+          WHERE value IS NOT NULL AND event_type IS NOT NULL
+        ),
+        f AS (
+          SELECT event_type, event_id,
+                 list_sort(list(c) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN {W08_FRAME} PRECEDING AND CURRENT ROW
+                 )) AS arr
+          FROM b
+        )
+        SELECT event_type, event_id,
+               arr[CAST(ceil(len(arr) / 2.0) AS INT)]
+                 AS rolling_median_cents
+        FROM f ORDER BY event_type, event_id
+        """,
+    ),
     QuerySpec(
         "w07_scd2_intervals",
         w07_scd2_intervals,

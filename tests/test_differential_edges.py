@@ -139,7 +139,7 @@ EVENTS_ONLY_QUERIES = [
     "st10_keyed_upsert", "st11_incremental_resume",
     # w09's RANGE frame: the duplicate-timestamp rows (edge) and the
     # coarse-minute collision grid (fuzz) pin the frame-peer semantics
-    "w09_range_frame",
+    "w09_range_frame", "w08_rolling_median",
     # round-7: Hive partition-pruned read over the events corpus
     "io13_partition_pruned_read",
 ]
