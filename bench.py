@@ -92,6 +92,7 @@ HEADLINE = [
     "t13_unigram_surprisal",
     "w07_scd2_intervals",
     "w09_range_frame",
+    "w08_rolling_median",
     "u03_ewma_smooth",
     "u06_ewma_partitioned",
     "u04_sentence_udtf",
