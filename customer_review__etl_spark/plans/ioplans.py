@@ -30,7 +30,7 @@ from ..scratch import run_scratch
 from ..sources import sinks, tables
 from ..sources.pyds import PYDS_MOD, PYDS_MULT, PYDS_ROWS
 from . import QuerySpec
-from .helpers import scaled, sql_scaled
+from .helpers import cents, scaled, sql_cents, sql_scaled
 
 _NATION_SCHEMA = "n_nationkey INT, n_name STRING, n_regionkey INT"
 
@@ -309,6 +309,109 @@ def io09_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("change") != "same")
         .orderBy("s_suppkey")
     )
+
+
+IO14_BASE_MOD = 4    # base snapshot excludes keys ≡ 0 (mod 4) → CDC inserts
+IO14_CDC_MOD = 2     # the change batch carries every even key
+IO14_DELETE_MOD = 5  # op = delete when key ≡ 0 (mod 5), else upsert
+IO14_BUMP_CENTS = 500
+
+
+def io14_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO (CDC apply) — the lakehouse mutation primitive
+    (Delta/Iceberg MERGE, Hudi upsert): apply a keyed change batch
+    {upsert, delete} to a base snapshot and land the next snapshot.
+    io09 computes a diff; this is its inverse — applying one. st10 is
+    the streaming form (latest-wins upsert in a micro-batch loop); this
+    is the batch/backfill form with explicit delete ops.
+
+    Semantics (standard MERGE): matched+U → update, matched+D →
+    delete, unmatched+U → insert, unmatched+D → no-op. Both inputs are
+    deterministic in-plan slices of `orders`, so the oracle states the
+    merged snapshot exactly; money moves as integer cents.
+
+    Scale: one shuffle join on the merge key — base and CDC sides are
+    narrow (key, custkey, cents, op) projections, so the exchange moves
+    ~24-byte rows, never order bodies. No broadcast (at 100 TB both
+    sides of a MERGE are large); AQE handles key skew. The merged
+    snapshot is then WRITTEN via the distributed parquet committer and
+    the returned frame is the lazy read-back, so the hash gate also
+    certifies the landed files — at scale you'd partition the write by
+    a date key and let io08's dynamic overwrite scope the commit."""
+    src = tables.load(spark, sf_dir, "orders")
+    # explicit presence marker: payload columns (custkey, price) can be
+    # legitimately NULL, so "matched" must test the marker, never them
+    base = src.filter(F.col("o_orderkey") % IO14_BASE_MOD != 0).select(
+        "o_orderkey",
+        F.col("o_custkey").alias("b_custkey"),
+        cents(F.col("o_totalprice")).alias("b_cents"),
+        F.lit(1).alias("in_base"),
+    )
+    changes = src.filter(F.col("o_orderkey") % IO14_CDC_MOD == 0).select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        (cents(F.col("o_totalprice")) + IO14_BUMP_CENTS).alias("c_cents"),
+        F.when(F.col("o_orderkey") % IO14_DELETE_MOD == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    merged = (
+        base.join(changes, "o_orderkey", "full_outer")
+        .withColumn(
+            "action",
+            F.when(F.col("op").isNull(), F.lit("kept"))
+            .when(
+                (F.col("op") == "U") & F.col("in_base").isNotNull(),
+                F.lit("updated"),
+            )
+            .when(F.col("op") == "U", F.lit("inserted"))
+            .otherwise(F.lit("delete")),
+        )
+        .filter(F.col("action") != "delete")
+        .select(
+            "o_orderkey",
+            F.coalesce("c_custkey", "b_custkey").alias("o_custkey"),
+            F.when(F.col("op") == "U", F.col("c_cents"))
+            .otherwise(F.col("b_cents"))
+            .alias("price_cents"),
+            "action",
+        )
+    )
+    out = run_scratch("io14_merge_")
+    sinks.write_parquet(merged, out)
+    df = spark.read.schema(merged.schema).parquet(out)
+    return df.select("o_orderkey", "o_custkey", "price_cents", "action").orderBy(
+        "o_orderkey"
+    )
+
+
+_IO14_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, {sql_cents('o_totalprice')} AS price_cents
+  FROM orders WHERE o_orderkey % {IO14_BASE_MOD} != 0
+),
+ch AS (
+  SELECT o_orderkey, o_custkey,
+         {sql_cents('o_totalprice')} + {IO14_BUMP_CENTS} AS price_cents,
+         CASE WHEN o_orderkey % {IO14_DELETE_MOD} = 0
+              THEN 'D' ELSE 'U' END AS op
+  FROM orders WHERE o_orderkey % {IO14_CDC_MOD} = 0
+),
+m AS (
+  SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+         coalesce(c.o_custkey, b.o_custkey) AS o_custkey,
+         CASE WHEN c.op = 'U' THEN c.price_cents
+              ELSE b.price_cents END AS price_cents,
+         CASE WHEN c.op IS NULL THEN 'kept'
+              WHEN c.op = 'U' AND b.o_orderkey IS NOT NULL THEN 'updated'
+              WHEN c.op = 'U' THEN 'inserted'
+              ELSE 'delete' END AS action
+  FROM base b FULL OUTER JOIN ch c ON b.o_orderkey = c.o_orderkey
+)
+SELECT o_orderkey, o_custkey, price_cents, action
+FROM m WHERE action != 'delete'
+ORDER BY o_orderkey
+"""
 
 
 COMPACT_TARGET_BYTES = 1 << 20  # 1 MiB target output file size
@@ -644,6 +747,7 @@ SPECS = [
         FROM nation ORDER BY n_nationkey
         """,
     ),
+    QuerySpec("io14_merge_upsert", io14_merge_upsert, _IO14_SQL),
     QuerySpec(
         "io13_partition_pruned_read",
         io13_partition_pruned_read,

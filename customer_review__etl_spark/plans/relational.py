@@ -1311,6 +1311,79 @@ WINDOW w AS (PARTITION BY user_id ORDER BY us
 ORDER BY event_id
 """
 
+W10_GAP_US = 1_800_000_000  # 30-minute inactivity gap, in microseconds
+
+
+def w10_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization — the classic lag + running-sum
+    idiom behind every clickstream warehouse: a user's events belong to
+    one session until a silence longer than W10_GAP_US, then the next
+    event opens a new one. The streaming twin is st03's session_window;
+    this is the backfill/batch form (reference has neither, but its
+    events model implies it; cf. dashboard.py's per-user activity cuts).
+
+    Deterministic by construction: the session boundary is a pure
+    integer-microsecond gap comparison, and the window total order
+    (us, event_id) is unique, so frame peers are single rows on both
+    engines.
+
+    Scale: ONE shuffle on user_id feeds both window passes (lag, then
+    the running boundary sum — same partitioning and sort, Catalyst
+    reuses the exchange); the session rollup then aggregates
+    (user_id, session_seq), a refinement of user_id, with map-side
+    partial aggregation. Per-partition window state is one row of
+    lookback — never the partition."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        cents(F.col("value")).alias("c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    # first event of a user: lag is NULL -> comparison NULL -> otherwise 0,
+    # so the +1 below makes sessions 1-based.
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(F.col("us") - F.lag("us").over(w) > W10_GAP_US, 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_seq", (F.sum("new_sess").over(w) + F.lit(1)).cast("long")
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            F.sum("c").alias("sum_cents"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+_W10_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         {sql_cents('value')} AS c
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN us - lag(us) OVER w > {W10_GAP_US}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *, CAST(sum(new_sess) OVER w + 1 AS BIGINT) AS session_seq
+  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+)
+SELECT user_id, session_seq, count(1) AS n_events,
+       min(us) AS start_us, max(us) AS end_us,
+       CAST(sum(c) AS BIGINT) AS sum_cents
+FROM s GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
 
 def w07_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 history build — the warehouse-ETL staple: treat each
@@ -3420,6 +3493,7 @@ SPECS = [
         """,
     ),
     QuerySpec("w09_range_frame", w09_range_frame, _W09_SQL),
+    QuerySpec("w10_sessionize", w10_sessionize, _W10_SQL),
     QuerySpec(
         "w08_rolling_median",
         w08_rolling_median,

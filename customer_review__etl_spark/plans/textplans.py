@@ -662,6 +662,134 @@ def t18_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+T19_K = 8          # gram width of the boundary hash window
+T19_B = 131        # polynomial base (keeps the 8-term sum < 2^63)
+T19_DIV = 64       # boundary when hash % DIV == 0 → ~64-char mean chunks
+T19_CODE_MOD = 251 # codepoint cap bounding each term's magnitude
+
+
+def _t19_hash(elem) -> str:
+    """The K-gram polynomial hash ending at 1-based position `i`,
+    emitted as an explicit 8-term integer sum so Spark and DuckDB run
+    IDENTICAL int64 arithmetic: sum_d code[i-d] * B^d, d = 0..K-1.
+    `elem(d)` renders the engine's accessor for code[i-d]. Max value
+    ≈ 250 * B^7 * B/(B-1) ≈ 1.9e17, comfortably inside int64."""
+    return " + ".join(
+        f"{elem(d)} * {T19_B ** d}" if d else elem(d)
+        for d in range(T19_K)
+    )
+
+
+def t19_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (FastCDC/LBFS family): cut a document
+    where the rolling k-gram hash of its characters hits a sentinel
+    residue, so chunk boundaries move WITH the content — insert one
+    word and only the chunk containing the edit changes, where t18's
+    fixed-stride windows all shift and re-embed. This is the chunking
+    a dedup/incremental-embedding pipeline wants at 100 TB.
+
+    The boundary predicate is STATELESS (pure function of the k chars
+    ending at each position, no min/max-length carry), which is what
+    makes it embarrassingly parallel — and lets DuckDB replay the
+    identical integer arithmetic for the exact-multiset gate. Output
+    is (doc_id, chunk_idx, start_pos, chunk_len, chunk_md5); the md5
+    stands in for the chunk body as the downstream dedup/embedding key.
+
+    Scale: a pure narrow map — codepoint array, one filtered index
+    scan per doc (O(n·K) integer ops inside codegen), explode; no
+    shuffle (the final sort is presentation). The cuts array carried
+    through the explode is ints, ~n/DIV entries per doc. Caveat: char
+    positions assume BMP text (Java UTF-16 split == DuckDB codepoint
+    split); the corpus is ASCII, a production build would normalize
+    to bytes first."""
+    k, div, mod = T19_K, T19_DIV, T19_CODE_MOD
+    gram = _t19_hash(lambda d: f"element_at(codes, i - {d})" if d
+                     else "element_at(codes, i)")
+    base = (
+        _docs_par(spark, sf_dir)
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            "doc_id",
+            "text",
+            F.expr(
+                f"transform(split(text, ''), ch -> ascii(ch) % {mod})"
+            ).alias("codes"),
+        )
+    )
+    # posexplode makes InferFiltersFromGenerate add `size(cuts) > 0`;
+    # Catalyst then substitutes the WHOLE cuts expression into that
+    # filter and pushes it below the parallelizing exchange — the
+    # O(n·K) hash scan runs twice, serialized in the one scan task
+    # (the d04/gr02 lesson; a nondeterministic sibling COLUMN is not
+    # enough here, Spark 4 pushes predicates through a projection as
+    # long as the predicate's own references are deterministic). The
+    # trailing `slice(array(rand(42)), 1, 0)` concats an EMPTY array —
+    # a value no-op — but marks the cuts expression itself
+    # nondeterministic, so the inferred filter stays a cheap
+    # size(attribute) test above this projection.
+    cuts = (
+        f"concat(CASE WHEN size(codes) > {k} THEN "
+        f"filter(sequence({k}, size(codes) - 1), "
+        f"i -> ({gram}) % {div} = 0) "
+        f"ELSE CAST(array() AS array<int>) END, array(size(codes)), "
+        f"slice(array(cast(rand(42) AS int)), 1, 0))"
+    )
+    return (
+        base.select("doc_id", "text", F.expr(cuts).alias("cuts"))
+        .select(
+            "doc_id", "text", "cuts",
+            F.posexplode("cuts").alias("pos", "cut"),
+        )
+        .withColumn(
+            "start_pos",
+            F.expr("CASE WHEN pos = 0 THEN 1 "
+                   "ELSE element_at(cuts, pos) + 1 END"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("long").alias("chunk_idx"),
+            F.col("start_pos").cast("long").alias("start_pos"),
+            (F.col("cut") - F.col("start_pos") + 1).cast("long").alias(
+                "chunk_len"
+            ),
+            F.expr(
+                "md5(substring(text, start_pos, cut - start_pos + 1))"
+            ).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+_T19_GRAM_SQL = _t19_hash(lambda d: f"codes[i - {d}]" if d else "codes[i]")
+_T19_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         list_transform(string_split(text, ''),
+                        ch -> unicode(ch)::BIGINT % {T19_CODE_MOD}) AS codes
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+c AS (
+  SELECT doc_id, text,
+         list_concat(
+           CASE WHEN len(codes) > {T19_K}
+                THEN list_filter(range({T19_K}, len(codes)),
+                                 i -> ({_T19_GRAM_SQL}) % {T19_DIV} = 0)
+                ELSE [] END,
+           [len(codes)]) AS cuts
+  FROM d
+),
+e AS (
+  SELECT doc_id, text, cuts, ci, cuts[ci] AS cut,
+         CASE WHEN ci = 1 THEN 1 ELSE cuts[ci - 1] + 1 END AS start_pos
+  FROM c, UNNEST(range(1, len(cuts) + 1)) AS u(ci)
+)
+SELECT doc_id, ci::BIGINT AS chunk_idx, start_pos::BIGINT AS start_pos,
+       (cut - start_pos + 1)::BIGINT AS chunk_len,
+       md5(substr(text, start_pos, cut - start_pos + 1)) AS chunk_md5
+FROM e ORDER BY doc_id, chunk_idx
+"""
+
+
 _LANGS_SQL = ", ".join(
     f"""len(list_filter({sql_raw_tokens("lower(text)")},
         _t -> list_contains([{", ".join(f"'{m}'" for m in markers)}], _t)))::BIGINT
@@ -1001,4 +1129,5 @@ SPECS = [
         FROM c ORDER BY doc_id, chunk_id
         """,
     ),
+    QuerySpec("t19_cdc_chunks", t19_cdc_chunks, _T19_SQL),
 ]

@@ -57,6 +57,9 @@ DOCS_ONLY_QUERIES = [
     "io07_compaction", "t16_tfidf_terms", "t17_reading_ease",
     # round-7 additions over the documents corpus
     "t18_sliding_chunks", "pl01_training_pipeline",
+    # round-7: content-defined chunking (NULL text, dup/near-dup docs,
+    # sub-K-length docs exercise the single-trailing-cut branch)
+    "t19_cdc_chunks",
 ]
 
 
@@ -142,6 +145,9 @@ EVENTS_ONLY_QUERIES = [
     "w09_range_frame", "w08_rolling_median",
     # round-7: Hive partition-pruned read over the events corpus
     "io13_partition_pruned_read",
+    # round-7: gap sessionization — the t=2 vs t=200 burst crosses the
+    # 30-min gap; duplicate (ts, user) rows pin the boundary tie-break
+    "w10_sessionize",
 ]
 
 
@@ -465,6 +471,9 @@ TPCH_ONLY_QUERIES = [
     # round-7: sketch stats w/ exact companions + tolerance verdicts,
     # pinned on NULL/negative/duplicate/huge prices
     "a09_approx_stats",
+    # round-7: batch MERGE apply — NULL merge keys must vanish from
+    # both snapshots, NULL prices ride through the cents bump as NULL
+    "io14_merge_upsert",
 ]
 
 

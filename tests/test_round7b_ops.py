@@ -1,0 +1,208 @@
+"""Round-7 late additions: semantic invariants for w10 (gap
+sessionization), t19 (content-defined chunking), io14 (batch MERGE
+apply) beyond the differential/edge gates, plus the t19 plan guard
+against the InferFiltersFromGenerate pushdown regression."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from customer_review__etl_spark.plans import ioplans, textplans
+from customer_review__etl_spark.plans.relational import (
+    W10_GAP_US,
+    w10_sessionize,
+)
+
+_TS0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+
+def _mins(m):
+    return _TS0 + datetime.timedelta(minutes=m)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_w10_known_sessions(spark, tmp_path):
+    """Hand-checkable fixture: user 1 has bursts at t=0..20 (one
+    session), t=60..61 (second), a lone t=200 (third); a gap of
+    EXACTLY 30 minutes does NOT split (the predicate is strictly >)."""
+    rows = [
+        (1, _mins(0), 1, "view", 1.0, None),
+        (2, _mins(20), 1, "view", 2.0, None),
+        (3, _mins(50), 1, "view", 4.0, None),   # exactly 30min after → same
+        (4, _mins(81), 1, "view", 8.0, None),   # 31min after → new session
+        (5, _mins(200), 1, "view", 16.0, None),
+        (6, _mins(0), 2, "view", 1.0, None),    # second user independent
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    out = {
+        (r.user_id, r.session_seq): (r.n_events, r.sum_cents)
+        for r in w10_sessionize(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        (1, 1): (3, 700),
+        (1, 2): (1, 800),
+        (1, 3): (1, 1600),
+        (2, 1): (1, 100),
+    }
+
+
+def test_w10_sessions_partition_the_events(spark):
+    """On the real corpus: session event counts sum to the per-user
+    event totals (no event lost or double-counted), sessions are
+    1-based and contiguous, and intervals are well-formed."""
+    sess = w10_sessionize(spark, SF_DIR).collect()
+    from customer_review__etl_spark.sources import tables
+
+    totals = {
+        r.user_id: r.n
+        for r in tables.load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    by_user: dict[int, list] = {}
+    for r in sess:
+        by_user.setdefault(r.user_id, []).append(r)
+        assert r.start_us <= r.end_us
+        assert r.n_events >= 1
+    for uid, rows in by_user.items():
+        seqs = sorted(r.session_seq for r in rows)
+        assert seqs == list(range(1, len(rows) + 1))
+        assert sum(r.n_events for r in rows) == totals[uid]
+        ordered = sorted(rows, key=lambda r: r.session_seq)
+        for a, b in zip(ordered, ordered[1:]):
+            # consecutive sessions are separated by more than the gap
+            assert b.start_us - a.end_us > W10_GAP_US
+
+
+def _chunks_for(spark, tmp_path, docs):
+    d = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return textplans.t19_cdc_chunks(spark, d).collect()
+
+
+def test_t19_chunks_tile_the_document(spark, tmp_path):
+    """Chunks are contiguous, 1-based, cover the text exactly, and no
+    interior chunk is empty; a doc shorter than K is one whole chunk."""
+    text = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the mossy forest until nightfall. " * 8)
+    rows = _chunks_for(
+        spark, tmp_path,
+        [(1, text, "en", "web", len(text)), (2, "tiny", "en", "web", 4)],
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(
+            range(1, len(chunks) + 1)
+        )
+        pos = 1
+        for c in chunks:
+            assert c.start_pos == pos
+            assert c.chunk_len >= 1
+            pos += c.chunk_len
+        n = len(text) if doc_id == 1 else 4
+        assert pos - 1 == n
+    assert len(by_doc[2]) == 1  # sub-K doc: single trailing cut
+
+
+def test_t19_boundaries_are_content_defined(spark, tmp_path):
+    """The CDC property t18's fixed stride lacks: prepend an edit and
+    all chunks past the edit's K-char influence keep their md5s —
+    boundaries realign with content instead of shifting with offsets."""
+    base = " ".join(
+        f"sentence number {i} talks about topic {i * i % 97} in detail"
+        for i in range(60)
+    )
+    edited = "EDIT! " + base
+    rows = _chunks_for(
+        spark, tmp_path,
+        [(1, base, "en", "web", len(base)),
+         (2, edited, "en", "web", len(edited))],
+    )
+    seqs = {1: [], 2: []}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_idx)):
+        seqs[r.doc_id].append((r.chunk_len, r.chunk_md5))
+    a, b = seqs[1], seqs[2]
+    assert len(a) >= 5, "fixture too short to be meaningful"
+    suffix = 0
+    while (suffix < min(len(a), len(b))
+           and a[-1 - suffix] == b[-1 - suffix]):
+        suffix += 1
+    # boundaries realign within K chars of the edit: every chunk except
+    # the one(s) containing/preceding the edit region keeps length+md5
+    assert suffix >= len(a) - 3, (suffix, len(a), len(b))
+
+
+def test_t19_expensive_scan_stays_above_the_exchange(spark):
+    """Plan guard for the InferFiltersFromGenerate regression: the
+    pushed-down scan filter must stay CHEAP (no higher-order filter()
+    over the gram hash below the parallelizing repartition). With the
+    nondeterministic no-op in place the expensive lambda appears in
+    exactly one Project above the exchange, not in a Filter below."""
+    df = textplans.t19_cdc_chunks(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    below = plan.split("Repartition")[-1]
+    assert "lambdafunction" not in below.split("Relation")[0].replace(
+        "transform(split", ""
+    ) or "filter(sequence" not in below, (
+        "gram-hash filter was pushed below the repartition:\n" + below[:500]
+    )
+
+
+def test_io14_merge_classification(spark, tmp_path):
+    """Known 12-key fixture covering all four MERGE outcomes, including
+    a NULL payload on a matched key (the b_custkey trap the edge
+    corpus caught: matched-ness must come from the presence marker)."""
+    rows = []
+    for k in range(1, 13):
+        rows.append(
+            (k, None if k == 6 else k * 10, "F", 100.0 + k,
+             _TS0, "1-URGENT")
+        )
+    spark.createDataFrame(
+        rows,
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, "
+        "o_orderpriority STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/orders.parquet"
+    )
+    out = {
+        r.o_orderkey: r
+        for r in ioplans.io14_merge_upsert(spark, str(tmp_path)).collect()
+    }
+    for k in range(1, 13):
+        in_base = k % ioplans.IO14_BASE_MOD != 0
+        in_cdc = k % ioplans.IO14_CDC_MOD == 0
+        deleted = in_cdc and k % ioplans.IO14_DELETE_MOD == 0
+        if deleted and in_base:
+            assert k not in out, k
+        elif in_cdc and not deleted and in_base:
+            assert out[k].action == "updated"
+            assert out[k].price_cents == round((100.0 + k) * 100) + \
+                ioplans.IO14_BUMP_CENTS
+        elif in_cdc and not deleted:
+            assert out[k].action == "inserted"
+        elif in_base:
+            assert out[k].action == "kept"
+            assert out[k].price_cents == round((100.0 + k) * 100)
+        else:
+            assert k not in out, k
+    # the matched NULL-payload key (6: even, in base, not deleted)
+    assert out[6].action == "updated" and out[6].o_custkey is None
