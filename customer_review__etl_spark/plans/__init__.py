@@ -76,6 +76,14 @@ PRIORITY: tuple[str, ...] = (
     #                CollectMetrics health accounting)
     #     io10→io13 (z-order sampled r6; io13 = Hive partition-pruned
     #                read)
+    #   r7 final swaps (late same-round additions, all oracle-backed):
+    #     st03→w10  (batch session_window's gap semantics now ALSO
+    #                inside w10's lag+running-sum sessionize; streaming
+    #                family keeps st06/st07/st09/st11 in the head)
+    #     t13→t19   (unigram LM shape inside t15's two-pass bigram;
+    #                t19 = content-defined chunking, the novel shape)
+    #     io06→io14 (mergeSchema sampled r6; io14 = batch MERGE apply,
+    #                the lakehouse mutation primitive)
     "p17_oversample_mix",
     "gr02_triangle_count",
     "q13_customer_distribution",
@@ -101,7 +109,7 @@ PRIORITY: tuple[str, ...] = (
     "dc02_neardup_decontaminate",
     "t16_tfidf_terms",
     "t14_heavy_hitters",
-    "t13_unigram_surprisal",
+    "t19_cdc_chunks",
     "d06_unified_clusters",
     "t08_bpe_token_count",
     "d01_exact_dedup",
@@ -114,7 +122,7 @@ PRIORITY: tuple[str, ...] = (
     "s05_semantic_clusters",
     "s06_pq_ann",
     "a11_scalable_median",
-    "st03_session_window",
+    "w10_sessionize",
     "io13_partition_pruned_read",
     "st11_incremental_resume",
     "ml05_stratified_split",
@@ -123,7 +131,7 @@ PRIORITY: tuple[str, ...] = (
     "st09_stream_stream_join",
     "gr04_item_similarity",
     "mm02_decode_features",
-    "io06_schema_evolution",
+    "io14_merge_upsert",
     "io09_table_diff",
     "io05_bucketed_join",
 )

@@ -414,6 +414,101 @@ ORDER BY o_orderkey
 """
 
 
+IO15_SLICE_MOD = 3  # three data files: keys ≡ 1, 2, 0 (mod 3)
+
+
+def io15_write_snapshots(spark: SparkSession, sf_dir: str, root: str):
+    """Lay out a three-snapshot manifest table under `root`:
+    v1 = {A, B} (initial load), v2 = {A, B, C} (append), v3 = {A, C}
+    (B deleted). Data files are immutable; each commit is one tiny
+    JSON manifest naming its file set — the Iceberg/Delta snapshot
+    model reduced to its essence. Returns the physical schema."""
+    import json
+    import os
+
+    src = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("price_cents")
+    )
+    paths = {}
+    for name, residue in (("a", 1), ("b", 2), ("c", 0)):
+        p = f"{root}/data/file_{name}"
+        sinks.write_parquet(
+            src.filter(F.col("o_orderkey") % IO15_SLICE_MOD == residue), p
+        )
+        paths[name] = p
+    snapshots = {1: ["a", "b"], 2: ["a", "b", "c"], 3: ["a", "c"]}
+    os.makedirs(f"{root}/manifests", exist_ok=True)
+    for v, names in snapshots.items():
+        with open(f"{root}/manifests/v{v}.json", "w") as fh:
+            json.dump(
+                {"version": v, "files": [paths[n] for n in names]}, fh
+            )
+    return src.schema
+
+
+def io15_read_snapshot(spark: SparkSession, root: str, version: int, schema):
+    """Read the table AS OF `version`: resolve the manifest (an O(1)
+    driver-side metadata read, the control plane of every table
+    format) and scan exactly its files — never the directory listing.
+    That is what makes snapshot isolation and time travel work at
+    100 TB: writers land files invisibly, a commit is one atomic
+    manifest swap, and readers of old versions keep a consistent
+    file set. (Production formats shard the manifest itself into
+    avro manifest-lists; one JSON per commit is the same plane.)"""
+    import json
+
+    with open(f"{root}/manifests/v{version}.json") as fh:
+        files = json.load(fh)["files"]
+    return spark.read.schema(schema).parquet(*files)
+
+
+def io15_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-based snapshot reads (time travel): three commits over
+    immutable data files — load {A,B}, append C, delete B — then one
+    aggregate per version read AS OF that version. The current
+    directory contains ALL files, so matching the oracle proves the
+    scan honored the manifest, not the listing (the delete in v3 is
+    invisible to a listing-based reader).
+
+    Each per-version aggregate is a GLOBAL agg (one row even over an
+    empty snapshot — keeps the empty-corpus twin exact); the three
+    one-row results union driver-free."""
+    root = run_scratch("io15_snap_")
+    schema = io15_write_snapshots(spark, sf_dir, root)
+    outs = []
+    for v in (1, 2, 3):
+        outs.append(
+            io15_read_snapshot(spark, root, v, schema).agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("price_cents").alias("sum_cents"),
+            ).select(
+                F.lit(v).cast("int").alias("snapshot_version"),
+                "n_orders",
+                "sum_cents",
+            )
+        )
+    df = outs[0]
+    for o in outs[1:]:
+        df = df.unionByName(o)
+    return df.orderBy("snapshot_version")
+
+
+_IO15_SQL = f"""
+SELECT 1 AS snapshot_version, count(1) AS n_orders,
+       CAST(sum({sql_cents('o_totalprice')}) AS BIGINT) AS sum_cents
+FROM orders WHERE o_orderkey % {IO15_SLICE_MOD} != 0
+UNION ALL
+-- every slice filter is `key % m = r`, which drops NULL keys on the
+-- Spark side; v2 (all files) must drop them here too
+SELECT 2, count(1), CAST(sum({sql_cents('o_totalprice')}) AS BIGINT)
+FROM orders WHERE o_orderkey IS NOT NULL
+UNION ALL
+SELECT 3, count(1), CAST(sum({sql_cents('o_totalprice')}) AS BIGINT)
+FROM orders WHERE o_orderkey % {IO15_SLICE_MOD} != 2
+ORDER BY snapshot_version
+"""
+
+
 COMPACT_TARGET_BYTES = 1 << 20  # 1 MiB target output file size
 COMPACT_FRAGMENTS = 64          # deliberately fragmented input layout
 
@@ -748,6 +843,7 @@ SPECS = [
         """,
     ),
     QuerySpec("io14_merge_upsert", io14_merge_upsert, _IO14_SQL),
+    QuerySpec("io15_snapshot_read", io15_snapshot_read, _IO15_SQL),
     QuerySpec(
         "io13_partition_pruned_read",
         io13_partition_pruned_read,

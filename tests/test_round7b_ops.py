@@ -165,6 +165,34 @@ def test_t19_expensive_scan_stays_above_the_exchange(spark):
     )
 
 
+def test_io15_reads_the_manifest_not_the_listing(spark, tmp_path):
+    """Physical proof of snapshot isolation: after v3 deletes file B,
+    REPLACE B's parquet bytes with garbage. The as-of-v3 read (manifest
+    excludes B) still answers correctly — any reader that resolved the
+    directory listing instead would throw on the corrupt file — while
+    the as-of-v2 read (manifest includes B) must fail."""
+    import pathlib
+
+    import pytest as _pytest
+
+    root = str(tmp_path / "snap")
+    schema = ioplans.io15_write_snapshots(spark, SF_DIR, root)
+    expected_v3 = (
+        ioplans.io15_read_snapshot(spark, root, 3, schema).count()
+    )
+    corrupted = 0
+    for f in pathlib.Path(f"{root}/data/file_b").rglob("*.parquet"):
+        f.write_bytes(b"garbage, not parquet")
+        corrupted += 1
+    assert corrupted > 0
+    assert (
+        ioplans.io15_read_snapshot(spark, root, 3, schema).count()
+        == expected_v3
+    )
+    with _pytest.raises(Exception):
+        ioplans.io15_read_snapshot(spark, root, 2, schema).count()
+
+
 def test_io14_merge_classification(spark, tmp_path):
     """Known 12-key fixture covering all four MERGE outcomes, including
     a NULL payload on a matched key (the b_custkey trap the edge
