@@ -679,6 +679,129 @@ def connected_components(edges: DataFrame) -> DataFrame:
     )
 
 
+D07_CONT_MIN = 0.8  # keep pairs where |A∩B| / min(|A|,|B|) ≥ this
+
+
+def d07_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT dedup — |A∩B| / min(|A|, |B|): catches a
+    short document quoted inside a long one, which symmetric Jaccard
+    (d04) structurally misses (a 10× length gap caps jaccard at ~0.1
+    however perfect the inclusion). This is the signal a training
+    pipeline needs for boilerplate wrappers, quote-inclusion, and
+    partial mirrors.
+
+    Same shape as d04 — blocked candidates, exact verify on candidates
+    only — but candidates must CROSS length buckets (the whole point),
+    so blocking is (lang, rare gram) without d04's length bucket: the
+    contained short doc's rare grams are present verbatim in its
+    container. The DF cap bounds per-gram fan-out at C(cap, 2); the
+    recall trade (a contained pair sharing only common grams is
+    missed) mirrors d04's and is pinned by a planted-pair test.
+
+    Scale: one shuffle groups the gram stream per (lang, g); pairs
+    expand JVM-side from sorted doc lists; verify joins candidates to
+    the per-doc gram ARRAYS (array_intersect per pair, no exploded
+    pair-stream join), explicitly repartitioned so AQE cannot collapse
+    the CPU-heavy verify into straggler tasks (the round-7 lesson);
+    `_pd_barrier` keeps Catalyst from double-evaluating the
+    containment filter inside the join."""
+    arrays = _d04_gram_arrays(spark, sf_dir).cache()
+    grams = arrays.select("doc_id", "lang", F.explode("grams").alias("g"))
+    groups = grams.groupBy("lang", "g").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
+    sized = groups.filter(
+        (F.size("ds") >= 2) & (F.size("ds") <= NGRAM_DF_CAP)
+    )
+    cand = (
+        sized.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(ds) - 2), "
+                    "i -> transform(sequence(i + 1, size(ds) - 1), "
+                    "j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+        .repartition(shuffle_width(spark), "doc_a")
+    )
+    ga = arrays.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("grams").alias("gs_a"),
+        F.col("n").alias("n_a"),
+    )
+    gb = arrays.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("grams").alias("gs_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("gs_a", "gs_b")).cast("long").alias(
+                "inter"
+            ),
+            "n_a",
+            "n_b",
+            F.monotonically_increasing_id().alias("_pd_barrier"),
+        )
+    )
+    return (
+        inter.select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+            "_pd_barrier",
+        )
+        .filter(F.col("containment") >= D07_CONT_MIN)
+        .drop("_pd_barrier")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_D07_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, {sql_normalize('text')} AS norm FROM documents
+),
+g AS (
+  SELECT doc_id, lang, _u.g
+  FROM (SELECT doc_id, lang,
+               list_distinct(list_transform(range(1, length(norm) - 1),
+                 i -> substr(norm, i, 3))) AS grams
+        FROM base WHERE length(norm) >= 3),
+       UNNEST(grams) AS _u(g)
+),
+gdf AS (SELECT lang, g, count(*) AS df FROM g GROUP BY 1, 2),
+rare AS (SELECT g.doc_id, g.lang, g.g
+         FROM g JOIN gdf ON g.lang = gdf.lang AND g.g = gdf.g
+         WHERE gdf.df <= {NGRAM_DF_CAP}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM rare a JOIN rare b
+           ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id),
+n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+          FROM cand c
+          JOIN g ga ON ga.doc_id = c.doc_a
+          JOIN g gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+          GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       i.inter::DOUBLE / least(na.n, nb.n)::DOUBLE AS containment
+FROM inter i
+JOIN n na ON na.doc_id = i.doc_a
+JOIN n nb ON nb.doc_id = i.doc_b
+WHERE i.inter::DOUBLE / least(na.n, nb.n)::DOUBLE >= {D07_CONT_MIN}
+ORDER BY doc_a, doc_b
+"""
+
+
 def d05_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collapse d02's near-dup PAIRS into clusters and pick each
     cluster's keep-first survivor — the step that turns pair mining
@@ -1118,6 +1241,7 @@ SPECS = [
     QuerySpec("d02_minhash_near_dup", d02_minhash_near_dup, _D02_SQL),
     QuerySpec("d03_simhash_near_dup", d03_simhash_near_dup, _D03_SQL),
     QuerySpec("d04_ngram_jaccard", d04_ngram_jaccard, _D04_SQL),
+    QuerySpec("d07_containment_pairs", d07_containment_pairs, _D07_SQL),
     QuerySpec("d05_neardup_clusters", d05_neardup_clusters, _D05_SQL),
     QuerySpec("d06_unified_clusters", d06_unified_clusters, _D06_SQL),
     QuerySpec("dc01_decontaminate", dc01_decontaminate, _DC01_SQL),

@@ -389,6 +389,95 @@ def _p17_oracle() -> str:
     """
 
 
+P18_BUDGET = 0.5       # sampled fraction of the corpus
+P18_MICRO = 1 << 20    # fixed-point unit for the order-free sqrt sum
+
+
+def p18_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (α = 0.5) mixture sampling — the multilingual
+    rebalancing rule of mC4/XLM-R-style corpora: sampled shares are
+    proportional to n_g^α, flattening the head domain while keeping
+    scarce domains visible. p14 is the α = 0 corner (uniform targets),
+    p17 the fixed-rate upsampler; p18 derives its rates FROM the
+    corpus histogram: r_g = min(1, B·n_total·√n_g / (Σ√n_g · n_g)).
+
+    Cross-engine determinism of float-derived rates: √ is IEEE
+    correctly-rounded on both engines (pow is not — the reason α is
+    ½ and not a free parameter here), Σ√n_g is summed as FIXED-POINT
+    INTEGERS (order-free, unlike a float sum across groups), the rate
+    expression is written with the identical operation tree on both
+    sides, and membership compares integer 16-bit md5 fractions
+    against an integer threshold — no float equality anywhere.
+
+    Scale: one tiny groupBy histogram, rates broadcast back onto a
+    narrow scan, keep-predicate pure map-side — the corpus never
+    shuffles (sort is presentation)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    stats = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_g"))
+        .withColumn(
+            "sq_micro",
+            F.expr(
+                f"CAST(floor(sqrt(CAST(n_g AS DOUBLE)) * {P18_MICRO}) "
+                "AS BIGINT)"
+            ),
+        )
+    )
+    tot = stats.agg(
+        F.sum("n_g").alias("n_total"), F.sum("sq_micro").alias("s_micro")
+    )
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.expr(
+            f"CAST(floor(least(CAST(1.0 AS DOUBLE), "
+            f"({P18_BUDGET} * CAST(n_total AS DOUBLE) "
+            f"* CAST(sq_micro AS DOUBLE)) "
+            f"/ (CAST(s_micro AS DOUBLE) * CAST(n_g AS DOUBLE))) "
+            f"* 65536) AS BIGINT)"
+        ).alias("thr16"),
+    )
+    frac16 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("t8"), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(frac16 < F.col("thr16"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+_P18_SQL = f"""
+WITH s AS (SELECT lang, count(*)::BIGINT AS n_g
+           FROM documents GROUP BY lang),
+s2 AS (SELECT lang, n_g,
+              CAST(floor(sqrt(CAST(n_g AS DOUBLE)) * {P18_MICRO})
+                AS BIGINT) AS sq_micro
+       FROM s),
+t AS (SELECT sum(n_g)::BIGINT AS n_total,
+             sum(sq_micro)::BIGINT AS s_micro FROM s2),
+r AS (SELECT lang,
+             CAST(floor(least(CAST(1.0 AS DOUBLE),
+                  ({P18_BUDGET} * CAST(n_total AS DOUBLE)
+                   * CAST(sq_micro AS DOUBLE))
+                  / (CAST(s_micro AS DOUBLE) * CAST(n_g AS DOUBLE)))
+                  * 65536) AS BIGINT) AS thr16
+      FROM s2, t)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r USING (lang)
+WHERE ('0x' || substr(md5('t8' || d.doc_id::VARCHAR), 1, 4))::INT::BIGINT
+      < r.thr16
+ORDER BY d.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # A: aggregations (SURVEY §2.4)
 # --------------------------------------------------------------------------
@@ -2811,6 +2900,7 @@ SPECS = [
         """,
     ),
     QuerySpec("p17_oversample_mix", p17_oversample_mix, _p17_oracle()),
+    QuerySpec("p18_temperature_mix", p18_temperature_mix, _P18_SQL),
     QuerySpec(
         "a01_group_count",
         a01_group_count,

@@ -60,6 +60,10 @@ DOCS_ONLY_QUERIES = [
     # round-7: content-defined chunking (NULL text, dup/near-dup docs,
     # sub-K-length docs exercise the single-trailing-cut branch)
     "t19_cdc_chunks",
+    # round-7: containment pairs (exact dup + near-dup docs must pair;
+    # NULL text drops out) and temperature mixing (rates re-derived
+    # from the tiny edge histogram, incl. single-doc groups at rate 1)
+    "d07_containment_pairs", "p18_temperature_mix",
 ]
 
 

@@ -165,6 +165,75 @@ def test_t19_expensive_scan_stays_above_the_exchange(spark):
     )
 
 
+def test_d07_catches_containment_jaccard_misses(spark, tmp_path):
+    """Plant a short doc verbatim inside a 10×-longer host: containment
+    ≈ 1.0 must surface the pair, while d04's symmetric jaccard on the
+    same corpus stays silent (the length gap caps jaccard ≪ 0.4) —
+    the exact failure mode d07 exists for. An unrelated third doc must
+    not pair with either."""
+    from customer_review__etl_spark.plans import dedupplans as DP
+
+    short = ("the quarterly compliance memorandum requires every vendor "
+             "to submit security attestations before onboarding")
+    filler = " ".join(
+        f"unrelated host sentence {i} discussing logistics topic {i * 3}"
+        for i in range(40)
+    )
+    host = filler[: len(filler) // 2] + " " + short + " " + \
+        filler[len(filler) // 2:]
+    other = " ".join(
+        f"completely different subject matter item {i} about astronomy"
+        for i in range(30)
+    )
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, short, "en", "web", len(short)),
+         (2, host, "en", "web", len(host)),
+         (3, other, "en", "web", len(other))],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    cont = {(r.doc_a, r.doc_b): r.containment
+            for r in DP.d07_containment_pairs(spark, d).collect()}
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.95
+    assert not any(3 in p for p in cont)
+    jac = {(r.doc_a, r.doc_b)
+           for r in DP.d04_ngram_jaccard(spark, d).collect()}
+    assert (1, 2) not in jac
+
+
+def test_p18_temperature_flattens_the_mix(spark):
+    """α = 0.5 sampling: sampled shares sit strictly between the raw
+    corpus shares and uniform — the head domain's share shrinks, the
+    tail domains' shares grow — and the total lands near the budget."""
+    from customer_review__etl_spark.plans.relational import (
+        P18_BUDGET,
+        p18_temperature_mix,
+    )
+    from customer_review__etl_spark.sources import tables
+
+    corpus = {
+        r.lang: r.n
+        for r in tables.load(spark, SF_DIR, "documents")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    kept = {
+        r.lang: r.n
+        for r in p18_temperature_mix(spark, SF_DIR)
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(corpus.values())
+    k_total = sum(kept.values())
+    assert abs(k_total - P18_BUDGET * n_total) <= 0.1 * n_total
+    head = max(corpus, key=corpus.get)
+    tail = min(corpus, key=corpus.get)
+    # head domain is downsampled harder than the tail domain
+    assert kept[head] / corpus[head] < kept.get(tail, 0) / corpus[tail]
+    # sampled share of the head sits below its raw corpus share
+    assert kept[head] / k_total < corpus[head] / n_total
+
+
 def test_io15_reads_the_manifest_not_the_listing(spark, tmp_path):
     """Physical proof of snapshot isolation: after v3 deletes file B,
     REPLACE B's parquet bytes with garbage. The as-of-v3 read (manifest
