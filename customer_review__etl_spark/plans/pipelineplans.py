@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import text as T
-from ..sources import tables
+from ..scratch import run_scratch
+from ..sources import sinks, tables
 from . import QuerySpec
 from .dedupplans import DECON_EVAL_MOD, DECON_NGRAM
 from .helpers import (
@@ -190,6 +191,69 @@ ORDER BY doc_id
 """
 
 
+PL02_APPEND_MOD = 5  # v1 corpus = doc_id % 5 != 0; the append adds the rest
+
+
+def _pl02_features(df: DataFrame) -> DataFrame:
+    """The per-doc feature pass both the batch and the incremental
+    paths share: token count + content fingerprint (the d01/t04
+    primitives) — a pure narrow map."""
+    return df.select(
+        "doc_id",
+        "lang",
+        F.size(T.raw_tokens(F.lower(F.col("text")))).cast("long").alias(
+            "n_tokens"
+        ),
+        F.md5(T.normalize_text(F.col("text"))).alias("fingerprint"),
+    )
+
+
+def pl02_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus refresh — the daily-append reality at 100 TB:
+    features for the v1 corpus were computed in an earlier run and
+    LANDED (scratch parquet standing in for the feature store); when
+    the corpus grows, recompute ONLY the net-new documents (anti-join
+    against the stored key set — the general form of a manifest diff,
+    io15's snapshot model applied to compute) and union with the
+    stored results untouched.
+
+    The oracle is the FULL recompute over the grown corpus — equality
+    is the correctness property of incremental processing: stored +
+    delta ≡ from-scratch. That holds here because the feature pass is
+    per-doc (no cross-doc state); corpus-level features (DF counts,
+    surprisal) would need merge logic, not a union — documented limit.
+
+    Scale: the stored side is read, never recomputed; the anti-join
+    ships only doc_id keys; the delta pass scans only appended files
+    (in a manifest layout the anti-join disappears entirely — the
+    delta IS the new file set)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % PL02_APPEND_MOD != 0)
+    store = run_scratch("pl02_store_")
+    feats_v1 = _pl02_features(v1)
+    sinks.write_parquet(feats_v1, store)
+    stored = spark.read.schema(feats_v1.schema).parquet(store)
+    new_docs = docs.join(
+        stored.select("doc_id"), "doc_id", "left_anti"
+    )
+    return (
+        stored.unionByName(_pl02_features(new_docs))
+        .orderBy("doc_id")
+    )
+
+
+_PL02_SQL = f"""
+SELECT doc_id, lang,
+       len({sql_raw_tokens('lower(text)')})::BIGINT AS n_tokens,
+       md5({sql_normalize('text')}) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("pl01_training_pipeline", pl01_training_pipeline, _PL01_SQL),
+    QuerySpec(
+        "pl02_incremental_refresh", pl02_incremental_refresh, _PL02_SQL
+    ),
 ]

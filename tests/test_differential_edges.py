@@ -64,6 +64,9 @@ DOCS_ONLY_QUERIES = [
     # NULL text drops out) and temperature mixing (rates re-derived
     # from the tiny edge histogram, incl. single-doc groups at rate 1)
     "d07_containment_pairs", "p18_temperature_mix",
+    # round-7: incremental refresh must equal full recompute on the
+    # edge corpus too (NULL text fingerprints ride through as NULL)
+    "pl02_incremental_refresh",
 ]
 
 

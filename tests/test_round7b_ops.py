@@ -262,6 +262,22 @@ def test_io15_reads_the_manifest_not_the_listing(spark, tmp_path):
         ioplans.io15_read_snapshot(spark, root, 2, schema).count()
 
 
+def test_pl02_reads_the_store_instead_of_recomputing(spark):
+    """The incremental path's stored side must come from the landed
+    parquet store, not a recompute: the physical plan scans a
+    pl02_store_ location, and the only text-deriving projection in the
+    plan applies to the anti-joined delta (one scan of documents with
+    the token/md5 expressions, one plain store scan)."""
+    from customer_review__etl_spark.plans import pipelineplans as PL
+
+    df = PL.pl02_incremental_refresh(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "pl02_store_" in plan
+    # exactly one branch computes md5 over normalized text (the delta);
+    # the stored branch carries the column through from parquet
+    assert plan.count("md5(") == 1
+
+
 def test_io14_merge_classification(spark, tmp_path):
     """Known 12-key fixture covering all four MERGE outcomes, including
     a NULL payload on a matched key (the b_custkey trap the edge
