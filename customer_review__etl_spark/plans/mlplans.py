@@ -237,6 +237,22 @@ def ml07_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     #classes rows. Document bodies are never shuffled."""
     from pyspark.sql.window import Window
 
+    all_scores = _nb_all_scores(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("score_bits", "lang_c")
+    return (
+        all_scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", "lang", F.col("lang_c").alias("pred_lang"), "score_bits"
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _nb_all_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml07's full per-(doc, class) integer-bit cost table
+    (doc_id, lang, lang_c, score_bits) — shared by the argmin
+    prediction (ml07) and the margin calibration (ml11)."""
     from ..functions import text as T
 
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
@@ -305,22 +321,67 @@ def ml07_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("score_bits"),
         )
     )
+    return all_scores
+
+
+def ml11_confidence_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the ml07 classifier — the calibration
+    check a quality-gate model needs before its scores become keep/
+    drop thresholds: bucket each doc by CONFIDENCE MARGIN (runner-up
+    integer-bit cost minus winner cost — large margin = confident) and
+    report per-bucket accuracy. A well-behaved classifier shows
+    accuracy rising with margin; thresholding at a bucket then has a
+    known precision. Because ml07's costs are exact integers, the
+    margin, its floor-log2 bucket, and every count are cross-engine
+    exact — a calibration table the oracle can pin, which float
+    probability bins never are.
+
+    Scale: reuses ml07's score build (its cost: one token-key shuffle
+    + per-doc #classes-row windows); the margin is a lead() in the
+    SAME (doc_id → score, class) window sort as the argmin, so no new
+    shuffle; the final rollup is an O(#buckets) aggregate."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("doc_id").orderBy("score_bits", "lang_c")
-    return (
-        all_scores.withColumn("rn", F.row_number().over(w))
+    pick = (
+        _nb_all_scores(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("nxt", F.lead("score_bits").over(w))
         .filter(F.col("rn") == 1)
         .select(
-            "doc_id", "lang", F.col("lang_c").alias("pred_lang"), "score_bits"
+            "doc_id",
+            "lang",
+            F.col("lang_c").alias("pred_lang"),
+            (F.col("nxt") - F.col("score_bits")).alias("margin"),
         )
-        .orderBy("doc_id")
+    )
+    bucket = F.expr(
+        "CASE WHEN margin IS NULL THEN NULL WHEN margin = 0 THEN 0 "
+        "ELSE CAST(length(bin(margin)) AS BIGINT) END"
+    )
+    return (
+        pick.groupBy(bucket.alias("margin_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy",
+            F.col("n_correct").cast("double")
+            / F.col("n_docs").cast("double"),
+        )
+        .orderBy(F.asc_nulls_first("margin_bucket"))
     )
 
 
-def _nb_oracle() -> str:
+def _nb_ctes() -> str:
+    """The shared WITH-prefix of the ml07/ml11 oracles: everything
+    through `sc`, the per-(doc, class) integer-bit cost table."""
     from .helpers import sql_raw_tokens
 
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, lang, tk
       FROM (SELECT doc_id, lang, {sql_raw_tokens('lower(text)')} AS tks
             FROM documents),
@@ -352,12 +413,42 @@ def _nb_oracle() -> str:
              (c.prior_bits + coalesce(ds.sum_b, 0))::BIGINT AS score_bits
       FROM documents d CROSS JOIN cls c
       LEFT JOIN ds ON ds.doc_id = d.doc_id AND ds.lang_c = c.lang_c
-    ),
+    )"""
+
+
+def _nb_oracle() -> str:
+    return f"""
+    WITH {_nb_ctes()},
     rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
                                         ORDER BY score_bits, lang_c) AS rn
            FROM sc)
     SELECT doc_id, lang, lang_c AS pred_lang, score_bits
     FROM rk WHERE rn = 1 ORDER BY doc_id
+    """
+
+
+def _ml11_oracle() -> str:
+    return f"""
+    WITH {_nb_ctes()},
+    rk AS (SELECT *, row_number() OVER w AS rn,
+                  lead(score_bits) OVER w AS nxt
+           FROM sc
+           WINDOW w AS (PARTITION BY doc_id
+                        ORDER BY score_bits, lang_c)),
+    pick AS (SELECT doc_id, lang, lang_c AS pred_lang,
+                    nxt - score_bits AS margin
+             FROM rk WHERE rn = 1),
+    agg AS (SELECT CASE WHEN margin IS NULL THEN NULL
+                        WHEN margin = 0 THEN 0
+                        ELSE length(bin(margin))::BIGINT
+                   END AS margin_bucket,
+                   count(1) AS n_docs,
+                   sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END)::BIGINT
+                     AS n_correct
+            FROM pick GROUP BY 1)
+    SELECT margin_bucket, n_docs, n_correct,
+           CAST(n_correct AS DOUBLE) / CAST(n_docs AS DOUBLE) AS accuracy
+    FROM agg ORDER BY margin_bucket NULLS FIRST
     """
 
 
@@ -636,6 +727,11 @@ SPECS = [
     ),
     QuerySpec("ml06_kmeans", ml06_kmeans, _km_oracle()),
     QuerySpec("ml07_naive_bayes", ml07_naive_bayes, _nb_oracle()),
+    QuerySpec(
+        "ml11_confidence_calibration",
+        ml11_confidence_calibration,
+        _ml11_oracle(),
+    ),
     QuerySpec("ml08_linreg", ml08_linreg, _ML08_SQL),
     QuerySpec("ml09_knn_label", ml09_knn_label, _ml09_oracle()),
     QuerySpec("ml10_classifier_gate", ml10_classifier_gate, _ML10_SQL),

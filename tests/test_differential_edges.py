@@ -67,6 +67,9 @@ DOCS_ONLY_QUERIES = [
     # round-7: incremental refresh must equal full recompute on the
     # edge corpus too (NULL text fingerprints ride through as NULL)
     "pl02_incremental_refresh",
+    # round-7: NB margin calibration (exact-dup docs share identical
+    # margins; the single-doc langs exercise tiny class priors)
+    "ml11_confidence_calibration",
 ]
 
 

@@ -262,6 +262,24 @@ def test_io15_reads_the_manifest_not_the_listing(spark, tmp_path):
         ioplans.io15_read_snapshot(spark, root, 2, schema).count()
 
 
+def test_ml11_buckets_partition_the_corpus(spark):
+    """Calibration rows partition the corpus exactly (every doc lands
+    in one margin bucket), counts are consistent, accuracy ∈ [0, 1],
+    and buckets are the floor-log2 of a non-negative margin."""
+    from customer_review__etl_spark.plans.mlplans import (
+        ml11_confidence_calibration,
+    )
+    from customer_review__etl_spark.sources import tables
+
+    rows = ml11_confidence_calibration(spark, SF_DIR).collect()
+    n_corpus = tables.load(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_corpus
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_docs
+        assert 0.0 <= r.accuracy <= 1.0
+        assert r.margin_bucket is None or r.margin_bucket >= 0
+
+
 def test_pl02_reads_the_store_instead_of_recomputing(spark):
     """The incremental path's stored side must come from the landed
     parquet store, not a recompute: the physical plan scans a
