@@ -128,6 +128,15 @@ HEADLINE = [
     "io09_table_diff",
     "io11_python_datasource",
     "io13_partition_pruned_read",
+    # round-7 late additions
+    "w10_sessionize",
+    "t19_cdc_chunks",
+    "io14_merge_upsert",
+    "io15_snapshot_read",
+    "p18_temperature_mix",
+    "d07_containment_pairs",
+    "pl02_incremental_refresh",
+    "ml11_confidence_calibration",
 ]
 
 
