@@ -1400,6 +1400,78 @@ WINDOW w AS (PARTITION BY user_id ORDER BY us
 ORDER BY event_id
 """
 
+A13_QUANTILES = (25, 50, 75, 90)  # percent points of the quantile matrix
+
+
+def a13_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantile MATRIX (p25/p50/p75/p90 of order value
+    by priority) — the latency-style percentile report, done
+    structurally: the discrete q-quantile is the value at row
+    ⌈q·n⌉ of the in-group sort, with the rank computed in INTEGER
+    arithmetic ((q%·n + 99) DIV 100), so no float interpolation or
+    rounding can diverge between engines (a08's device, widened to a
+    matrix via conditional aggregation over one ranked pass).
+
+    Ties need no tie-break column: row_number among equal values is
+    arbitrary, but the VALUE at any rank is invariant under permuting
+    equal values — the output is well-defined either way.
+
+    Scale: one shuffle on the group key, one in-group sort shared by
+    all four quantiles (the window n and the four picks ride the same
+    partitioning), then an O(#groups) conditional rollup. A single
+    giant group serializes its sort partition — a11's two-pass value
+    histogram is the documented scale path for that regime; this is
+    the exact form for the many-moderate-groups shape."""
+    w = Window.partitionBy("o_orderpriority").orderBy("c")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            "o_orderpriority", cents(F.col("o_totalprice")).alias("c")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"CAST((n * {q} + 99) DIV 100 AS INT)"),
+                F.col("c"),
+            )
+        ).alias(f"p{q}_cents")
+        for q in A13_QUANTILES
+    ]
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(F.max("n").cast("long").alias("n"), *picks)
+        .orderBy(F.asc_nulls_first("o_orderpriority"))
+    )
+
+
+_A13_PICKS = ",\n       ".join(
+    f"max(CASE WHEN rn = CAST((n * {q} + 99) // 100 AS INT) THEN c END)"
+    f" AS p{q}_cents"
+    for q in A13_QUANTILES
+)
+_A13_SQL = f"""
+WITH b AS (
+  SELECT o_orderpriority, {sql_cents('o_totalprice')} AS c
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+r AS (
+  SELECT o_orderpriority, c,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY c) AS rn,
+         count(1) OVER (PARTITION BY o_orderpriority) AS n
+  FROM b
+)
+SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+       {_A13_PICKS}
+FROM r GROUP BY o_orderpriority
+ORDER BY o_orderpriority NULLS FIRST
+"""
+
+
 W10_GAP_US = 1_800_000_000  # 30-minute inactivity gap, in microseconds
 
 
@@ -2910,6 +2982,7 @@ SPECS = [
     ),
     QuerySpec("a10_funnel_stages", a10_funnel_stages, _A10_SQL),
     QuerySpec("a11_scalable_median", a11_scalable_median, _A11_SQL),
+    QuerySpec("a13_grouped_quantiles", a13_grouped_quantiles, _A13_SQL),
     QuerySpec(
         "a12_observed_metrics",
         a12_observed_metrics,

@@ -484,6 +484,9 @@ TPCH_ONLY_QUERIES = [
     # round-7: batch MERGE apply — NULL merge keys must vanish from
     # both snapshots, NULL prices ride through the cents bump as NULL
     "io14_merge_upsert",
+    # round-7: quantile matrix — NULL priority is its own group, NULL
+    # prices are excluded, 1-row groups pin the ceil-rank edge
+    "a13_grouped_quantiles",
     # round-7: manifest snapshots — NULL keys land in NO data file, so
     # every version's aggregate must exclude them like the oracle does
     "io15_snapshot_read",
