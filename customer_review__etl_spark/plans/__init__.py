@@ -84,9 +84,24 @@ PRIORITY: tuple[str, ...] = (
     #                t19 = content-defined chunking, the novel shape)
     #     io06→io14 (mergeSchema sampled r6; io14 = batch MERGE apply,
     #                the lakehouse mutation primitive)
+    #   r7 continuation swaps (same-session additions, all oracle-
+    #   backed, taking slots of driver-sampled shape-covered heads):
+    #     q13→pl02  (distribution-of-counts sampled r6; pl02 =
+    #                incremental refresh ≡ full recompute)
+    #     j09→d07   (salted-agg sampled r2-r5; d07 = containment
+    #                pairs, the cross-length-class dedup signal)
+    #     t14→io15  (heavy hitters sampled r6; io15 = manifest
+    #                snapshot reads / time travel)
+    #     u02→ml11  (sequence packing sampled r2-r5; ml11 =
+    #                integer-exact confidence calibration)
+    #     a10→a13   (funnel sampled r6; a13 = exact per-group
+    #                quantile matrix)
+    #     gr04→p18  (item-item CF sampled r7-head this round already
+    #                via local+edge gates; p18 = temperature mixing —
+    #                gr01/gr02 keep the graph head)
     "p17_oversample_mix",
     "gr02_triangle_count",
-    "q13_customer_distribution",
+    "pl02_incremental_refresh",
     "io11_python_datasource",
     "pl01_training_pipeline",
     "q1_pricing_summary",
@@ -97,18 +112,18 @@ PRIORITY: tuple[str, ...] = (
     "q9_product_profit",
     "j11_fuzzy_blocked_join",
     "u03_ewma_smooth",
-    "j09_salted_skew_agg",
+    "d07_containment_pairs",
     "j10_bucketed_range",
-    "u02_sequence_pack",
+    "ml11_confidence_calibration",
     "w07_scd2_intervals",
-    "a10_funnel_stages",
+    "a13_grouped_quantiles",
     "t15_bigram_surprisal",
     "a12_observed_metrics",
     "j12_interval_overlap",
     "f03_json_map_funcs",
     "dc02_neardup_decontaminate",
     "t16_tfidf_terms",
-    "t14_heavy_hitters",
+    "io15_snapshot_read",
     "t19_cdc_chunks",
     "d06_unified_clusters",
     "t08_bpe_token_count",
@@ -129,7 +144,7 @@ PRIORITY: tuple[str, ...] = (
     "st06_stateful_stats",
     "st07_stream_static_join",
     "st09_stream_stream_join",
-    "gr04_item_similarity",
+    "p18_temperature_mix",
     "mm02_decode_features",
     "io14_merge_upsert",
     "io09_table_diff",
