@@ -1472,6 +1472,66 @@ ORDER BY o_orderpriority NULLS FIRST
 """
 
 
+def a14_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting — daily active users, daily NEW users, and the
+    running cumulative distinct-user count. COUNT(DISTINCT) OVER a
+    running frame is unsupported/quadratic in both engines; the scale
+    idiom is first-touch attribution: a user is "new" on min(day), the
+    cumulative distinct count is the running sum of daily new counts —
+    two ordinary partial-aggregatable groupBys plus an O(#days) window.
+
+    Activity days with zero new users still report (the day spine is
+    the distinct activity days, left-joined to the new-user counts).
+
+    Scale: one shuffle on user_id (first-touch), one on day (both
+    rollups share it), then an unpartitioned running-sum window over
+    the DAY spine — single-partition by construction, but its row
+    count is bounded by the calendar, not the corpus, so it is safe at
+    any SF (the docstring-level exception to the no-single-partition-
+    window rule). Day boundaries are integer date casts on an exact
+    microsecond axis — no float time."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").cast("date").alias("day")
+    )
+    active = ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    first_touch = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    new_users = first_touch.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        active.join(new_users, "day", "left")
+        .select(
+            "day",
+            "n_active",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .withColumn("cum_users", F.sum("n_new").over(w))
+        .orderBy("day")
+    )
+
+
+_A14_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events
+),
+active AS (
+  SELECT day, count(DISTINCT user_id) AS n_active FROM ev GROUP BY day
+),
+ft AS (SELECT user_id, min(day) AS day FROM ev GROUP BY user_id),
+nu AS (SELECT day, count(1) AS n_new FROM ft GROUP BY day)
+SELECT a.day, a.n_active, coalesce(nu.n_new, 0) AS n_new,
+       CAST(sum(coalesce(nu.n_new, 0)) OVER (
+         ORDER BY a.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM active a LEFT JOIN nu ON a.day = nu.day
+ORDER BY a.day
+"""
+
+
 W10_GAP_US = 1_800_000_000  # 30-minute inactivity gap, in microseconds
 
 
@@ -2983,6 +3043,7 @@ SPECS = [
     QuerySpec("a10_funnel_stages", a10_funnel_stages, _A10_SQL),
     QuerySpec("a11_scalable_median", a11_scalable_median, _A11_SQL),
     QuerySpec("a13_grouped_quantiles", a13_grouped_quantiles, _A13_SQL),
+    QuerySpec("a14_running_distinct", a14_running_distinct, _A14_SQL),
     QuerySpec(
         "a12_observed_metrics",
         a12_observed_metrics,

@@ -158,6 +158,9 @@ EVENTS_ONLY_QUERIES = [
     # round-7: gap sessionization — the t=2 vs t=200 burst crosses the
     # 30-min gap; duplicate (ts, user) rows pin the boundary tie-break
     "w10_sessionize",
+    # round-7: growth accounting — multi-day spread with single-day
+    # users pins first-touch attribution + the running spine join
+    "a14_running_distinct",
 ]
 
 
