@@ -509,6 +509,50 @@ ORDER BY snapshot_version
 """
 
 
+IO16_RULES = "value IS NOT NULL AND value >= 0 AND event_type IS NOT NULL"
+
+
+def io16_quarantine_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-validated write with a dead-letter quarantine — the
+    Delta-constraints / dbt-test pattern as a sink op: rows satisfying
+    the declared rules land in the table, violators land in a
+    QUARANTINE location (never silently dropped — at 100 TB a silent
+    drop is an unauditable data loss), and the returned frame is the
+    read-back union tagged with status, so the hash gate certifies
+    BOTH landed file sets and the exact classification.
+
+    The rule predicate is written so it can never be NULL (IS NOT NULL
+    guards precede every comparison) — a NULL verdict would route a
+    row to neither sink. Scale: one narrow scan evaluates the rules
+    map-side; the two writes are independent distributed committers
+    (Spark computes the source twice — at scale, checkpoint or
+    persist the flagged frame once if the scan dominates)."""
+    src = tables.load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    flagged = src.withColumn("ok", F.expr(f"({IO16_RULES})"))
+    out = run_scratch("io16_q_")
+    sinks.write_parquet(flagged.filter(F.col("ok")).drop("ok"), f"{out}/valid")
+    sinks.write_parquet(
+        flagged.filter(~F.col("ok")).drop("ok"), f"{out}/quarantine"
+    )
+    schema = src.schema
+    valid = spark.read.schema(schema).parquet(f"{out}/valid").withColumn(
+        "status", F.lit("valid")
+    )
+    quar = spark.read.schema(schema).parquet(
+        f"{out}/quarantine"
+    ).withColumn("status", F.lit("quarantined"))
+    return valid.unionByName(quar).orderBy("event_id")
+
+
+_IO16_SQL = f"""
+SELECT event_id, event_type, value,
+       CASE WHEN {IO16_RULES} THEN 'valid' ELSE 'quarantined' END AS status
+FROM events ORDER BY event_id
+"""
+
+
 COMPACT_TARGET_BYTES = 1 << 20  # 1 MiB target output file size
 COMPACT_FRAGMENTS = 64          # deliberately fragmented input layout
 
@@ -844,6 +888,7 @@ SPECS = [
     ),
     QuerySpec("io14_merge_upsert", io14_merge_upsert, _IO14_SQL),
     QuerySpec("io15_snapshot_read", io15_snapshot_read, _IO15_SQL),
+    QuerySpec("io16_quarantine_write", io16_quarantine_write, _IO16_SQL),
     QuerySpec(
         "io13_partition_pruned_read",
         io13_partition_pruned_read,

@@ -376,6 +376,60 @@ def ml11_confidence_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ML12_BUCKETS = 256  # hashed feature space width
+
+
+def ml12_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (feature hashing): map every token to one of
+    ML12_BUCKETS buckets by a 16-bit md5 fraction mod the width, and
+    emit per-doc sparse bucket counts — the vectorizer that needs NO
+    vocabulary pass, no fit state, and a FIXED feature width at any
+    corpus size, which is why it is the scalable path where
+    CountVectorizer's vocab (a corpus-wide distinct + broadcast dict)
+    stops fitting. Collisions are the accepted trade (documented
+    ~tokens/width expected rate).
+
+    Determinism: md5 is byte-identical cross-engine; the bucket is
+    integer arithmetic on its hex prefix — no hash-seed divergence
+    (Spark's hash() and murmur3 seeds would not match DuckDB).
+
+    Scale: explode → one partial-aggregatable shuffle on
+    (doc_id, bucket); output is bounded by min(tokens, docs·width)."""
+    from ..functions import text as T
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(T.raw_tokens(F.lower(F.col("text")))).alias("tk"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tk"), 1, 4), 16, 10).cast("bigint")
+        % ML12_BUCKETS
+    )
+    return (
+        toks.groupBy("doc_id", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("doc_id", "bucket")
+    )
+
+
+def _ml12_oracle() -> str:
+    from .helpers import sql_raw_tokens
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, tk
+      FROM (SELECT doc_id, {sql_raw_tokens('lower(text)')} AS tks
+            FROM documents),
+           UNNEST(tks) AS _u(tk)
+    )
+    SELECT doc_id,
+           ('0x' || substr(md5(tk), 1, 4))::INT::BIGINT % {ML12_BUCKETS}
+             AS bucket,
+           count(1) AS n
+    FROM toks GROUP BY 1, 2 ORDER BY doc_id, bucket
+    """
+
+
 def _nb_ctes() -> str:
     """The shared WITH-prefix of the ml07/ml11 oracles: everything
     through `sc`, the per-(doc, class) integer-bit cost table."""
@@ -732,6 +786,7 @@ SPECS = [
         ml11_confidence_calibration,
         _ml11_oracle(),
     ),
+    QuerySpec("ml12_hashed_features", ml12_hashed_features, _ml12_oracle()),
     QuerySpec("ml08_linreg", ml08_linreg, _ML08_SQL),
     QuerySpec("ml09_knn_label", ml09_knn_label, _ml09_oracle()),
     QuerySpec("ml10_classifier_gate", ml10_classifier_gate, _ML10_SQL),

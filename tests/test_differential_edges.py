@@ -70,6 +70,9 @@ DOCS_ONLY_QUERIES = [
     # round-7: NB margin calibration (exact-dup docs share identical
     # margins; the single-doc langs exercise tiny class priors)
     "ml11_confidence_calibration",
+    # round-7: hashing-trick vectorizer (unicode/CJK tokens hash like
+    # any bytes; NULL/empty text yields no buckets)
+    "ml12_hashed_features",
 ]
 
 
@@ -161,6 +164,9 @@ EVENTS_ONLY_QUERIES = [
     # round-7: growth accounting — multi-day spread with single-day
     # users pins first-touch attribution + the running spine join
     "a14_running_distinct",
+    # round-7: quarantine write — NULL value/type rows must land in
+    # the dead-letter set, never vanish; negative money quarantined
+    "io16_quarantine_write",
 ]
 
 
