@@ -1472,6 +1472,89 @@ ORDER BY o_orderpriority NULLS FIRST
 """
 
 
+def a15_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto) report: how much of total revenue
+    sits with the biggest customers. The naive form — global rank
+    desc + running share — is a single-partition sort of ALL
+    customers; the scale-safe form used here rolls customers into
+    floor-log2 REVENUE BUCKETS first (the a11 histogram-spine device):
+    per bucket, customer count and revenue sum; then the cumulative
+    revenue share scanning from the TOP bucket down, on a spine whose
+    size is bounded by log2(max revenue) ≈ 40 rows, not the customer
+    count. Share is integer parts-per-million of exact cents (single
+    integer division, no float accumulation); the div-by-zero guard is
+    explicit on both sides so empty/zero-revenue corpora agree.
+
+    Scale: one partial-aggregatable shuffle per rollup (customer, then
+    bucket), a one-row total broadcast, and an O(40) window."""
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .groupBy("o_custkey")
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev"))
+    )
+    bucketed = rev.withColumn(
+        "bucket",
+        F.expr(
+            "CASE WHEN rev <= 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(length(bin(rev)) AS BIGINT) END"
+        ),
+    )
+    spine = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev").alias("bucket_rev_cents"),
+    )
+    tot = spine.agg(F.sum("bucket_rev_cents").alias("total_rev"))
+    w = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.crossJoin(F.broadcast(tot))
+        .withColumn("cum_rev_cents", F.sum("bucket_rev_cents").over(w))
+        .select(
+            "bucket",
+            "n_customers",
+            "bucket_rev_cents",
+            "cum_rev_cents",
+            F.expr(
+                "CASE WHEN total_rev <= 0 THEN NULL "
+                "ELSE CAST(cum_rev_cents * 1000000 DIV total_rev "
+                "AS BIGINT) END"
+            ).alias("cum_share_ppm"),
+        )
+        .orderBy(F.desc("bucket"))
+    )
+
+
+_A15_SQL = f"""
+WITH rev AS (
+  SELECT o_custkey, CAST(sum({sql_cents('o_totalprice')}) AS BIGINT) AS rev
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY o_custkey
+),
+b AS (
+  SELECT CASE WHEN rev <= 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(length(bin(rev)) AS BIGINT) END AS bucket, rev
+  FROM rev
+),
+spine AS (
+  SELECT bucket, count(1) AS n_customers,
+         CAST(sum(rev) AS BIGINT) AS bucket_rev_cents
+  FROM b GROUP BY bucket
+),
+t AS (SELECT CAST(sum(bucket_rev_cents) AS BIGINT) AS total_rev FROM spine)
+SELECT bucket, n_customers, bucket_rev_cents,
+       CAST(sum(bucket_rev_cents) OVER (
+         ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_rev_cents,
+       CASE WHEN total_rev <= 0 THEN NULL
+            ELSE CAST(sum(bucket_rev_cents) OVER (
+                   ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING)
+                 * 1000000 // total_rev AS BIGINT) END AS cum_share_ppm
+FROM spine, t
+ORDER BY bucket DESC
+"""
+
+
 def a14_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Growth accounting — daily active users, daily NEW users, and the
     running cumulative distinct-user count. COUNT(DISTINCT) OVER a
@@ -1952,6 +2035,61 @@ def u03_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(smooth, schema)
         .orderBy("user_id", "event_id")
     )
+
+
+def u07_arrow_batch_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the SEVENTH Python surface shape, and the
+    lowest-overhead one: RecordBatches flow Arrow→Arrow with NO pandas
+    conversion (no Series allocation, no dtype coercion, no index),
+    which is the hop to use when the Python side is itself vectorized
+    (pyarrow.compute, numpy via zero-copy, tokenizers with Arrow
+    bindings). The op — clip event values to [0, 100] and emit integer
+    cents — is deliberately simple so the gate pins the SHAPE: every
+    arithmetic step (min/max/floor/×/+) is IEEE-exact and mirrored in
+    the oracle.
+
+    Scale: pure narrow map over batches; throughput is bounded by
+    Arrow IPC, not Python object churn — the mapInPandas comparison
+    point is u06's docstring."""
+    import pyarrow as pa
+
+    def clip_batches(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            v = b.column("value")
+            clipped = pc.min_element_wise(
+                pc.max_element_wise(v, pa.scalar(0.0)), pa.scalar(100.0)
+            )
+            cents_i = pc.cast(
+                pc.floor(
+                    pc.add(pc.multiply(clipped, pa.scalar(100.0)),
+                           pa.scalar(0.5))
+                ),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("event_id"), cents_i],
+                names=["event_id", "clipped_cents"],
+            )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "value")
+    )
+    return ev.mapInArrow(
+        clip_batches, "event_id LONG, clipped_cents LONG"
+    ).orderBy("event_id")
+
+
+_U07_SQL = """
+SELECT event_id,
+       CAST(floor(least(greatest(value, 0.0), 100.0) * 100.0 + 0.5)
+         AS BIGINT) AS clipped_cents
+FROM events WHERE value IS NOT NULL
+ORDER BY event_id
+"""
 
 
 def u06_ewma_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3044,6 +3182,10 @@ SPECS = [
     QuerySpec("a11_scalable_median", a11_scalable_median, _A11_SQL),
     QuerySpec("a13_grouped_quantiles", a13_grouped_quantiles, _A13_SQL),
     QuerySpec("a14_running_distinct", a14_running_distinct, _A14_SQL),
+    QuerySpec(
+        "a15_revenue_concentration", a15_revenue_concentration, _A15_SQL
+    ),
+    QuerySpec("u07_arrow_batch_clip", u07_arrow_batch_clip, _U07_SQL),
     QuerySpec(
         "a12_observed_metrics",
         a12_observed_metrics,

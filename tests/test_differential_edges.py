@@ -167,6 +167,9 @@ EVENTS_ONLY_QUERIES = [
     # round-7: quarantine write — NULL value/type rows must land in
     # the dead-letter set, never vanish; negative money quarantined
     "io16_quarantine_write",
+    # round-7: mapInArrow clip — NULL values filtered identically,
+    # negative/huge values pin the clamp arithmetic
+    "u07_arrow_batch_clip",
 ]
 
 
@@ -493,6 +496,9 @@ TPCH_ONLY_QUERIES = [
     # round-7: batch MERGE apply — NULL merge keys must vanish from
     # both snapshots, NULL prices ride through the cents bump as NULL
     "io14_merge_upsert",
+    # round-7: Pareto buckets — the NEGATIVE-revenue customer lands in
+    # bucket 0; NULL prices excluded; div-guard if totals go ≤ 0
+    "a15_revenue_concentration",
     # round-7: quantile matrix — NULL priority is its own group, NULL
     # prices are excluded, 1-row groups pin the ceil-rank edge
     "a13_grouped_quantiles",
