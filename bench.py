@@ -137,6 +137,12 @@ HEADLINE = [
     "d07_containment_pairs",
     "pl02_incremental_refresh",
     "ml11_confidence_calibration",
+    "a13_grouped_quantiles",
+    "a14_running_distinct",
+    "a15_revenue_concentration",
+    "io16_quarantine_write",
+    "ml12_hashed_features",
+    "u07_arrow_batch_clip",
 ]
 
 
