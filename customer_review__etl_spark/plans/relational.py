@@ -1472,6 +1472,101 @@ ORDER BY o_orderpriority NULLS FIRST
 """
 
 
+A16_MAD_K = 3  # flag |x − median| > K · MAD
+
+
+def a16_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier accounting — median + MAD (median
+    absolute deviation), the data-quality screen that mean/stddev
+    cannot be (one corrupt billion-dollar row drags the mean past any
+    z-threshold; the median ignores it). Everything is exact integer
+    cents: both medians are structural rank picks (the a08 device —
+    value at row ⌈n/2⌉), and the flag |x − med| > K·MAD compares
+    integers, so the report is bit-identical cross-engine with no
+    float variance anywhere.
+
+    Scale: both ranked passes and the deviation join ride ONE
+    partitioning on event_type (Catalyst reuses the exchange); output
+    is O(#groups). The single-giant-group caveat and its a11
+    histogram escape apply as in a13."""
+    base = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .select("event_type", cents(F.col("value")).alias("c"))
+    )
+    wv = Window.partitionBy("event_type").orderBy("c")
+    wn = Window.partitionBy("event_type")
+    med = (
+        base.withColumn("rn", F.row_number().over(wv))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.expr("CAST((n + 1) DIV 2 AS INT)"))
+        .select("event_type", F.col("c").alias("med_cents"))
+    )
+    dev = base.join(med, "event_type").withColumn(
+        "ad", F.abs(F.col("c") - F.col("med_cents"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("ad")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wd))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.expr("CAST((n + 1) DIV 2 AS INT)"))
+        .select("event_type", F.col("ad").alias("mad_cents"))
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("med_cents").alias("med_cents"),
+            F.max("mad_cents").alias("mad_cents"),
+            F.sum(
+                F.when(
+                    F.col("ad") > A16_MAD_K * F.col("mad_cents"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_A16_SQL = f"""
+WITH base AS (
+  SELECT event_type, {sql_cents('value')} AS c
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+medr AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+         count(1) OVER (PARTITION BY event_type) AS n
+  FROM base
+),
+med AS (SELECT event_type, c AS med_cents FROM medr
+        WHERE rn = CAST((n + 1) // 2 AS INT)),
+dev AS (
+  SELECT b.event_type, b.c, m.med_cents, abs(b.c - m.med_cents) AS ad
+  FROM base b JOIN med m USING (event_type)
+),
+madr AS (
+  SELECT event_type, ad,
+         row_number() OVER (PARTITION BY event_type ORDER BY ad) AS rn,
+         count(1) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (SELECT event_type, ad AS mad_cents FROM madr
+        WHERE rn = CAST((n + 1) // 2 AS INT))
+SELECT d.event_type, count(1) AS n,
+       max(d.med_cents) AS med_cents,
+       max(m.mad_cents) AS mad_cents,
+       CAST(sum(CASE WHEN d.ad > {A16_MAD_K} * m.mad_cents
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
 def a15_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration (Pareto) report: how much of total revenue
     sits with the biggest customers. The naive form — global rank
@@ -3185,6 +3280,7 @@ SPECS = [
     QuerySpec(
         "a15_revenue_concentration", a15_revenue_concentration, _A15_SQL
     ),
+    QuerySpec("a16_mad_outliers", a16_mad_outliers, _A16_SQL),
     QuerySpec("u07_arrow_batch_clip", u07_arrow_batch_clip, _U07_SQL),
     QuerySpec(
         "a12_observed_metrics",

@@ -170,6 +170,9 @@ EVENTS_ONLY_QUERIES = [
     # round-7: mapInArrow clip — NULL values filtered identically,
     # negative/huge values pin the clamp arithmetic
     "u07_arrow_batch_clip",
+    # round-7: MAD outliers — the 1e9 value is the outlier the MEAN
+    # screen would hide behind its own inflation; 1-row groups → MAD 0
+    "a16_mad_outliers",
 ]
 
 
