@@ -446,6 +446,52 @@ def io15_write_snapshots(spark: SparkSession, sf_dir: str, root: str):
     return src.schema
 
 
+class CommitConflict(Exception):
+    """Another writer landed the version this commit targeted."""
+
+
+def io15_latest_version(root: str) -> int:
+    """Highest committed manifest version (0 if none)."""
+    import os
+    import re
+
+    try:
+        names = os.listdir(f"{root}/manifests")
+    except FileNotFoundError:
+        return 0
+    vs = [int(m.group(1)) for n in names
+          if (m := re.fullmatch(r"v(\d+)\.json", n))]
+    return max(vs, default=0)
+
+
+def io15_commit_snapshot(root: str, files: list[str],
+                         expected_version: int) -> int:
+    """Optimistic-concurrency commit: atomically create manifest
+    v{expected_version + 1}; if ANOTHER writer already created it,
+    raise CommitConflict so the caller re-reads the new latest, rebases
+    its file set, and retries — the Delta/Iceberg commit protocol in
+    miniature. Atomicity comes from O_CREAT|O_EXCL (exactly one
+    creator can win); on an object store the same slot-claim is a
+    conditional put (If-None-Match: *) — same protocol, different
+    primitive. Data files are immutable and already landed, so a lost
+    race costs one manifest retry, never a data rewrite."""
+    import json
+    import os
+
+    v = expected_version + 1
+    os.makedirs(f"{root}/manifests", exist_ok=True)
+    path = f"{root}/manifests/v{v}.json"
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise CommitConflict(
+            f"version {v} was committed by another writer"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"version": v, "files": files}, fh)
+    return v
+
+
 def io15_read_snapshot(spark: SparkSession, root: str, version: int, schema):
     """Read the table AS OF `version`: resolve the manifest (an O(1)
     driver-side metadata read, the control plane of every table

@@ -296,6 +296,47 @@ def test_pl02_reads_the_store_instead_of_recomputing(spark):
     assert plan.count("md5(") == 1
 
 
+def test_io15_optimistic_commit_conflict_and_rebase(spark, tmp_path):
+    """Two writers race from the same base version: the winner lands
+    v4 atomically; the loser's commit at the same slot raises
+    CommitConflict, re-reads the new latest, REBASES (its new file on
+    top of the winner's file set), and lands v5 — no data rewrite, no
+    lost update (both writers' files are in the final manifest)."""
+    import json
+
+    root = str(tmp_path / "snap")
+    ioplans.io15_write_snapshots(spark, SF_DIR, root)  # commits v1-v3
+    base = ioplans.io15_latest_version(root)
+    assert base == 3
+    with open(f"{root}/manifests/v{base}.json") as fh:
+        base_files = json.load(fh)["files"]
+
+    # writer A wins the v4 slot
+    v4 = ioplans.io15_commit_snapshot(
+        root, base_files + ["fileA"], expected_version=base
+    )
+    assert v4 == 4
+
+    # writer B, still based on v3, must conflict at the same slot...
+    import pytest as _pytest
+
+    with _pytest.raises(ioplans.CommitConflict):
+        ioplans.io15_commit_snapshot(
+            root, base_files + ["fileB"], expected_version=base
+        )
+    # ...then rebase on the NEW latest and retry
+    latest = ioplans.io15_latest_version(root)
+    with open(f"{root}/manifests/v{latest}.json") as fh:
+        rebased = json.load(fh)["files"]
+    v5 = ioplans.io15_commit_snapshot(
+        root, rebased + ["fileB"], expected_version=latest
+    )
+    assert v5 == 5
+    with open(f"{root}/manifests/v5.json") as fh:
+        final = json.load(fh)["files"]
+    assert "fileA" in final and "fileB" in final  # no lost update
+
+
 def test_io14_merge_classification(spark, tmp_path):
     """Known 12-key fixture covering all four MERGE outcomes, including
     a NULL payload on a matched key (the b_custkey trap the edge
