@@ -143,6 +143,7 @@ HEADLINE = [
     "io16_quarantine_write",
     "ml12_hashed_features",
     "u07_arrow_batch_clip",
+    "a16_mad_outliers",
 ]
 
 
