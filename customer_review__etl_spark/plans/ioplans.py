@@ -492,6 +492,38 @@ def io15_commit_snapshot(root: str, files: list[str],
     return v
 
 
+def io15_vacuum(root: str, keep_from_version: int) -> list[str]:
+    """VACUUM: delete data files referenced by NO manifest at or after
+    `keep_from_version` — the orphan-file GC every snapshot table needs
+    once old versions expire (time travel keeps files alive; retention
+    ends it). The referenced set is the union of the kept manifests'
+    file lists — an O(#manifests · files-per-manifest) metadata scan,
+    never a data scan; at scale this is a distributed join between the
+    file listing and the manifest union, same semantics. Returns the
+    deleted paths. Reads at vacuumed-away versions fail afterwards BY
+    DESIGN — that is what retention means; kept versions are untouched
+    (pinned by the vacuum test)."""
+    import json
+    import os
+    import re
+    import shutil
+
+    kept: set[str] = set()
+    for n in os.listdir(f"{root}/manifests"):
+        m = re.fullmatch(r"v(\d+)\.json", n)
+        if m and int(m.group(1)) >= keep_from_version:
+            with open(f"{root}/manifests/{n}") as fh:
+                kept.update(json.load(fh)["files"])
+    deleted = []
+    data_dir = f"{root}/data"
+    for name in sorted(os.listdir(data_dir)):
+        path = f"{data_dir}/{name}"
+        if path not in kept:
+            shutil.rmtree(path)
+            deleted.append(path)
+    return deleted
+
+
 def io15_read_snapshot(spark: SparkSession, root: str, version: int, schema):
     """Read the table AS OF `version`: resolve the manifest (an O(1)
     driver-side metadata read, the control plane of every table

@@ -337,6 +337,33 @@ def test_io15_optimistic_commit_conflict_and_rebase(spark, tmp_path):
     assert "fileA" in final and "fileB" in final  # no lost update
 
 
+def test_io15_vacuum_removes_only_orphans(spark, tmp_path):
+    """VACUUM with retention from v3: file B (referenced only by the
+    expired v1/v2) is deleted; the kept v3 read is byte-identical to
+    its pre-vacuum answer; reading the expired v2 fails afterwards —
+    retention ended its time-travel window by design."""
+    root = str(tmp_path / "snap")
+    schema = ioplans.io15_write_snapshots(spark, SF_DIR, root)
+    before_v3 = sorted(
+        r.o_orderkey
+        for r in ioplans.io15_read_snapshot(spark, root, 3, schema)
+        .select("o_orderkey").collect()
+    )
+    deleted = ioplans.io15_vacuum(root, keep_from_version=3)
+    assert deleted == [f"{root}/data/file_b"]
+    after_v3 = sorted(
+        r.o_orderkey
+        for r in ioplans.io15_read_snapshot(spark, root, 3, schema)
+        .select("o_orderkey").collect()
+    )
+    assert after_v3 == before_v3
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        ioplans.io15_read_snapshot(spark, root, 2, schema).count()
+
+
 def test_io14_merge_classification(spark, tmp_path):
     """Known 12-key fixture covering all four MERGE outcomes, including
     a NULL payload on a matched key (the b_custkey trap the edge
