@@ -458,8 +458,84 @@ ORDER BY n.node
 """
 
 
+GR05_MIN_ORDERS = 2  # keep co-purchase edges seen in ≥ this many orders
+
+
+def gr05_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components of the THRESHOLDED co-purchase
+    graph — keep only part pairs co-bought in ≥ GR05_MIN_ORDERS orders
+    (one shared basket is noise; repeat co-purchase is signal), then
+    label each surviving part with its component = the smallest part
+    key reachable from it. The product family/substitute-cluster
+    discovery step of a recommender, and the graph-family face of the
+    CC machinery the dedup clusters (d05/d06) already prove.
+
+    Scale: pair counting is one partial-aggregatable shuffle on
+    (src, dst); the threshold prunes the edge list BEFORE any
+    iteration; components run via min-label propagation with pointer
+    jumping — O(log diameter) rounds, one O(1) fixpoint scalar per
+    round (dedupplans.connected_components). Isolated parts (no
+    surviving edge) are excluded by definition — a component of one
+    is not a co-purchase cluster."""
+    from .dedupplans import connected_components
+
+    li = (
+        tables.load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey").isNotNull())
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= GR05_MIN_ORDERS)
+        .select("src", "dst")
+    )
+    return (
+        connected_components(edges)
+        .select(
+            F.col("node").alias("part"), F.col("lbl").alias("component")
+        )
+        .orderBy("part")
+    )
+
+
+_GR05_SQL = f"""
+WITH RECURSIVE li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey IS NOT NULL
+),
+pairs AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(1) >= {GR05_MIN_ORDERS}
+),
+edges AS (SELECT src AS s, dst AS d FROM pairs
+          UNION SELECT dst, src FROM pairs),
+reach (a, b) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+),
+nodes AS (SELECT DISTINCT s AS part FROM edges),
+comp AS (SELECT a AS part, min(b) AS mn FROM reach GROUP BY a)
+SELECT n.part, least(n.part, coalesce(c.mn, n.part)) AS component
+FROM nodes n LEFT JOIN comp c ON c.part = n.part
+ORDER BY n.part
+"""
+
+
 SPECS = [
     QuerySpec("gr01_pagerank", gr01_pagerank, _pr_oracle()),
+    QuerySpec(
+        "gr05_connected_components", gr05_connected_components, _GR05_SQL
+    ),
     QuerySpec("gr02_triangle_count", gr02_triangle_count, _GR02_SQL),
     QuerySpec("gr03_khop_reachability", gr03_khop_reachability, _khop_oracle()),
     QuerySpec("gr04_item_similarity", gr04_item_similarity, _GR04_SQL),

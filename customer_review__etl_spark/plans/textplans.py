@@ -790,6 +790,99 @@ FROM e ORDER BY doc_id, chunk_idx
 """
 
 
+T20_GRAM = 3  # token n-gram width for the novelty measure
+
+
+def t20_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve — for each document (in doc_id ingestion
+    order), the fraction of its distinct token 3-grams never seen in
+    any EARLIER document. The curation signal behind "is this source
+    still adding information": boilerplate-heavy tails trend to 0,
+    fresh domains spike. First-touch attribution (gram → min doc_id,
+    the a14 device applied to n-grams) makes it one partial-
+    aggregatable pass instead of an O(docs²) scan-back.
+
+    Scale: explode distinct grams (narrow), one shuffle on the gram
+    key for first-touch, one map-side-combinable rollup per doc; gram
+    strings shuffle once — at 100 TB you would shuffle 64-bit gram
+    hashes instead (documented trade: hash collisions then undercount
+    novelty negligibly)."""
+    toks = T.raw_tokens(F.lower(F.col("text")))
+    w = T20_GRAM
+    grams = (
+        _docs_par(spark, sf_dir)
+        .select("doc_id", toks.alias("tk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(tk) >= {w} THEN "
+                    f"array_distinct(transform(sequence(1, size(tk) - {w - 1}), "
+                    f"i -> concat_ws(' ', slice(tk, i, {w})))) "
+                    f"ELSE CAST(array() AS array<string>) END"
+                )
+            ).alias("g"),
+        )
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        _docs_par(spark, sf_dir)
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.expr(
+                "CASE WHEN coalesce(n_grams, 0) = 0 THEN NULL "
+                "ELSE CAST(coalesce(n_novel, 0) AS DOUBLE) "
+                "/ CAST(n_grams AS DOUBLE) END"
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_T20_SQL = f"""
+WITH g AS (
+  SELECT doc_id, _u.g
+  FROM (SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, len(tk) - {T20_GRAM - 2}),
+                 i -> array_to_string(list_slice(tk, i, i + {T20_GRAM - 1}),
+                                      ' '))) AS gs
+        FROM (SELECT doc_id, {sql_raw_tokens('lower(text)')} AS tk
+              FROM documents)
+        WHERE len(tk) >= {T20_GRAM}),
+       UNNEST(gs) AS _u(g)
+),
+first_t AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g),
+per_doc AS (
+  SELECT g.doc_id, count(1) AS n_grams,
+         sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END) AS n_novel
+  FROM g JOIN first_t f USING (g) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_grams, 0) AS n_grams,
+       CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+       CASE WHEN coalesce(p.n_grams, 0) = 0 THEN NULL
+            ELSE CAST(coalesce(p.n_novel, 0) AS DOUBLE)
+                 / CAST(p.n_grams AS DOUBLE) END AS novelty
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 _LANGS_SQL = ", ".join(
     f"""len(list_filter({sql_raw_tokens("lower(text)")},
         _t -> list_contains([{", ".join(f"'{m}'" for m in markers)}], _t)))::BIGINT
@@ -1130,4 +1223,5 @@ SPECS = [
         """,
     ),
     QuerySpec("t19_cdc_chunks", t19_cdc_chunks, _T19_SQL),
+    QuerySpec("t20_novelty_ratio", t20_novelty_ratio, _T20_SQL),
 ]

@@ -73,6 +73,9 @@ DOCS_ONLY_QUERIES = [
     # round-7: hashing-trick vectorizer (unicode/CJK tokens hash like
     # any bytes; NULL/empty text yields no buckets)
     "ml12_hashed_features",
+    # round-7: novelty — the exact-dup doc must score 0 novelty, the
+    # sub-3-token docs NULL; first-touch ties on shared boilerplate
+    "t20_novelty_ratio",
 ]
 
 
@@ -502,6 +505,9 @@ TPCH_ONLY_QUERIES = [
     # round-7: Pareto buckets — the NEGATIVE-revenue customer lands in
     # bucket 0; NULL prices excluded; div-guard if totals go ≤ 0
     "a15_revenue_concentration",
+    # round-7: thresholded-graph CC — NULL part keys drop before
+    # pairing; the tiny fixture exercises the empty-edge fixpoint
+    "gr05_connected_components",
     # round-7: quantile matrix — NULL priority is its own group, NULL
     # prices are excluded, 1-row groups pin the ceil-rank edge
     "a13_grouped_quantiles",
