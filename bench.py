@@ -144,6 +144,8 @@ HEADLINE = [
     "ml12_hashed_features",
     "u07_arrow_batch_clip",
     "a16_mad_outliers",
+    "gr05_connected_components",
+    "t20_novelty_ratio",
 ]
 
 
