@@ -477,23 +477,34 @@ def gr05_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     round (dedupplans.connected_components). Isolated parts (no
     surviving edge) are excluded by definition — a component of one
     is not a co-purchase cluster."""
-    from .dedupplans import connected_components
+    from .dedupplans import connected_components, materialized_df
 
-    li = (
-        tables.load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .filter(F.col("l_partkey").isNotNull())
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= GR05_MIN_ORDERS)
-        .select("src", "dst")
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = (
+            tables.load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .filter(F.col("l_partkey").isNotNull())
+            .distinct()
+        )
+        a = li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+        )
+        b = li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+        )
+        return (
+            a.join(b, "ok")
+            .filter(F.col("src") < F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .filter(F.col("n_orders") >= GR05_MIN_ORDERS)
+            .select("src", "dst")
+        )
+
+    # land the thresholded edge list once per process (the
+    # _copurchase_edges move): every CC round re-joins against it
+    edges = materialized_df(
+        spark, sf_dir, "copurchase_thresholded", build, ["src", "dst"]
     )
     return (
         connected_components(edges)

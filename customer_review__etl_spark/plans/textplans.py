@@ -883,6 +883,143 @@ ORDER BY d.doc_id
 """
 
 
+BPE_MERGES = 6  # learned merge rounds
+_BPE_WORD_RE = "^[a-z0-9]+$"  # BPE scope: alphanumeric word types only
+# (the |-delimited token encoding below requires pipe-free tokens; the
+# same regex gates both engines, so scope is part of the semantics)
+
+
+def t21_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING — the first BPE_MERGES merge
+    rules learned from the corpus, exactly: per round, count every
+    adjacent symbol pair across all word types weighted by word
+    frequency, take the argmax (count desc, pair asc — the classic
+    tie-break), fuse it everywhere, repeat. Output is the learned
+    merge table (round, l_tok, r_tok, merged, pair_count) — i.e. the
+    tokenizer itself, the artifact an LLM data pipeline actually ships.
+
+    The cross-engine trick making this oracle-exact: each word's
+    symbol sequence is encoded as a pipe-delimited STRING
+    ('|l||o||w||</w>|'), so applying a merge is ONE replace() call —
+    and replace() is left-to-right non-overlapping in BOTH engines
+    (Java indexOf-loop ≡ DuckDB scan), which is precisely standard
+    BPE's application order, identical runs-of-identical-symbols
+    behavior included. The oracle unrolls the rounds as CTE chains
+    (the ml06 device).
+
+    Scale: state is the word-TYPE table (vocab-sized, not
+    corpus-sized) — counts ride one explode+groupBy over it per
+    round; the argmax is an O(1) driver scalar per round (the
+    iterative-algorithm certificate pattern); localCheckpoint
+    truncates the K-deep replace lineage. The returned K-row merge
+    table is learned model parameters, not a data plane."""
+    words = (
+        _docs_par(spark, sf_dir)
+        .select(
+            F.explode(T.raw_tokens(F.lower(F.col("text")))).alias("word")
+        )
+        .filter(F.col("word").rlike(_BPE_WORD_RE))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    enc = words.select(
+        F.concat(
+            F.lit("|"),
+            F.concat_ws(
+                "||", F.expr("concat(split(word, ''), array('</w>'))")
+            ),
+            F.lit("|"),
+        ).alias("enc"),
+        "wc",
+    ).localCheckpoint()
+
+    learned = []
+    for rnd in range(1, BPE_MERGES + 1):
+        pairs = (
+            enc.select(
+                F.expr(
+                    "split(substring(enc, 2, length(enc) - 2), '\\\\|\\\\|')"
+                ).alias("tk"),
+                "wc",
+            )
+            .filter(F.size("tk") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(tk) - 1), "
+                        "i -> struct(element_at(tk, i) AS l, "
+                        "element_at(tk, i + 1) AS r))"
+                    )
+                ).alias("p"),
+                "wc",
+            )
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        learned.append((rnd, l, r, l + r, int(cnt)))
+        enc = enc.select(
+            F.replace(
+                F.col("enc"), F.lit(f"|{l}||{r}|"), F.lit(f"|{l}{r}|")
+            ).alias("enc"),
+            "wc",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        learned,
+        "merge_round INT, l_tok STRING, r_tok STRING, merged STRING, "
+        "pair_count BIGINT",
+    ).orderBy("merge_round")
+
+
+def _bpe_oracle() -> str:
+    rounds = []
+    for i in range(1, BPE_MERGES + 1):
+        rounds.append(f"""
+p{i} AS (
+  SELECT tk[i] AS l, tk[i + 1] AS r, CAST(sum(wc) AS BIGINT) AS cnt
+  FROM (SELECT string_split(substr(enc, 2, length(enc) - 2), '||') AS tk,
+               wc
+        FROM e{i - 1}),
+       UNNEST(range(1, len(tk))) AS u(i)
+  GROUP BY 1, 2
+),
+m{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+e{i} AS (
+  SELECT replace(e.enc, '|' || m.l || '||' || m.r || '|',
+                 '|' || m.l || m.r || '|') AS enc, e.wc
+  FROM e{i - 1} e, m{i} m
+)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_round, l AS l_tok, r AS r_tok, "
+        f"l || r AS merged, cnt AS pair_count FROM m{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return f"""
+WITH w0 AS (
+  SELECT word, count(1)::BIGINT AS wc
+  FROM (SELECT _u.word
+        FROM (SELECT {sql_raw_tokens('lower(text)')} AS tks FROM documents),
+             UNNEST(tks) AS _u(word))
+  WHERE regexp_matches(word, '{_BPE_WORD_RE}')
+  GROUP BY word
+),
+e0 AS (
+  SELECT '|' || array_to_string(list_append(string_split(word, ''), '</w>'),
+                                '||') || '|' AS enc, wc
+  FROM w0
+),{",".join(rounds)}
+{finals}
+ORDER BY merge_round
+"""
+
+
 _LANGS_SQL = ", ".join(
     f"""len(list_filter({sql_raw_tokens("lower(text)")},
         _t -> list_contains([{", ".join(f"'{m}'" for m in markers)}], _t)))::BIGINT
@@ -1224,4 +1361,5 @@ SPECS = [
     ),
     QuerySpec("t19_cdc_chunks", t19_cdc_chunks, _T19_SQL),
     QuerySpec("t20_novelty_ratio", t20_novelty_ratio, _T20_SQL),
+    QuerySpec("t21_bpe_merges", t21_bpe_merges, _bpe_oracle()),
 ]

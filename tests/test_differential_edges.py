@@ -76,6 +76,9 @@ DOCS_ONLY_QUERIES = [
     # round-7: novelty — the exact-dup doc must score 0 novelty, the
     # sub-3-token docs NULL; first-touch ties on shared boilerplate
     "t20_novelty_ratio",
+    # round-7: BPE training — punctuation/URL tokens fall outside the
+    # [a-z0-9]+ scope on BOTH engines; runs + ties pinned by pytest
+    "t21_bpe_merges",
 ]
 
 

@@ -234,6 +234,35 @@ def test_p18_temperature_flattens_the_mix(spark):
     assert kept[head] / k_total < corpus[head] / n_total
 
 
+def test_t21_bpe_learns_the_hand_computed_merges(spark, tmp_path):
+    """Planted corpus 'aaaa aaaa ccc' — every round hand-checkable,
+    covering the tricky cases: identical-symbol RUNS count overlapping
+    pairs (round 1: (a,a) = 3 positions × weight 2 = 6) but merge
+    greedily left-to-right non-overlapping (aaaa → aa aa, round 4:
+    ccc → cc c with an odd leftover), and ties break (count desc,
+    pair asc) with '</w>' sorting before letters."""
+    from customer_review__etl_spark.plans.textplans import t21_bpe_merges
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "aaaa aaaa ccc", "en", "web", 13)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = [
+        (r.merge_round, r.l_tok, r.r_tok, r.pair_count)
+        for r in t21_bpe_merges(spark, d).collect()
+    ]
+    assert got == [
+        (1, "a", "a", 6),
+        (2, "aa", "</w>", 2),
+        (3, "aa", "aa</w>", 2),
+        (4, "c", "c", 2),
+        (5, "c", "</w>", 1),
+        (6, "cc", "c</w>", 1),
+    ]
+
+
 def test_io15_reads_the_manifest_not_the_listing(spark, tmp_path):
     """Physical proof of snapshot isolation: after v3 deletes file B,
     REPLACE B's parquet bytes with garbage. The as-of-v3 read (manifest
