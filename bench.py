@@ -146,6 +146,7 @@ HEADLINE = [
     "a16_mad_outliers",
     "gr05_connected_components",
     "t20_novelty_ratio",
+    "t21_bpe_merges",
 ]
 
 

@@ -99,6 +99,10 @@ PRIORITY: tuple[str, ...] = (
     #     gr04→p18  (item-item CF sampled r7-head this round already
     #                via local+edge gates; p18 = temperature mixing —
     #                gr01/gr02 keep the graph head)
+    #     d01→t21   (exact dedup driver-sampled r6 and transitively
+    #                inside pl01's stage 1; t21 = distributed BPE
+    #                tokenizer training, the flagship novel operator —
+    #                d04/d06/d07 keep the dedup head)
     "p17_oversample_mix",
     "gr02_triangle_count",
     "pl02_incremental_refresh",
@@ -127,7 +131,7 @@ PRIORITY: tuple[str, ...] = (
     "t19_cdc_chunks",
     "d06_unified_clusters",
     "t08_bpe_token_count",
-    "d01_exact_dedup",
+    "t21_bpe_merges",
     "t18_sliding_chunks",
     "ml06_kmeans",
     "d04_ngram_jaccard",
