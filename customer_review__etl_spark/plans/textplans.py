@@ -913,6 +913,18 @@ def t21_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative-algorithm certificate pattern); localCheckpoint
     truncates the K-deep replace lineage. The returned K-row merge
     table is learned model parameters, not a data plane."""
+    learned, _ = _learn_bpe(spark, sf_dir)
+    return spark.createDataFrame(
+        learned,
+        "merge_round INT, l_tok STRING, r_tok STRING, merged STRING, "
+        "pair_count BIGINT",
+    ).orderBy("merge_round")
+
+
+def _learn_bpe(spark: SparkSession, sf_dir: str):
+    """The BPE training loop shared by t21 (emit the merge table) and
+    t22 (encode the corpus with it): returns (learned merge rows, the
+    final word → encoding frame)."""
     words = (
         _docs_par(spark, sf_dir)
         .select(
@@ -923,6 +935,7 @@ def t21_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("wc"))
     )
     enc = words.select(
+        "word",
         F.concat(
             F.lit("|"),
             F.concat_ws(
@@ -966,19 +979,75 @@ def t21_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
         learned.append((rnd, l, r, l + r, int(cnt)))
         enc = enc.select(
+            "word",
             F.replace(
                 F.col("enc"), F.lit(f"|{l}||{r}|"), F.lit(f"|{l}{r}|")
             ).alias("enc"),
             "wc",
         ).localCheckpoint()
-    return spark.createDataFrame(
-        learned,
-        "merge_round INT, l_tok STRING, r_tok STRING, merged STRING, "
-        "pair_count BIGINT",
-    ).orderBy("merge_round")
+    return learned, enc
 
 
-def _bpe_oracle() -> str:
+def t22_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — apply the merges t21 learned back to the corpus
+    and report per document the in-scope word count and the subword
+    token total under the learned tokenizer. This is the other half of
+    shipping a tokenizer (train → encode), and it supersedes t08's
+    heuristic token count with one produced by an actually-learned
+    vocabulary; n_bpe_tokens is the number an LLM pipeline bills
+    context length in.
+
+    Exactness: the final word → encoding table comes from the SAME
+    replace chain the trainer ran (engine-identical, see t21); the
+    doc rollup is then an exact integer join-aggregate. Docs with no
+    in-scope words report 0/0, not a dropped row.
+
+    Scale: encodings live on the word-TYPE table; the corpus-sized
+    side ships (doc_id, word) pairs into one equi-join on the word key
+    (the vocab table is NOT assumed broadcastable at 100 TB) and a
+    partial-aggregatable per-doc rollup."""
+    _, enc = _learn_bpe(spark, sf_dir)
+    wtok = enc.select(
+        "word",
+        F.expr(
+            "size(split(substring(enc, 2, length(enc) - 2), "
+            "'\\\\|\\\\|'))"
+        ).cast("long").alias("n_tok"),
+    )
+    dw = (
+        _docs_par(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(T.raw_tokens(F.lower(F.col("text")))).alias("word"),
+        )
+        .filter(F.col("word").rlike(_BPE_WORD_RE))
+    )
+    per_doc = (
+        dw.join(wtok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_bpe_tokens"),
+        )
+    )
+    return (
+        _docs_par(spark, sf_dir)
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_ctes() -> str:
+    """Shared WITH-prefix of the t21/t22 oracles: w0, e0, and the
+    unrolled merge rounds p_i/m_i/e_i. `word` rides through every e_i;
+    an empty round (no pairs left) leaves encodings UNCHANGED via
+    LEFT JOIN ON TRUE — matching the trainer's early break."""
     rounds = []
     for i in range(1, BPE_MERGES + 1):
         rounds.append(f"""
@@ -992,17 +1061,14 @@ p{i} AS (
 ),
 m{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
 e{i} AS (
-  SELECT replace(e.enc, '|' || m.l || '||' || m.r || '|',
-                 '|' || m.l || m.r || '|') AS enc, e.wc
-  FROM e{i - 1} e, m{i} m
+  SELECT e.word,
+         CASE WHEN m.l IS NULL THEN e.enc
+              ELSE replace(e.enc, '|' || m.l || '||' || m.r || '|',
+                           '|' || m.l || m.r || '|') END AS enc,
+         e.wc
+  FROM e{i - 1} e LEFT JOIN m{i} m ON TRUE
 )""")
-    finals = "\nUNION ALL\n".join(
-        f"SELECT {i} AS merge_round, l AS l_tok, r AS r_tok, "
-        f"l || r AS merged, cnt AS pair_count FROM m{i}"
-        for i in range(1, BPE_MERGES + 1)
-    )
-    return f"""
-WITH w0 AS (
+    return f"""w0 AS (
   SELECT word, count(1)::BIGINT AS wc
   FROM (SELECT _u.word
         FROM (SELECT {sql_raw_tokens('lower(text)')} AS tks FROM documents),
@@ -1011,12 +1077,53 @@ WITH w0 AS (
   GROUP BY word
 ),
 e0 AS (
-  SELECT '|' || array_to_string(list_append(string_split(word, ''), '</w>'),
+  SELECT word,
+         '|' || array_to_string(list_append(string_split(word, ''), '</w>'),
                                 '||') || '|' AS enc, wc
   FROM w0
-),{",".join(rounds)}
+),{",".join(rounds)}"""
+
+
+def _bpe_oracle() -> str:
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_round, l AS l_tok, r AS r_tok, "
+        f"l || r AS merged, cnt AS pair_count FROM m{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return f"""
+WITH {_bpe_ctes()}
 {finals}
 ORDER BY merge_round
+"""
+
+
+def _t22_oracle() -> str:
+    return f"""
+WITH {_bpe_ctes()},
+wtok AS (
+  SELECT word,
+         len(string_split(substr(enc, 2, length(enc) - 2), '||'))::BIGINT
+           AS n_tok
+  FROM e{BPE_MERGES}
+),
+dw AS (
+  SELECT doc_id, _u.word
+  FROM (SELECT doc_id, {sql_raw_tokens('lower(text)')} AS tks
+        FROM documents),
+       UNNEST(tks) AS _u(word)
+  WHERE regexp_matches(word, '{_BPE_WORD_RE}')
+),
+per_doc AS (
+  SELECT dw.doc_id, count(1) AS n_words,
+         CAST(sum(w.n_tok) AS BIGINT) AS n_bpe_tokens
+  FROM dw JOIN wtok w USING (word)
+  GROUP BY dw.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_words, 0) AS n_words,
+       coalesce(p.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
 """
 
 
@@ -1362,4 +1469,5 @@ SPECS = [
     QuerySpec("t19_cdc_chunks", t19_cdc_chunks, _T19_SQL),
     QuerySpec("t20_novelty_ratio", t20_novelty_ratio, _T20_SQL),
     QuerySpec("t21_bpe_merges", t21_bpe_merges, _bpe_oracle()),
+    QuerySpec("t22_bpe_encode", t22_bpe_encode, _t22_oracle()),
 ]
