@@ -147,6 +147,7 @@ HEADLINE = [
     "gr05_connected_components",
     "t20_novelty_ratio",
     "t21_bpe_merges",
+    "t22_bpe_encode",
 ]
 
 
