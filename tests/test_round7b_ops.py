@@ -149,6 +149,74 @@ def test_t19_boundaries_are_content_defined(spark, tmp_path):
     assert suffix >= len(a) - 3, (suffix, len(a), len(b))
 
 
+def _t19_reference(text):
+    """Independent pure-Python t19 chunker (third implementation beside
+    the Spark plan and the DuckDB oracle): polynomial K-gram hash,
+    boundary at hash % DIV == 0, trailing cut at n."""
+    K, B, DIV, MOD = (
+        textplans.T19_K, textplans.T19_B, textplans.T19_DIV,
+        textplans.T19_CODE_MOD,
+    )
+    codes = [ord(c) % MOD for c in text]
+    n = len(codes)
+    cuts = [
+        i for i in range(K, n)  # 1-based end positions K..n-1
+        if sum(codes[i - d - 1] * B ** d for d in range(K)) % DIV == 0
+    ] + [n]
+    out, prev = [], 0
+    for idx, cut in enumerate(cuts, 1):
+        out.append((idx, prev + 1, cut - prev, text[prev:cut]))
+        prev = cut
+    return out
+
+
+def test_t19_matches_the_python_reference_on_a_random_corpus(spark, tmp_path):
+    """Triangulation: 200 seeded-random strings — uniform ASCII,
+    single-char runs, periodic repeats, whitespace-heavy, length 1 to
+    ~600 — chunk identically under the Spark plan and an independent
+    pure-Python implementation (one Spark round-trip for the whole
+    corpus, not one per example)."""
+    import hashlib
+    import random
+
+    rng = random.Random(42)
+    texts = []
+    for i in range(200):
+        kind = i % 4
+        n = rng.randint(1, 600)
+        if kind == 0:
+            texts.append(
+                "".join(chr(rng.randint(32, 126)) for _ in range(n))
+            )
+        elif kind == 1:
+            texts.append(rng.choice("ax ") * n)
+        elif kind == 2:
+            base = "".join(chr(rng.randint(97, 122)) for _ in range(7))
+            texts.append((base * (n // 7 + 1))[:n])
+        else:
+            texts.append(
+                " ".join(
+                    str(rng.randint(0, 10 ** 6))
+                    for _ in range(max(1, n // 7))
+                )
+            )
+    docs = [
+        (i, t, "en", "web", len(t)) for i, t in enumerate(texts)
+    ]
+    rows = _chunks_for(spark, tmp_path, docs)
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.start_pos, r.chunk_len, r.chunk_md5)
+        )
+    for i, t in enumerate(texts):
+        want = [
+            (idx, st, ln, hashlib.md5(body.encode()).hexdigest())
+            for idx, st, ln, body in _t19_reference(t)
+        ]
+        assert sorted(got.get(i, [])) == want, f"doc {i}"
+
+
 def test_t19_expensive_scan_stays_above_the_exchange(spark):
     """Plan guard for the InferFiltersFromGenerate regression: the
     pushed-down scan filter must stay CHEAP (no higher-order filter()
