@@ -85,6 +85,134 @@ def test_w10_sessions_partition_the_events(spark):
             assert b.start_us - a.end_us > W10_GAP_US
 
 
+def _ref_bpe(word_counts, k):
+    """Independent pure-Python BPE trainer (argmax = count desc, pair
+    asc; greedy left-to-right non-overlapping merge application)."""
+    encs = {w: list(w) + ["</w>"] for w in word_counts}
+    merges = []
+    for rnd in range(1, k + 1):
+        counts = {}
+        for w, c in word_counts.items():
+            s = encs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get(
+                    (s[i], s[i + 1]), 0
+                ) + c
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((rnd, l, r, cnt))
+        for w in word_counts:
+            s, out, i = encs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            encs[w] = out
+    return merges
+
+
+def test_t21_matches_the_python_reference_on_random_corpora(
+    spark, tmp_path
+):
+    """Triangulation for the BPE trainer: random small-alphabet word
+    corpora (runs and count-ties everywhere by construction) must
+    yield the identical merge table from the Spark loop and an
+    independent pure-Python trainer."""
+    import random
+
+    from customer_review__etl_spark.plans.textplans import (
+        BPE_MERGES,
+        t21_bpe_merges,
+    )
+
+    for seed in (7, 19, 101):
+        rng = random.Random(seed)
+        word_counts = {}
+        for _ in range(rng.randint(4, 12)):
+            w = "".join(
+                rng.choice("ab") for _ in range(rng.randint(1, 6))
+            )
+            word_counts[w] = word_counts.get(w, 0) + rng.randint(1, 5)
+        text = " ".join(
+            w for w, c in sorted(word_counts.items()) for _ in range(c)
+        )
+        d = str(tmp_path / f"bpe{seed}")
+        spark.createDataFrame(
+            [(1, text, "en", "web", len(text))],
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+            "n_chars BIGINT",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        got = [
+            (r.merge_round, r.l_tok, r.r_tok, r.pair_count)
+            for r in t21_bpe_merges(spark, d).collect()
+        ]
+        assert got == _ref_bpe(word_counts, BPE_MERGES), f"seed {seed}"
+
+
+def test_w10_matches_the_python_reference_on_random_events(
+    spark, tmp_path
+):
+    """Triangulation for sessionization: random event sets with gaps
+    engineered around the exact 30-minute boundary (strictly-greater
+    splits) and duplicate timestamps must sessionize identically in
+    the Spark plan and a straightforward Python walk."""
+    import random
+
+    gap = W10_GAP_US
+    rng = random.Random(13)
+    rows, refs = [], {}
+    eid = 0
+    for user in range(1, 6):
+        us = rng.randint(0, 10 ** 9)
+        events = []
+        for _ in range(rng.randint(1, 40)):
+            eid += 1
+            cents = rng.randint(-500, 500)
+            events.append((eid, us, cents))
+            step = rng.choice(
+                [0, 1, gap - 1, gap, gap + 1, rng.randint(1, 2 * gap)]
+            )
+            us += step
+        rows.extend(
+            (e, _TS0 + datetime.timedelta(microseconds=u), user,
+             "view", c / 100.0, None)
+            for e, u, c in events
+        )
+        sess, cur = [], None
+        for e, u, c in sorted(events, key=lambda t: (t[1], t[0])):
+            if cur is None or u - cur["end"] > gap:
+                cur = {"n": 0, "start": u, "end": u, "sum": 0}
+                sess.append(cur)
+            cur["n"] += 1
+            cur["end"] = u
+            cur["sum"] += c
+        # session tz is pinned UTC, so NTZ wall-clock == UTC instant
+        base_us = int(
+            _TS0.replace(tzinfo=datetime.timezone.utc).timestamp()
+            * 1_000_000
+        )
+        for i, s in enumerate(sess, 1):
+            refs[(user, i)] = (
+                s["n"], base_us + s["start"], base_us + s["end"], s["sum"]
+            )
+    _write_events(spark, str(tmp_path), rows)
+    got = {
+        (r.user_id, r.session_seq): (
+            r.n_events, r.start_us, r.end_us, r.sum_cents
+        )
+        for r in w10_sessionize(spark, str(tmp_path)).collect()
+    }
+    assert got == refs
+
+
 def _chunks_for(spark, tmp_path, docs):
     d = str(tmp_path)
     spark.createDataFrame(
