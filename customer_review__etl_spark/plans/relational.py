@@ -1436,7 +1436,7 @@ def a13_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks = [
         F.max(
             F.when(
-                F.col("rn") == F.expr(f"CAST((n * {q} + 99) DIV 100 AS INT)"),
+                F.col("rn") == F.expr(f"CAST((n * {q} + 99) DIV 100 AS BIGINT)"),
                 F.col("c"),
             )
         ).alias(f"p{q}_cents")
@@ -1450,7 +1450,7 @@ def a13_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _A13_PICKS = ",\n       ".join(
-    f"max(CASE WHEN rn = CAST((n * {q} + 99) // 100 AS INT) THEN c END)"
+    f"max(CASE WHEN rn = CAST((n * {q} + 99) // 100 AS BIGINT) THEN c END)"
     f" AS p{q}_cents"
     for q in A13_QUANTILES
 )
@@ -1501,7 +1501,7 @@ def a16_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = (
         base.withColumn("rn", F.row_number().over(wv))
         .withColumn("n", F.count(F.lit(1)).over(wn))
-        .filter(F.col("rn") == F.expr("CAST((n + 1) DIV 2 AS INT)"))
+        .filter(F.col("rn") == F.expr("CAST((n + 1) DIV 2 AS BIGINT)"))
         .select("event_type", F.col("c").alias("med_cents"))
     )
     dev = base.join(med, "event_type").withColumn(
@@ -1511,7 +1511,7 @@ def a16_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = (
         dev.withColumn("rn", F.row_number().over(wd))
         .withColumn("n", F.count(F.lit(1)).over(wn))
-        .filter(F.col("rn") == F.expr("CAST((n + 1) DIV 2 AS INT)"))
+        .filter(F.col("rn") == F.expr("CAST((n + 1) DIV 2 AS BIGINT)"))
         .select("event_type", F.col("ad").alias("mad_cents"))
     )
     return (
@@ -1543,7 +1543,7 @@ medr AS (
   FROM base
 ),
 med AS (SELECT event_type, c AS med_cents FROM medr
-        WHERE rn = CAST((n + 1) // 2 AS INT)),
+        WHERE rn = CAST((n + 1) // 2 AS BIGINT)),
 dev AS (
   SELECT b.event_type, b.c, m.med_cents, abs(b.c - m.med_cents) AS ad
   FROM base b JOIN med m USING (event_type)
@@ -1555,7 +1555,7 @@ madr AS (
   FROM dev
 ),
 mad AS (SELECT event_type, ad AS mad_cents FROM madr
-        WHERE rn = CAST((n + 1) // 2 AS INT))
+        WHERE rn = CAST((n + 1) // 2 AS BIGINT))
 SELECT d.event_type, count(1) AS n,
        max(d.med_cents) AS med_cents,
        max(m.mad_cents) AS mad_cents,
