@@ -1058,6 +1058,101 @@ DECON_NGRAM = 5     # token n-gram width for overlap detection
 DECON_EVAL_MOD = 13  # doc_id % 13 == 0 → held-out eval slice (~7.7%)
 
 
+DC03_MIN_CHARS = 20  # eval texts shorter than this are too generic to anchor
+
+
+def dc03_verbatim_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STRICTEST rung of the decontamination ladder (dc01 = 5-gram
+    overlap, dc02 = near-dup, dc03 = verbatim): flag every (train,
+    eval) pair where the eval document's normalized text appears as a
+    LITERAL SUBSTRING of the train document's — the "exact match"
+    filter of LLM decontamination practice, catching benchmark items
+    quoted wholesale inside web pages.
+
+    Candidate generation is COMPLETE, not heuristic: if train contains
+    eval verbatim, train's char-3-gram set is a superset of eval's, so
+    joining on ONE gram of the eval text — its lexicographic minimum,
+    the "anchor" — can never miss a true pair (unlike d04/d07's
+    DF-capped recall trade). Worst case the anchor is common and the
+    candidate set large; the exact `contains` verify then prunes
+    JVM-side. Sub-DC03_MIN_CHARS eval texts are excluded — a
+    20-char-minimum anchor guard, since a tiny/empty eval string would
+    substring-match everything and mean nothing.
+
+    Scale: eval anchors are O(#eval docs) rows; the join key is a
+    40-byte gram; train bodies are scanned once and shuffled only for
+    matching anchor grams; verification is one `contains` per
+    candidate. Output: the flagged (train, eval) pairs."""
+    base = _docs_par(spark, sf_dir).select(
+        "doc_id", T.normalize_text(F.col("text")).alias("norm")
+    )
+    ev = base.filter(
+        (F.col("doc_id") % DECON_EVAL_MOD == 0)
+        & (F.length("norm") >= DC03_MIN_CHARS)
+    ).select(
+        F.col("doc_id").alias("eval_doc"), F.col("norm").alias("ev_norm")
+    )
+    anchors = ev.select(
+        "eval_doc",
+        "ev_norm",
+        F.expr(
+            "array_min(transform(sequence(1, length(ev_norm) - 2), "
+            "i -> substr(ev_norm, i, 3)))"
+        ).alias("anchor"),
+    )
+    train_grams = (
+        base.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+        .filter(F.length("norm") >= 3)
+        .select(
+            F.col("doc_id").alias("train_doc"),
+            "norm",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, length(norm) - 2), "
+                        "i -> substr(norm, i, 3))"
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    return (
+        train_grams.join(
+            anchors, train_grams["g"] == anchors["anchor"]
+        )
+        .filter(F.expr("contains(norm, ev_norm)"))
+        .select("train_doc", "eval_doc")
+        .orderBy("train_doc", "eval_doc")
+    )
+
+
+_DC03_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {sql_normalize('text')} AS norm FROM documents
+),
+ev AS (
+  SELECT doc_id AS eval_doc, norm AS ev_norm,
+         list_min(list_transform(range(1, length(norm) - 1),
+                                 i -> substr(norm, i, 3))) AS anchor
+  FROM base
+  WHERE doc_id % {DECON_EVAL_MOD} = 0 AND length(norm) >= {DC03_MIN_CHARS}
+),
+tg AS (
+  SELECT doc_id AS train_doc, norm, _u.g
+  FROM (SELECT doc_id, norm,
+               list_distinct(list_transform(range(1, length(norm) - 1),
+                                            i -> substr(norm, i, 3))) AS gs
+        FROM base
+        WHERE doc_id % {DECON_EVAL_MOD} != 0 AND length(norm) >= 3),
+       UNNEST(gs) AS _u(g)
+)
+SELECT t.train_doc, e.eval_doc
+FROM tg t JOIN ev e ON t.g = e.anchor
+WHERE contains(t.norm, e.ev_norm)
+ORDER BY train_doc, eval_doc
+"""
+
+
 def dc01_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination — the pass a training pipeline runs
     before fine-tuning/eval: flag every training document that shares
@@ -1245,6 +1340,9 @@ SPECS = [
     QuerySpec("d05_neardup_clusters", d05_neardup_clusters, _D05_SQL),
     QuerySpec("d06_unified_clusters", d06_unified_clusters, _D06_SQL),
     QuerySpec("dc01_decontaminate", dc01_decontaminate, _DC01_SQL),
+    QuerySpec(
+        "dc03_verbatim_decontaminate", dc03_verbatim_decontaminate, _DC03_SQL
+    ),
     QuerySpec(
         "dc02_neardup_decontaminate", dc02_neardup_decontaminate, _DC02_SQL
     ),

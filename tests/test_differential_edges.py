@@ -64,6 +64,10 @@ DOCS_ONLY_QUERIES = [
     # NULL text drops out) and temperature mixing (rates re-derived
     # from the tiny edge histogram, incl. single-doc groups at rate 1)
     "d07_containment_pairs", "p18_temperature_mix",
+    # round-7: verbatim decontamination — doc 13 duplicates eval doc 0
+    # and MUST be flagged; short/NULL eval texts fall under the anchor
+    # guard on both engines
+    "dc03_verbatim_decontaminate",
     # round-7: incremental refresh must equal full recompute on the
     # edge corpus too (NULL text fingerprints ride through as NULL)
     "pl02_incremental_refresh",

@@ -521,6 +521,33 @@ def test_pl02_reads_the_store_instead_of_recomputing(spark):
     assert plan.count("md5(") == 1
 
 
+def test_dc03_flags_planted_verbatim_inclusion(spark, tmp_path):
+    """Planted corpus: eval doc 0 (doc_id % 13 == 0) is quoted
+    wholesale inside train doc 1; train doc 2 shares every WORD but
+    not the contiguous text (dc01's gram overlap would flag it, the
+    verbatim rung must NOT); doc 3 is unrelated."""
+    from customer_review__etl_spark.plans import dedupplans as DP
+
+    eval_text = ("the benchmark question asks which planet has the "
+                 "largest ring system in the solar system")
+    host = ("scraped page preamble text " + eval_text +
+            " trailing comment thread follows here")
+    shuffled = ("system solar the in system ring largest the has "
+                "planet which asks question benchmark the")
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(0, eval_text, "en", "web", len(eval_text)),
+         (1, host, "en", "web", len(host)),
+         (2, shuffled, "en", "web", len(shuffled)),
+         (3, "entirely different content about gardening", "en", "web", 42)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {(r.train_doc, r.eval_doc)
+           for r in DP.dc03_verbatim_decontaminate(spark, d).collect()}
+    assert got == {(1, 0)}
+
+
 def test_io15_optimistic_commit_conflict_and_rebase(spark, tmp_path):
     """Two writers race from the same base version: the winner lands
     v4 atomically; the loser's commit at the same slot raises
