@@ -1710,6 +1710,79 @@ ORDER BY a.day
 """
 
 
+def w11_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars — the time-series rollup finance and metrics systems
+    run: per (event_type, hour) bucket, the OPENING value (first by
+    time), the HIGH/LOW extremes, and the CLOSING value (last by
+    time), in exact cents. First/last-in-group is the aggregate shape
+    min/max cannot express; engines' min_by/arg_min differ on
+    composite orderings and ties, so both picks are structural — one
+    window pass ordered by the unique (us, event_id) with row_number
+    ascending and descending, then a conditional rollup.
+
+    Scale: ONE shuffle on (event_type, hour); both row_numbers and
+    the extremes ride the same window partitioning; the rollup is
+    map-side combinable. Bucket math is integer microseconds."""
+    base = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            cents(F.col("value")).alias("c"),
+        )
+        .withColumn("hour_us", F.expr("us - pmod(us, 3600000000)"))
+    )
+    wp = Window.partitionBy("event_type", "hour_us")
+    asc = wp.orderBy("us", "event_id")
+    desc = wp.orderBy(F.desc("us"), F.desc("event_id"))
+    return (
+        base.withColumn("rn_a", F.row_number().over(asc))
+        .withColumn("rn_d", F.row_number().over(desc))
+        .groupBy("event_type", "hour_us")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("c"))).alias(
+                "open_cents"
+            ),
+            F.max("c").alias("high_cents"),
+            F.min("c").alias("low_cents"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("c"))).alias(
+                "close_cents"
+            ),
+        )
+        .orderBy("event_type", "hour_us")
+    )
+
+
+_W11_SQL = f"""
+WITH b AS (
+  SELECT event_type, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         {sql_cents('value')} AS c
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+r AS (
+  SELECT event_type, c,
+         us - (us % 3600000000) AS hour_us,
+         row_number() OVER (PARTITION BY event_type,
+                                         us - (us % 3600000000)
+                            ORDER BY us, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type,
+                                         us - (us % 3600000000)
+                            ORDER BY us DESC, event_id DESC) AS rn_d
+  FROM b
+)
+SELECT event_type, hour_us, count(1) AS n,
+       max(CASE WHEN rn_a = 1 THEN c END) AS open_cents,
+       max(c) AS high_cents, min(c) AS low_cents,
+       max(CASE WHEN rn_d = 1 THEN c END) AS close_cents
+FROM r GROUP BY event_type, hour_us
+ORDER BY event_type, hour_us
+"""
+
+
 W10_GAP_US = 1_800_000_000  # 30-minute inactivity gap, in microseconds
 
 
@@ -3956,6 +4029,7 @@ SPECS = [
     ),
     QuerySpec("w09_range_frame", w09_range_frame, _W09_SQL),
     QuerySpec("w10_sessionize", w10_sessionize, _W10_SQL),
+    QuerySpec("w11_ohlc_bars", w11_ohlc_bars, _W11_SQL),
     QuerySpec(
         "w08_rolling_median",
         w08_rolling_median,

@@ -177,6 +177,9 @@ EVENTS_ONLY_QUERIES = [
     # round-7: growth accounting — multi-day spread with single-day
     # users pins first-touch attribution + the running spine join
     "a14_running_distinct",
+    # round-7: OHLC bars — duplicate timestamps force the structural
+    # open/close tie-break; negative values pin low_cents
+    "w11_ohlc_bars",
     # round-7: quarantine write — NULL value/type rows must land in
     # the dead-letter set, never vanish; negative money quarantined
     "io16_quarantine_write",
