@@ -148,6 +148,8 @@ HEADLINE = [
     "t20_novelty_ratio",
     "t21_bpe_merges",
     "t22_bpe_encode",
+    "dc03_verbatim_decontaminate",
+    "w11_ohlc_bars",
 ]
 
 
