@@ -338,6 +338,18 @@ def io14_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the returned frame is the lazy read-back, so the hash gate also
     certifies the landed files — at scale you'd partition the write by
     a date key and let io08's dynamic overwrite scope the commit."""
+    merged = _io14_merged(spark, sf_dir)
+    out = run_scratch("io14_merge_")
+    sinks.write_parquet(merged, out)
+    df = spark.read.schema(merged.schema).parquet(out)
+    return df.select("o_orderkey", "o_custkey", "price_cents", "action").orderBy(
+        "o_orderkey"
+    )
+
+
+def _io14_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-write MERGE plan (exposed so tests can pin its physical
+    shape: sort-merge full outer on the key, no broadcast)."""
     src = tables.load(spark, sf_dir, "orders")
     # explicit presence marker: payload columns (custkey, price) can be
     # legitimately NULL, so "matched" must test the marker, never them
@@ -377,12 +389,7 @@ def io14_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "action",
         )
     )
-    out = run_scratch("io14_merge_")
-    sinks.write_parquet(merged, out)
-    df = spark.read.schema(merged.schema).parquet(out)
-    return df.select("o_orderkey", "o_custkey", "price_cents", "action").orderBy(
-        "o_orderkey"
-    )
+    return merged
 
 
 _IO14_SQL = f"""

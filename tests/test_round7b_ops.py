@@ -213,6 +213,106 @@ def test_w10_matches_the_python_reference_on_random_events(
     assert got == refs
 
 
+def test_a13_a16_match_python_references_on_random_values(spark, tmp_path):
+    """Triangulation for the rank-pick machinery: random grouped cent
+    values (duplicates, negatives, 1-row and even/odd-sized groups)
+    must reproduce a straightforward sorted-list Python computation of
+    the quantile matrix (value at ceil(q·n)) and of median/MAD/outlier
+    counts."""
+    import random
+
+    from customer_review__etl_spark.plans.relational import (
+        A13_QUANTILES,
+        A16_MAD_K,
+        a13_grouped_quantiles,
+        a16_mad_outliers,
+    )
+
+    rng = random.Random(99)
+    groups = {}
+    orders, events = [], []
+    oid = 0
+    for gi, prio in enumerate(
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-LOW", "5-ONE"]
+    ):
+        n = [1, 2, 7, 40, 1][gi]
+        vals = [rng.randint(-2000, 2000) for _ in range(n)]
+        groups[prio] = vals
+        for v in vals:
+            oid += 1
+            orders.append((oid, 1, "F", v / 100.0, _TS0, prio))
+            events.append((oid, _mins(oid), 1, prio, v / 100.0, None))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, "
+        "o_orderpriority STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/orders.parquet"
+    )
+    _write_events(spark, str(tmp_path), events)
+
+    def pick(sorted_vals, q):
+        k = (len(sorted_vals) * q + 99) // 100
+        return sorted_vals[k - 1]
+
+    got13 = {
+        r.o_orderpriority: r
+        for r in a13_grouped_quantiles(spark, str(tmp_path)).collect()
+    }
+    for prio, vals in groups.items():
+        sv = sorted(vals)
+        row = got13[prio]
+        assert row.n == len(vals)
+        for q in A13_QUANTILES:
+            assert getattr(row, f"p{q}_cents") == pick(sv, q), (prio, q)
+
+    got16 = {
+        r.event_type: r
+        for r in a16_mad_outliers(spark, str(tmp_path)).collect()
+    }
+    for prio, vals in groups.items():
+        sv = sorted(vals)
+        med = sv[(len(sv) + 1) // 2 - 1]
+        ads = sorted(abs(v - med) for v in vals)
+        mad = ads[(len(ads) + 1) // 2 - 1]
+        n_out = sum(1 for v in vals if abs(v - med) > A16_MAD_K * mad)
+        row = got16[prio]
+        assert (row.med_cents, row.mad_cents, row.n_outliers) == (
+            med, mad, n_out
+        ), prio
+
+
+def test_new_op_plans_keep_their_scale_claims(spark):
+    """Physical pins for the round-7 scale statements: w10's two window
+    passes reuse ONE exchange (lag + running sum on the same
+    partitioning); io14's merge join is sort-merge with NO broadcast
+    (both CDC sides are large at scale); w11's two row_numbers and the
+    rollup ride a single (event_type, hour) partitioning."""
+    from customer_review__etl_spark.plans.relational import (
+        w10_sessionize,
+        w11_ohlc_bars,
+    )
+
+    p = w10_sessionize(spark, SF_DIR)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # exchanges: window partitioning + session rollup + presentation
+    # sort; the second window pass must NOT add a fourth
+    assert p.count("Exchange") <= 3, p[:800]
+
+    from customer_review__etl_spark.plans.ioplans import _io14_merged
+
+    p = _io14_merged(spark, SF_DIR)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SortMergeJoin" in p and "FullOuter" in p
+    assert "BroadcastHashJoin" not in p
+
+    p = w11_ohlc_bars(spark, SF_DIR)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # one hash-partitioning for both windows + rollup, one final sort
+    assert p.count("Exchange") <= 2, p[:800]
+
+
 def _chunks_for(spark, tmp_path, docs):
     d = str(tmp_path)
     spark.createDataFrame(
