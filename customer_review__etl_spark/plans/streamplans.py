@@ -242,8 +242,65 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
 FROM events GROUP BY wstart, event_type ORDER BY wstart, event_type
 """
 
+
+def st12_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dead-letter pattern (io16) in the STREAMING path: a
+    stateless per-row rules check rides the stream, and every
+    micro-batch appends its rows to a parquet sink PARTITIONED BY
+    status — violators land physically in their own quarantine
+    directory, never silently dropped, while the pipeline keeps
+    flowing. Because the split is per-row (no watermark, no state),
+    batching can never change the result: the oracle is exactly
+    io16's batch classification, so the hash gate certifies
+    stream ≡ batch for the whole ingest-validate-land loop.
+
+    Scale: stateless projection inside each micro-batch, distributed
+    partitioned append (one directory level = one status), lazy
+    read-back with an explicit schema so zero-batch runs stay
+    well-defined."""
+    from ..scratch import run_scratch
+    from .ioplans import IO16_RULES
+
+    ev = jobs.stream_events(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    flagged = ev.withColumn(
+        "status",
+        F.expr(
+            f"CASE WHEN {IO16_RULES} THEN 'valid' ELSE 'quarantined' END"
+        ),
+    )
+    out_dir = run_scratch("st12_q_")
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("append").partitionBy("status").parquet(out_dir)
+
+    q = (
+        flagged.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema(flagged.schema)
+        .parquet(out_dir)
+        .select("event_id", "event_type", "value", "status")
+        .orderBy("event_id")
+    )
+
+
+_ST12_SQL = """
+SELECT event_id, event_type, value,
+       CASE WHEN value IS NOT NULL AND value >= 0
+                 AND event_type IS NOT NULL
+            THEN 'valid' ELSE 'quarantined' END AS status
+FROM events ORDER BY event_id
+"""
+
 SPECS = [
     QuerySpec("st01_tumbling_window", st01_tumbling_window, _ST01_SQL),
+    QuerySpec("st12_stream_quarantine", st12_stream_quarantine, _ST12_SQL),
     QuerySpec(
         "st02_sliding_window",
         st02_sliding_window,

@@ -180,6 +180,9 @@ EVENTS_ONLY_QUERIES = [
     # round-7: OHLC bars — duplicate timestamps force the structural
     # open/close tie-break; negative values pin low_cents
     "w11_ohlc_bars",
+    # round-7: streaming quarantine — NULL value/type rows must land
+    # in the dead-letter partition through the stream path too
+    "st12_stream_quarantine",
     # round-7: quarantine write — NULL value/type rows must land in
     # the dead-letter set, never vanish; negative money quarantined
     "io16_quarantine_write",
