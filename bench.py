@@ -150,6 +150,7 @@ HEADLINE = [
     "t22_bpe_encode",
     "dc03_verbatim_decontaminate",
     "w11_ohlc_bars",
+    "st12_stream_quarantine",
 ]
 
 
