@@ -478,6 +478,125 @@ ORDER BY d.doc_id
 """
 
 
+def p19_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative sequence packing (concat-and-chunk): documents in
+    doc_id order are concatenated into one global token stream and cut
+    into fixed PACK_BUDGET-token training sequences; a doc straddling a
+    cut spans both sequences — the GPT-style packing that wastes zero
+    budget (u02 is the no-span next-fit twin, where a doc that doesn't
+    fit opens a fresh sequence). Token counts are t08's BPE-ish
+    pre-tokenizer counts. Emits one row per (doc, sequence) slice:
+    (seq_id, doc_id, tok_offset of the slice within the sequence,
+    slice_len). Zero-token docs contribute no slice.
+
+    Running-sum + bucket-break, zero UDF. The global cumulative token
+    count reuses p16's two-phase scalable-ordinal machinery: range
+    partition by doc_id (globally ordered partitions), read back only
+    the O(#partitions) per-partition token SUMS to compute offsets,
+    then tok_start = offset + per-partition running sum − n. No
+    single-partition window ever sees the corpus. Each doc then
+    explodes into exactly the sequences it overlaps via sequence(
+    start DIV B, (end−1) DIV B) — fan-out per doc is
+    ceil(n_tokens/B)+1, bounded by doc length, and the only wide op
+    after the range partition is the explode's narrow map."""
+    B = PACK_BUDGET
+    from .textplans import BPE_PATTERN
+
+    toks = F.size(
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col("text"), F.lit(""))),
+            F.lit(BPE_PATTERN),
+            0,
+        )
+    ).cast("long")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    # localCheckpoint pins ONE materialized partitioning (p16's rule):
+    # the offsets pass and the running-sum pass must see identical
+    # RangePartitioner boundaries.
+    rp = (
+        docs.repartitionByRange(n_parts, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sums = rp.groupBy("pid").agg(F.sum("n_tokens").alias("s")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(sums, key=lambda r: r.pid):
+        offsets[r.pid] = acc
+        acc += r.s
+    if offsets:
+        omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        base = omap[F.col("pid")]
+    else:
+        base = F.lit(0)
+    w = Window.partitionBy("pid").orderBy("doc_id")
+    cum = rp.withColumn(
+        "tok_start",
+        (base + F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"),
+    )
+    seq_lo = F.expr(f"tok_start DIV {B}")
+    seq_hi = F.expr(f"(tok_start + n_tokens - 1) DIV {B}")
+    slice_lo = F.greatest(F.col("tok_start"), F.col("seq_id") * B)
+    slice_hi = F.least(
+        F.col("tok_start") + F.col("n_tokens"), (F.col("seq_id") + 1) * B
+    )
+    return (
+        cum.select(
+            "doc_id",
+            "n_tokens",
+            "tok_start",
+            F.explode(F.sequence(seq_lo, seq_hi)).alias("seq_id"),
+        )
+        .select(
+            F.col("seq_id").cast("long").alias("seq_id"),
+            "doc_id",
+            (slice_lo - F.col("seq_id") * B).cast("long").alias("tok_offset"),
+            (slice_hi - slice_lo).cast("long").alias("slice_len"),
+        )
+        .orderBy("seq_id", "doc_id")
+    )
+
+
+def _p19_oracle() -> str:
+    from .textplans import BPE_PATTERN
+
+    B = PACK_BUDGET
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(coalesce(text, '')),
+             '{BPE_PATTERN}'))::BIGINT AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n_tokens)::BIGINT AS tok_start
+  FROM toks WHERE n_tokens > 0
+),
+spans AS (
+  SELECT unnest(generate_series(tok_start // {B},
+                                (tok_start + n_tokens - 1) // {B}))::BIGINT
+           AS seq_id,
+         doc_id, n_tokens, tok_start
+  FROM cum
+)
+SELECT seq_id, doc_id,
+       (greatest(tok_start, seq_id * {B}) - seq_id * {B})::BIGINT
+         AS tok_offset,
+       (least(tok_start + n_tokens, (seq_id + 1) * {B})
+        - greatest(tok_start, seq_id * {B}))::BIGINT AS slice_len
+FROM spans
+ORDER BY seq_id, doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # A: aggregations (SURVEY §2.4)
 # --------------------------------------------------------------------------
@@ -3339,6 +3458,7 @@ SPECS = [
     ),
     QuerySpec("p17_oversample_mix", p17_oversample_mix, _p17_oracle()),
     QuerySpec("p18_temperature_mix", p18_temperature_mix, _P18_SQL),
+    QuerySpec("p19_sequence_pack", p19_sequence_pack, _p19_oracle()),
     QuerySpec(
         "a01_group_count",
         a01_group_count,

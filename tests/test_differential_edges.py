@@ -86,6 +86,10 @@ DOCS_ONLY_QUERIES = [
     # round-7: BPE encoding — all-out-of-scope docs report 0/0; the
     # trained-then-applied replace chains must agree end to end
     "t22_bpe_encode",
+    # round-8: declarative concat-and-chunk packing — zero-token and
+    # NULL-text docs contribute no slice; docs longer than the budget
+    # must span sequences with offsets/lengths exact on both engines
+    "p19_sequence_pack",
 ]
 
 

@@ -1,0 +1,100 @@
+"""Round-8 operators: p19 declarative sequence packing invariants and
+its consistency with the packing primitives it composes (t08 counts,
+u02's budget)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from customer_review__etl_spark.plans import relational, textplans
+
+from conftest import SF_DIR
+
+B = relational.PACK_BUDGET
+
+
+def test_p19_slices_tile_the_token_stream(spark):
+    """Every sequence except the last is filled to exactly the budget,
+    slices are disjoint and contiguous (concat-and-chunk wastes zero
+    budget), and per-doc slice lengths sum to the doc's t08 BPE-ish
+    token count."""
+    rows = relational.p19_sequence_pack(spark, SF_DIR).collect()
+    assert rows, "sf0.001 corpus must produce at least one slice"
+
+    # per-sequence: slices tile [0, fill) contiguously without overlap
+    by_seq: dict[int, list] = {}
+    for r in rows:
+        by_seq.setdefault(r.seq_id, []).append(r)
+    n_seqs = max(by_seq) + 1
+    assert sorted(by_seq) == list(range(n_seqs))
+    total = 0
+    for seq_id, slices in by_seq.items():
+        slices.sort(key=lambda r: r.tok_offset)
+        pos = 0
+        for s in slices:
+            assert s.tok_offset == pos, (seq_id, s)
+            assert s.slice_len > 0
+            pos += s.slice_len
+        assert pos <= B
+        if seq_id < n_seqs - 1:
+            assert pos == B, f"seq {seq_id} underfilled: {pos}"
+        total += pos
+
+    # per-doc: slice lengths sum to the t08 BPE-ish count
+    t08 = {
+        r.doc_id: r.n_bpeish
+        for r in textplans.t08_bpe_token_count(spark, SF_DIR).collect()
+    }
+    by_doc: dict[int, int] = {}
+    for r in rows:
+        by_doc[r.doc_id] = by_doc.get(r.doc_id, 0) + r.slice_len
+    for doc_id, n in by_doc.items():
+        assert n == t08[doc_id], doc_id
+    # zero-token docs contribute nothing; everything else appears
+    assert set(by_doc) == {d for d, n in t08.items() if n > 0}
+    assert total == sum(by_doc.values())
+
+
+def test_p19_doc_slices_are_contiguous_spans(spark):
+    """A doc spanning sequences occupies consecutive seq_ids, ends each
+    non-final slice at the sequence boundary, and starts each non-first
+    slice at offset 0 (it is ONE contiguous run in the token stream)."""
+    rows = relational.p19_sequence_pack(spark, SF_DIR).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    multi = 0
+    for slices in by_doc.values():
+        slices.sort(key=lambda r: r.seq_id)
+        for i, s in enumerate(slices):
+            if i > 0:
+                assert s.seq_id == slices[i - 1].seq_id + 1
+                assert s.tok_offset == 0
+            if i < len(slices) - 1:
+                assert s.tok_offset + s.slice_len == B
+        multi += len(slices) > 1
+    assert multi > 0, "corpus must contain at least one spanning doc"
+
+
+def test_p19_deterministic_under_repartition(spark):
+    """The two-phase cumsum must not depend on input partitioning:
+    the (seq_id, doc_id, tok_offset, slice_len) multiset is identical
+    across executions (RangePartitioner resampling included)."""
+    a = sorted(map(tuple, relational.p19_sequence_pack(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, relational.p19_sequence_pack(spark, SF_DIR).collect()))
+    assert a == b
+
+
+def test_p19_no_global_single_partition_window(spark):
+    """The running sum must stay per-partition: the plan's window spec
+    partitions by pid — a bare global Window (empty partitionBy) would
+    funnel the corpus through one task at 100 TB."""
+    df = relational.p19_sequence_pack(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" in plan
+    import re
+
+    for m in re.finditer(r"partitionBy=\[(.*?)\]", plan):
+        assert m.group(1).strip(), "global window detected"

@@ -1,0 +1,108 @@
+"""Cumulative-coverage tripwire (round-7 VERDICT ask #5).
+
+Diffs the full query registry against
+  (a) the union of driver rows across CORRECTNESS_r*.json, and
+  (b) the union of bench timings across bench_full.json and
+      bench_full_registry.json,
+so a query that has gone rounds with no driver row or has never been
+timed is surfaced loudly instead of silently accumulating as backlog
+(the round-7 state: 52/184 never driver-sampled, 87/184 never benched).
+
+Usage:  python tools/coverage_report.py [--json]
+Exit status is always 0 (report, not gate) but the summary line is
+asserted warning-level in tests/test_plans.py so regressions print red
+in every pytest run.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def driver_seen() -> dict[str, list[int]]:
+    """query name -> rounds in which the driver recorded a row for it."""
+    seen: dict[str, list[int]] = {}
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        try:
+            rnd = int(p.stem.split("_r")[1])
+            rows = json.loads(p.read_text())
+        except (ValueError, json.JSONDecodeError):
+            continue
+        for name in rows:
+            seen.setdefault(name, []).append(rnd)
+    return seen
+
+
+def bench_seen() -> set[str]:
+    """query names with at least one timing row at any scale."""
+    timed: set[str] = set()
+    for fname in ("bench_full.json", "bench_full_registry.json"):
+        p = REPO / fname
+        if not p.is_file():
+            continue
+        try:
+            detail = json.loads(p.read_text())
+        except json.JSONDecodeError:
+            continue
+        for key in ("queries", "queries_small"):
+            timed.update(detail.get(key, {}))
+    return timed
+
+
+def latest_round() -> int:
+    rounds = [
+        int(p.stem.split("_r")[1])
+        for p in REPO.glob("CORRECTNESS_r*.json")
+        if p.stem.split("_r")[1].isdigit()
+    ]
+    return max(rounds) if rounds else 0
+
+
+def report() -> dict:
+    from customer_review__etl_spark.plans import all_queries
+
+    names = list(all_queries())
+    seen = driver_seen()
+    timed = bench_seen()
+    cur = latest_round()
+
+    never_driver = [n for n in names if n not in seen]
+    stale_driver = [
+        n for n in names if n in seen and cur - max(seen[n]) >= 2
+    ]
+    never_benched = [n for n in names if n not in timed]
+    return {
+        "registry_total": len(names),
+        "driver_covered": len(names) - len(never_driver),
+        "latest_round": cur,
+        "never_driver_sampled": never_driver,
+        "stale_driver_ge2_rounds": stale_driver,
+        "never_benched": never_benched,
+    }
+
+
+def main() -> int:
+    rep = report()
+    if "--json" in sys.argv:
+        print(json.dumps(rep, indent=1))
+        return 0
+    print(
+        f"registry: {rep['registry_total']} queries | driver-covered: "
+        f"{rep['driver_covered']} | latest driver round: r{rep['latest_round']}"
+    )
+    for key in ("never_driver_sampled", "stale_driver_ge2_rounds", "never_benched"):
+        vals = rep[key]
+        flag = "\033[91mRED\033[0m" if vals else "ok"
+        print(f"{key}: {len(vals)} [{flag}]")
+        if vals:
+            print("  " + " ".join(vals))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
