@@ -151,6 +151,8 @@ HEADLINE = [
     "dc03_verbatim_decontaminate",
     "w11_ohlc_bars",
     "st12_stream_quarantine",
+    # round-8 additions
+    "p19_sequence_pack",
 ]
 
 
@@ -184,6 +186,19 @@ def _time_queries(
         fn = qs.get(name)
         if fn is None:
             continue
+        if name == "io05_bucketed_join":
+            # The one-time bucketed CTAS is io05's SETUP, not its query:
+            # timing it inside rep 1 made the io05 number a 5.8x
+            # rep-spread mystery (round-7 VERDICT ask #3). Pay and time
+            # it separately so the build cost stays visible as its own
+            # row while the io05 reps measure the steady-state join.
+            from customer_review__etl_spark.plans import ioplans
+
+            t0 = time.time()
+            ioplans.io05_bucketed_tables(spark, sf_dir)
+            build = round(time.time() - t0, 3)
+            timings["io05_build"] = build
+            all_reps["io05_build"] = [build]
         times: list[float] = []
         for _ in range(reps):
             t0 = time.time()

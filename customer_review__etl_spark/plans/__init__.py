@@ -103,56 +103,74 @@ PRIORITY: tuple[str, ...] = (
     #                inside pl01's stage 1; t21 = distributed BPE
     #                tokenizer training, the flagship novel operator —
     #                d04/d06/d07 keep the dedup head)
-    "p17_oversample_mix",
-    "gr02_triangle_count",
-    "pl02_incremental_refresh",
-    "io11_python_datasource",
-    "pl01_training_pipeline",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q8_market_share",
-    "gr01_pagerank",
-    "q17_small_qty_revenue",
-    "q9_product_profit",
-    "j11_fuzzy_blocked_join",
-    "u03_ewma_smooth",
-    "d07_containment_pairs",
-    "j10_bucketed_range",
-    "ml11_confidence_calibration",
-    "w07_scd2_intervals",
-    "a13_grouped_quantiles",
-    "t15_bigram_surprisal",
-    "a12_observed_metrics",
-    "j12_interval_overlap",
-    "f03_json_map_funcs",
-    "dc02_neardup_decontaminate",
-    "t16_tfidf_terms",
-    "io15_snapshot_read",
-    "t19_cdc_chunks",
-    "d06_unified_clusters",
-    "t08_bpe_token_count",
-    "t21_bpe_merges",
-    "t18_sliding_chunks",
-    "ml06_kmeans",
+    #   r8 (wholesale rotation, round-7 VERDICT ask #1): after r7 every
+    #   r7-head entry has a green driver row, and 48 oracle-backed
+    #   queries still had NONE. This head clears that backlog in one
+    #   round: 47 never-driver-sampled entries (tools/coverage_report.py
+    #   emits the list) + the new p19, keeping exactly three sampled
+    #   veterans for family coverage the backlog cannot provide —
+    #   j12 (join family: no j query is unsampled), d04 (d0 family +
+    #   the perf-watched dedup), f01 (function family, stale since r2).
+    #   Deliberately deferred to r9: p13/p14 (sampler shapes adjacent
+    #   to p12/p16/p18) — after which only the four rows-only-by-design
+    #   entries (t02/ml01/ml02/ml04) remain outside driver history.
+    # TPC-H tail — the reference-mandated generalization surface
+    "q4_order_priority",
+    "q11_important_stock",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q18_large_orders",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
+    # LLM-pipeline: packing (new), dedup/decontam, text analysis
+    "p19_sequence_pack",
+    "dc03_verbatim_decontaminate",
     "d04_ngram_jaccard",
-    "ml07_naive_bayes",
-    "u05_grouped_agg_udf",
-    "s02_ann_lsh",
-    "s05_semantic_clusters",
-    "s06_pq_ann",
-    "a11_scalable_median",
-    "w10_sessionize",
-    "io13_partition_pruned_read",
-    "st11_incremental_resume",
-    "ml05_stratified_split",
-    "st06_stateful_stats",
-    "st07_stream_static_join",
-    "st09_stream_stream_join",
-    "p18_temperature_mix",
-    "mm02_decode_features",
-    "io14_merge_upsert",
-    "io09_table_diff",
-    "io05_bucketed_join",
+    "t20_novelty_ratio",
+    "t22_bpe_encode",
+    "t06_fingerprint",
+    "t07_positional_hash",
+    "t09_pii_scrub",
+    "t10_repetition_score",
+    "t12_vocab_coverage",
+    "t17_reading_ease",
+    # samplers / aggregates / windows
+    "p12_deterministic_sample",
+    "p16_scalable_ordinal",
+    "a14_running_distinct",
+    "a15_revenue_concentration",
+    "a16_mad_outliers",
+    "w08_rolling_median",
+    "w09_range_frame",
+    "w11_ohlc_bars",
+    "j12_interval_overlap",
+    "f01_string_date_math",
+    # python-surface shapes
+    "u04_sentence_udtf",
+    "u06_ewma_partitioned",
+    "u07_arrow_batch_clip",
+    # similarity / graph
+    "s07_multiprobe_ann",
+    "gr03_khop_reachability",
+    "gr04_item_similarity",
+    "gr05_connected_components",
+    # streaming / ML / multimodal
+    "st10_keyed_upsert",
+    "st12_stream_quarantine",
+    "ml08_linreg",
+    "ml09_knn_label",
+    "ml10_classifier_gate",
+    "ml12_hashed_features",
+    "mm04_blob_chunks",
+    # IO formats / maintenance
+    "io03_jsonl_roundtrip",
+    "io04_orc_roundtrip",
+    "io07_compaction",
+    "io08_dynamic_partition_overwrite",
+    "io12_nested_projection",
+    "io16_quarantine_write",
 )
 
 

@@ -41,7 +41,7 @@ def test_registry_head_covers_every_family():
     head = list(all_queries())[:50]
     assert head == list(PRIORITY[:50])
     families = ("p", "a", "q", "j", "w", "g", "f", "u",
-                "t0", "d0", "s0", "st0", "ml", "mm", "io")
+                "t0", "d0", "s0", "st", "ml", "mm", "io")
     for fam in families:
         assert any(n.startswith(fam) for n in head), f"family {fam} not in head"
     # the head should be maximally oracle-checked: rows-only entries stay out
