@@ -55,6 +55,8 @@ def _decode_ppm(blob: bytes) -> tuple[int, int, int, float]:
     while len(fields) < 3:
         while pos < len(blob) and blob[pos : pos + 1].isspace():
             pos += 1
+        if pos >= len(blob):  # header ends before 3 fields parsed
+            raise ValueError("truncated PPM header")
         if blob[pos : pos + 1] == b"#":  # comment to end of line
             while pos < len(blob) and blob[pos : pos + 1] != b"\n":
                 pos += 1
@@ -62,6 +64,8 @@ def _decode_ppm(blob: bytes) -> tuple[int, int, int, float]:
         start = pos
         while pos < len(blob) and not blob[pos : pos + 1].isspace():
             pos += 1
+        if not blob[start:pos].isdigit():
+            raise ValueError("malformed PPM header field")
         fields.append(int(blob[start:pos]))
     pos += 1  # single whitespace after maxval, then raw bytes
     w, h, maxval = fields

@@ -453,82 +453,15 @@ def io15_write_snapshots(spark: SparkSession, sf_dir: str, root: str):
     return src.schema
 
 
-class CommitConflict(Exception):
-    """Another writer landed the version this commit targeted."""
-
-
-def io15_latest_version(root: str) -> int:
-    """Highest committed manifest version (0 if none)."""
-    import os
-    import re
-
-    try:
-        names = os.listdir(f"{root}/manifests")
-    except FileNotFoundError:
-        return 0
-    vs = [int(m.group(1)) for n in names
-          if (m := re.fullmatch(r"v(\d+)\.json", n))]
-    return max(vs, default=0)
-
-
-def io15_commit_snapshot(root: str, files: list[str],
-                         expected_version: int) -> int:
-    """Optimistic-concurrency commit: atomically create manifest
-    v{expected_version + 1}; if ANOTHER writer already created it,
-    raise CommitConflict so the caller re-reads the new latest, rebases
-    its file set, and retries — the Delta/Iceberg commit protocol in
-    miniature. Atomicity comes from O_CREAT|O_EXCL (exactly one
-    creator can win); on an object store the same slot-claim is a
-    conditional put (If-None-Match: *) — same protocol, different
-    primitive. Data files are immutable and already landed, so a lost
-    race costs one manifest retry, never a data rewrite."""
-    import json
-    import os
-
-    v = expected_version + 1
-    os.makedirs(f"{root}/manifests", exist_ok=True)
-    path = f"{root}/manifests/v{v}.json"
-    try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        raise CommitConflict(
-            f"version {v} was committed by another writer"
-        ) from None
-    with os.fdopen(fd, "w") as fh:
-        json.dump({"version": v, "files": files}, fh)
-    return v
-
-
-def io15_vacuum(root: str, keep_from_version: int) -> list[str]:
-    """VACUUM: delete data files referenced by NO manifest at or after
-    `keep_from_version` — the orphan-file GC every snapshot table needs
-    once old versions expire (time travel keeps files alive; retention
-    ends it). The referenced set is the union of the kept manifests'
-    file lists — an O(#manifests · files-per-manifest) metadata scan,
-    never a data scan; at scale this is a distributed join between the
-    file listing and the manifest union, same semantics. Returns the
-    deleted paths. Reads at vacuumed-away versions fail afterwards BY
-    DESIGN — that is what retention means; kept versions are untouched
-    (pinned by the vacuum test)."""
-    import json
-    import os
-    import re
-    import shutil
-
-    kept: set[str] = set()
-    for n in os.listdir(f"{root}/manifests"):
-        m = re.fullmatch(r"v(\d+)\.json", n)
-        if m and int(m.group(1)) >= keep_from_version:
-            with open(f"{root}/manifests/{n}") as fh:
-                kept.update(json.load(fh)["files"])
-    deleted = []
-    data_dir = f"{root}/data"
-    for name in sorted(os.listdir(data_dir)):
-        path = f"{data_dir}/{name}"
-        if path not in kept:
-            shutil.rmtree(path)
-            deleted.append(path)
-    return deleted
+# The commit protocol itself is Spark-free metadata plumbing; it lives
+# in manifestio.py so writer processes (and the multi-process race test)
+# can import it without a pyspark runtime. Re-exported here unchanged.
+from .manifestio import (  # noqa: E402  (re-export)
+    CommitConflict,
+    io15_commit_snapshot,
+    io15_latest_version,
+    io15_vacuum,
+)
 
 
 def io15_read_snapshot(spark: SparkSession, root: str, version: int, schema):

@@ -614,7 +614,15 @@ def ml10_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         outperforms-or-ties the best constant predictor, the minimum
         bar for "the classifier learned something". Oracle pins TRUE;
         a regression in featurization, split, or seed plumbing that
-        degrades the model to baseline turns the driver row red."""
+        degrades the model to baseline turns the driver row red.
+
+    TRIAGE NOTE (round-7 ADVICE #2): this is a deliberate QUALITY
+    gate, not a differential-correctness check — a red ml10 row means
+    MODEL REGRESSION (the classifier stopped beating the majority
+    baseline, or dropped test rows), NOT an engine/oracle divergence.
+    Debug the pipeline (featurization, ml05 split, seeds), not the
+    query engine or the oracle SQL. A tie with the baseline passes by
+    design (≥)."""
     toks = P.stratified_split(
         P.with_tokens(_docs(spark, sf_dir)), "doc_id", "lang"
     )

@@ -2147,7 +2147,12 @@ def a09_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tolerances: HLL rsd=0.02 → 3σ = 6 %; percentile_approx accuracy
     10000 → rank error ≤ ⌊n/10000⌋+1, so the estimate must lie between
     the exact values at ranks k∓(⌊n/10000⌋+1) (GK returns an observed
-    element, so the value bracket is exact)."""
+    element, so the value bracket is exact). The brackets themselves
+    (med/p99 lo–hi cents, the integer customer tolerance) are OUTPUT
+    COLUMNS the oracle recomputes exactly (round-7 ADVICE #1): the
+    differential gate verifies the bracket math, leaving only the
+    final sketch-vs-bracket `between` to the pinned booleans (which
+    pytest independently recomputes)."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     vals = o.select(cents(F.col("o_totalprice")).alias("c"))
     hist = vals.groupBy(F.expr(f"c DIV {A11_BUCKET}").alias("b")).agg(
@@ -2206,14 +2211,25 @@ def a09_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("am"),
         F.percentile_approx("o_totalprice", 0.99, 10000).alias("ap"),
     )
+    # The tolerance brackets are EMITTED, not just applied (round-7
+    # ADVICE #1): every lo/hi below is an exact integer the oracle
+    # recomputes and hash-checks, so a Spark-side bug in the bracket
+    # math turns the row red — the pinned-TRUE booleans only certify
+    # the final `between` application of sketch vs verified bracket.
+    customers_tol = F.expr("(6 * exact_customers) DIV 100")
     return stats.crossJoin(F.broadcast(kth)).select(
         "n_orders",
         "exact_customers",
+        customers_tol.cast("long").alias("customers_tol"),
         F.col("c_med").alias("exact_median_cents"),
+        F.col("c_med_lo").alias("med_lo_cents"),
+        F.col("c_med_hi").alias("med_hi_cents"),
         F.col("c_p99").alias("exact_p99_cents"),
+        F.col("c_p99_lo").alias("p99_lo_cents"),
+        F.col("c_p99_hi").alias("p99_hi_cents"),
+        # integer-exact 3σ (= 6 %) HLL gate: |ac − exact| ≤ ⌊6·exact/100⌋
         (
-            F.abs(F.col("ac") - F.col("exact_customers"))
-            <= 0.06 * F.col("exact_customers")
+            F.abs(F.col("ac") - F.col("exact_customers")) <= customers_tol
         ).alias("approx_customers_ok"),
         # empty input: no data → the sketch is "ok" iff it returns
         # NULL (vacuously within tolerance; the BETWEEN would yield
@@ -2345,6 +2361,11 @@ def u07_arrow_batch_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for b in batches:
             v = b.column("value")
+            # non-finite guard (round-7 ADVICE #3): pyarrow min/max
+            # propagate NaN (Spark least/greatest treat it as largest)
+            # and casting NaN/±inf to int64 raises — route non-finite
+            # to NULL up front; the oracle mirrors with isfinite().
+            v = pc.if_else(pc.is_finite(v), v, pa.scalar(None, pa.float64()))
             clipped = pc.min_element_wise(
                 pc.max_element_wise(v, pa.scalar(0.0)), pa.scalar(100.0)
             )
@@ -2372,8 +2393,10 @@ def u07_arrow_batch_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _U07_SQL = """
 SELECT event_id,
-       CAST(floor(least(greatest(value, 0.0), 100.0) * 100.0 + 0.5)
-         AS BIGINT) AS clipped_cents
+       CASE WHEN isfinite(value)
+            THEN CAST(floor(least(greatest(value, 0.0), 100.0) * 100.0 + 0.5)
+                   AS BIGINT)
+       END AS clipped_cents
 FROM events WHERE value IS NOT NULL
 ORDER BY event_id
 """
@@ -4208,10 +4231,26 @@ SPECS = [
         m AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v)
         SELECT t.n AS n_orders,
                (SELECT count(DISTINCT o_custkey) FROM o) AS exact_customers,
+               (6 * (SELECT count(DISTINCT o_custkey) FROM o)) // 100
+                 AS customers_tol,
                (SELECT c FROM m, t WHERE rn = (t.n + 1) // 2)
                  AS exact_median_cents,
+               (SELECT c FROM m, t
+                WHERE rn = greatest(1, (t.n + 1) // 2 - (t.n // 10000 + 1)))
+                 AS med_lo_cents,
+               (SELECT c FROM m, t
+                WHERE rn = least(t.n, (t.n + 1) // 2 + (t.n // 10000 + 1)))
+                 AS med_hi_cents,
                (SELECT c FROM m, t WHERE rn = (99 * t.n + 99) // 100)
                  AS exact_p99_cents,
+               (SELECT c FROM m, t
+                WHERE rn = greatest(1,
+                             (99 * t.n + 99) // 100 - (t.n // 10000 + 1)))
+                 AS p99_lo_cents,
+               (SELECT c FROM m, t
+                WHERE rn = least(t.n,
+                             (99 * t.n + 99) // 100 + (t.n // 10000 + 1)))
+                 AS p99_hi_cents,
                TRUE AS approx_customers_ok,
                TRUE AS approx_median_ok,
                TRUE AS approx_p99_ok
