@@ -151,8 +151,16 @@ HEADLINE = [
     "dc03_verbatim_decontaminate",
     "w11_ohlc_bars",
     "st12_stream_quarantine",
-    # round-8 additions
+    # round-8 additions (p19/j13/t23 new; the rest are >3 s discoveries
+    # from the one-off full-registry sweep, bench_full_registry.json)
     "p19_sequence_pack",
+    "j13_bloom_semi_join",
+    "t23_inverted_index",
+    "a09_approx_stats",
+    "ml01_lda_themes",
+    "ml02_topic_top_words",
+    "ml04_classifier_metrics",
+    "ml10_classifier_gate",
 ]
 
 

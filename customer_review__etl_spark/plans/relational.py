@@ -1157,6 +1157,110 @@ def j12_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+J13_M = 1 << 17     # bloom bits (2048 longs ≈ 16 KB broadcast)
+J13_SEEDS = (1, 2, 3)  # k = 3 probes
+
+
+def j13_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join — the runtime-row-filter pattern
+    (Spark's own runtime bloom / Delta dynamic file pruning) built
+    explicitly, since `bloom_filter_agg` is not in the public function
+    registry: build a 2^17-bit, 3-probe bloom over the SELECTIVE dim
+    key set (BUILDING-segment customers), broadcast it as one 16 KB
+    map row, and drop fact rows whose key cannot be in the dim set
+    BEFORE the join exchange. Survivors (including bloom false
+    positives) still pass through the exact left-semi join, so the
+    RESULT is exactly the plain semi join — the bloom changes bytes
+    shuffled, never rows returned; the oracle is the transparent
+    IN-subquery form.
+
+    Scale: bloom size is O(1) w.r.t. the fact table (bits scale with
+    the dim key count only), the build is one tiny groupBy over ≤2048
+    words, the probe is a pure map-side predicate (3 hashes + 3 bit
+    tests per row), and the false-positive cleanup join only sees the
+    prefiltered stream. With a ~1/5-selective dim, ~80 % of the fact
+    shuffle disappears (tests/test_round8_ops.py pins prefilter
+    selectivity and result-exactness)."""
+    c_keys = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    bit = lambda key, s: f"pmod(xxhash64({key}, {s}), {J13_M})"  # noqa: E731
+    bits = c_keys.select(
+        F.explode(
+            F.array(*[F.expr(bit("c_custkey", s)) for s in J13_SEEDS])
+        ).alias("bit")
+    )
+    words = bits.groupBy(F.expr("bit DIV 64").alias("w")).agg(
+        F.expr("bit_or(shiftleft(1L, CAST(bit % 64 AS INT)))").alias("m")
+    )
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "m"))).alias("bf")
+    )
+    probe = " AND ".join(
+        f"((coalesce(element_at(bf, {bit('o_custkey', s)} DIV 64), 0L)"
+        f" >> CAST({bit('o_custkey', s)} % 64 AS INT)) & 1L) = 1L"
+        for s in J13_SEEDS
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", cents(F.col("o_totalprice")).alias("tc")
+    )
+    pre = o.crossJoin(F.broadcast(bloom)).filter(F.expr(probe)).drop("bf")
+    exact = pre.join(
+        c_keys, pre.o_custkey == c_keys.c_custkey, "left_semi"
+    )
+    return (
+        exact.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("tc").alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _j13_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bloom-prefiltered fact stream BEFORE the exact semi join —
+    exposed for the selectivity test only (the operator's whole value
+    is measurable here)."""
+    c_keys = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    bit = lambda key, s: f"pmod(xxhash64({key}, {s}), {J13_M})"  # noqa: E731
+    bits = c_keys.select(
+        F.explode(
+            F.array(*[F.expr(bit("c_custkey", s)) for s in J13_SEEDS])
+        ).alias("bit")
+    )
+    words = bits.groupBy(F.expr("bit DIV 64").alias("w")).agg(
+        F.expr("bit_or(shiftleft(1L, CAST(bit % 64 AS INT)))").alias("m")
+    )
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "m"))).alias("bf")
+    )
+    probe = " AND ".join(
+        f"((coalesce(element_at(bf, {bit('o_custkey', s)} DIV 64), 0L)"
+        f" >> CAST({bit('o_custkey', s)} % 64 AS INT)) & 1L) = 1L"
+        for s in J13_SEEDS
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return o.crossJoin(F.broadcast(bloom)).filter(F.expr(probe)).drop("bf")
+
+
+_J13_SQL = f"""
+SELECT o_orderpriority, count(1) AS n_orders,
+       CAST(sum({sql_cents('o_totalprice')}) AS BIGINT) AS revenue_cents
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def j07_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RIGHT join: all nations kept, unmatched suppliers → NULL counts."""
     supp = _t(spark, sf_dir, "supplier")
@@ -2204,12 +2308,22 @@ def a09_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    stats = o.agg(
+    # countDistinct is kept in its OWN aggregate: mixing it with the
+    # sketch aggregates makes Catalyst plan the distinct via Expand and
+    # evaluate the non-distinct partials PER (gid, custkey) GROUP —
+    # ~100 K GK summaries at accuracy 10000 instead of 32 (measured
+    # 10.1 s vs 1.5 s at sf0.1 for the one-agg form). Two narrow scans
+    # + a 1-row broadcast join is the scale-correct shape.
+    stats1 = o.agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.countDistinct("o_custkey").alias("exact_customers"),
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("ac"),
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("am"),
         F.percentile_approx("o_totalprice", 0.99, 10000).alias("ap"),
+    )
+    stats = stats1.crossJoin(
+        F.broadcast(
+            o.agg(F.countDistinct("o_custkey").alias("exact_customers"))
+        )
     )
     # The tolerance brackets are EMITTED, not just applied (round-7
     # ADVICE #1): every lo/hi below is an exact integer the oracle
@@ -3880,6 +3994,7 @@ SPECS = [
         ORDER BY s_suppkey, c_custkey
         """,
     ),
+    QuerySpec("j13_bloom_semi_join", j13_bloom_semi_join, _J13_SQL),
     QuerySpec(
         "q7_volume_shipping",
         q7_volume_shipping,

@@ -1127,6 +1127,72 @@ ORDER BY d.doc_id
 """
 
 
+T23_POSTINGS_CAP = 16
+
+
+def t23_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the corpus→search-structure op behind
+    keyword retrieval, dedup forensics, and BM25-style reranking: per
+    normalized term, its document frequency, total term frequency, and
+    the first T23_POSTINGS_CAP doc_ids (ascending) of its posting list.
+
+    Scale: the posting cap is enforced with a row_number window BEFORE
+    any collect_list, so per-term aggregation state is O(cap), never
+    O(df) — a stopword-like term with a 100M-doc posting list costs the
+    same as a rare one (the naive collect-then-slice form is the
+    classic inverted-index OOM). Flow: explode tokens → one (term,
+    doc_id) partial-agg shuffle → term-partitioned window + two
+    term-keyed aggregates that reuse the same partitioning. Postings
+    ship as a CSV string: cross-engine exact, no array-hash
+    dependence."""
+    tok = _docs_par(spark, sf_dir).select(
+        "doc_id", F.explode(T.clean_tokens(F.col("text"))).alias("term")
+    )
+    per_doc = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf_doc")
+    )
+    stats = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf_doc").cast("long").alias("tf"),
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    postings = (
+        per_doc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= T23_POSTINGS_CAP)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("doc_id").cast("string"))),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return stats.join(postings, "term").orderBy("term")
+
+
+def _t23_oracle() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, _u.term
+  FROM (SELECT doc_id, {sql_clean_tokens('text')} AS tks FROM documents),
+       UNNEST(tks) AS _u(term)
+),
+pd AS (SELECT term, doc_id, count(1) AS tf_doc FROM tok GROUP BY term, doc_id),
+st AS (SELECT term, count(1)::BIGINT AS df, sum(tf_doc)::BIGINT AS tf
+       FROM pd GROUP BY term),
+tp AS (SELECT term, doc_id,
+              row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+       FROM pd),
+po AS (SELECT term,
+              array_to_string(list_sort(list(doc_id::VARCHAR)), ',')
+                AS postings
+       FROM tp WHERE rn <= {T23_POSTINGS_CAP} GROUP BY term)
+SELECT st.term, st.df, st.tf, po.postings
+FROM st JOIN po USING (term)
+ORDER BY st.term
+"""
+
+
 _LANGS_SQL = ", ".join(
     f"""len(list_filter({sql_raw_tokens("lower(text)")},
         _t -> list_contains([{", ".join(f"'{m}'" for m in markers)}], _t)))::BIGINT
@@ -1470,4 +1536,5 @@ SPECS = [
     QuerySpec("t20_novelty_ratio", t20_novelty_ratio, _T20_SQL),
     QuerySpec("t21_bpe_merges", t21_bpe_merges, _bpe_oracle()),
     QuerySpec("t22_bpe_encode", t22_bpe_encode, _t22_oracle()),
+    QuerySpec("t23_inverted_index", t23_inverted_index, _t23_oracle()),
 ]

@@ -90,6 +90,10 @@ DOCS_ONLY_QUERIES = [
     # NULL-text docs contribute no slice; docs longer than the budget
     # must span sequences with offsets/lengths exact on both engines
     "p19_sequence_pack",
+    # round-8: inverted index — empty/NULL/stopword-only docs emit no
+    # postings; CJK/unicode terms index like any token; duplicate docs
+    # exercise tf > df
+    "t23_inverted_index",
 ]
 
 
@@ -534,6 +538,10 @@ TPCH_ONLY_QUERIES = [
     # round-7: manifest snapshots — NULL keys land in NO data file, so
     # every version's aggregate must exclude them like the oracle does
     "io15_snapshot_read",
+    # round-8: bloom-prefiltered semi join — NULL o_custkey must vanish
+    # (bloom probe + semi join both drop it, like the oracle's IN);
+    # the tiny dim set exercises a near-empty bloom
+    "j13_bloom_semi_join",
 ]
 
 

@@ -85,6 +85,93 @@ def test_p19_deterministic_under_repartition(spark):
     assert a == b
 
 
+def test_j13_bloom_prefilter_is_selective_and_exact(spark):
+    """The bloom prefilter must (a) actually drop fact rows — the whole
+    point is shrinking the join exchange — while (b) never dropping a
+    true match (no false negatives by bloom construction), and the
+    final result must equal the transparent semi join exactly."""
+    from pyspark.sql import functions as F
+
+    n_orders = relational._t(spark, SF_DIR, "orders").count()
+    keys = (
+        relational._t(spark, SF_DIR, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    n_true = (
+        relational._t(spark, SF_DIR, "orders")
+        .join(keys, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .count()
+    )
+    n_pre = relational._j13_prefiltered(spark, SF_DIR).count()
+    assert n_true <= n_pre, "bloom produced a false negative"
+    assert n_pre < n_orders, "bloom filtered nothing"
+    # with 2^17 bits / k=3 over a few hundred keys the FP rate is ~0;
+    # allow a loose 5% slack so corpus growth doesn't flake the test
+    assert n_pre <= n_true * 1.05 + 5
+
+    got = {
+        r["o_orderpriority"]: (r["n_orders"], r["revenue_cents"])
+        for r in relational.j13_bloom_semi_join(spark, SF_DIR).collect()
+    }
+    from customer_review__etl_spark.plans.helpers import cents
+
+    want = {
+        r["o_orderpriority"]: (r["n"], r["rc"])
+        for r in (
+            relational._t(spark, SF_DIR, "orders")
+            .join(keys, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents(F.col("o_totalprice"))).alias("rc"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+
+
+def test_t23_posting_state_is_capped(spark):
+    """Postings must hold at most T23_POSTINGS_CAP doc_ids, be sorted
+    subsets of the term's true posting list, and df/tf must match an
+    independent exact recomputation."""
+    from pyspark.sql import functions as F
+
+    rows = textplans.t23_inverted_index(spark, SF_DIR).collect()
+    assert rows
+    exact = {
+        (r["term"],): (r["df"], r["tf"])
+        for r in (
+            textplans._docs_par(spark, SF_DIR)
+            .select(
+                "doc_id",
+                F.explode(
+                    __import__(
+                        "customer_review__etl_spark.functions.text",
+                        fromlist=["clean_tokens"],
+                    ).clean_tokens(F.col("text"))
+                ).alias("term"),
+            )
+            .groupBy("term")
+            .agg(
+                F.countDistinct("doc_id").alias("df"),
+                F.count(F.lit(1)).alias("tf"),
+            )
+            .collect()
+        )
+    }
+    capped = 0
+    for r in rows:
+        posts = r["postings"].split(",")
+        assert len(posts) <= textplans.T23_POSTINGS_CAP
+        assert len(posts) == min(r["df"], textplans.T23_POSTINGS_CAP)
+        assert posts == sorted(posts)  # lexicographic on both engines
+        assert exact[(r["term"],)] == (r["df"], r["tf"])
+        capped += len(posts) < r["df"]
+    assert capped > 0, "corpus must exercise the cap branch"
+
+
 def test_p19_no_global_single_partition_window(spark):
     """The running sum must stay per-partition: the plan's window spec
     partitions by pid — a bare global Window (empty partitionBy) would
