@@ -156,6 +156,7 @@ HEADLINE = [
     "p19_sequence_pack",
     "j13_bloom_semi_join",
     "t23_inverted_index",
+    "t24_bm25_topk",
     "a09_approx_stats",
     "ml01_lda_themes",
     "ml02_topic_top_words",

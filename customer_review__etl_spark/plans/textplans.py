@@ -1193,6 +1193,143 @@ ORDER BY st.term
 """
 
 
+T24_TOPK = 20
+
+
+def t24_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the t23 inverted-index statistics — rank the
+    corpus against a 3-term query (self-derived: the 3 highest-df
+    terms, df DESC / term ASC tie-break, so the query is deterministic
+    and corpus-portable) and return the top-20 docs.
+
+    Cross-engine-exact BM25 (k1 = 1.2, b = 0.75): every input to the
+    one float division per (doc, query-term) is an EXACT INTEGER —
+      idf_bits  = floor(log2(1 + N DIV df)), computed as
+                  length(bin(k)) - 1 (bit length, never float log —
+                  the ml07 integer-bits device);
+      numerator = idf_bits · 44 · S · tf          (k1+1 = 44/20)
+      denom     = 20·S·tf + 6·S + 18·N·dl         (k1(1−b) = 6/20,
+                                                   k1·b = 18/20,
+                   both multiplied through by 20·S·avgdl⁻¹·N = 20·S·N/N)
+    with N = docs with ≥1 token, S = Σ dl (so avgdl = S/N stays a
+    rational, never a rounded float). The ≤3 per-term partials sum in
+    FIXED rank order (coalesce(q1,0)+coalesce(q2,0)+coalesce(q3,0)),
+    so the double result is bit-identical in DuckDB.
+
+    Scale: stats ride the same one-shuffle (term, doc) partial-agg as
+    t23; the 3-row query-term table broadcasts; scoring is a narrow
+    map over matching postings only; top-20 is a tie-broken global
+    sort of per-doc one-row aggregates."""
+    tok = _docs_par(spark, sf_dir).select(
+        "doc_id", F.explode(T.clean_tokens(F.col("text"))).alias("term")
+    )
+    per_doc = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("s_tokens"),
+    )
+    df_t = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    qterms = (
+        df_t.orderBy(F.desc("df"), "term")
+        .limit(3)
+        .withColumn(
+            "qrank",
+            F.row_number().over(Window.orderBy(F.desc("df"), "term")),
+        )
+    )
+    scored = (
+        per_doc.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf_bits",
+            (
+                F.length(F.expr("bin(1 + n_docs DIV df)")) - F.lit(1)
+            ).cast("long"),
+        )
+        .withColumn(
+            "partial",
+            (F.col("idf_bits") * 44 * F.col("s_tokens") * F.col("tf"))
+            .cast("double")
+            / (
+                20 * F.col("s_tokens") * F.col("tf")
+                + 6 * F.col("s_tokens")
+                + 18 * F.col("n_docs") * F.col("dl")
+            ).cast("double"),
+        )
+    )
+    per_doc_score = scored.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("qrank") == i, F.col("partial"))).alias(
+                f"q{i}"
+            )
+            for i in (1, 2, 3)
+        ],
+        F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+    )
+    zero = F.lit(0.0)
+    return (
+        per_doc_score.select(
+            "doc_id",
+            (
+                F.coalesce(F.col("q1"), zero)
+                + F.coalesce(F.col("q2"), zero)
+                + F.coalesce(F.col("q3"), zero)
+            ).alias("bm25"),
+            "n_terms_matched",
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(T24_TOPK)
+    )
+
+
+def _t24_oracle() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, _u.term
+  FROM (SELECT doc_id, {sql_clean_tokens('text')} AS tks FROM documents),
+       UNNEST(tks) AS _u(term)
+),
+pd AS (SELECT term, doc_id, count(1)::BIGINT AS tf FROM tok
+       GROUP BY term, doc_id),
+dl AS (SELECT doc_id, count(1)::BIGINT AS dl FROM tok GROUP BY doc_id),
+corpus AS (SELECT count(1)::BIGINT AS n_docs, sum(dl)::BIGINT AS s_tokens
+           FROM dl),
+dft AS (SELECT term, count(1)::BIGINT AS df FROM pd GROUP BY term),
+qterms AS (SELECT term, df,
+                  row_number() OVER (ORDER BY df DESC, term) AS qrank
+           FROM dft ORDER BY df DESC, term LIMIT 3),
+scored AS (
+  SELECT pd.doc_id, q.qrank,
+         ((length(bin(1 + c.n_docs // q.df)) - 1)::BIGINT
+          * 44 * c.s_tokens * pd.tf)::DOUBLE
+         / (20 * c.s_tokens * pd.tf + 6 * c.s_tokens
+            + 18 * c.n_docs * dl.dl)::DOUBLE AS partial
+  FROM pd JOIN qterms q USING (term)
+          JOIN dl USING (doc_id), corpus c
+),
+agg AS (
+  SELECT doc_id,
+         max(CASE WHEN qrank = 1 THEN partial END) AS q1,
+         max(CASE WHEN qrank = 2 THEN partial END) AS q2,
+         max(CASE WHEN qrank = 3 THEN partial END) AS q3,
+         count(1)::BIGINT AS n_terms_matched
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       coalesce(q1, 0.0) + coalesce(q2, 0.0) + coalesce(q3, 0.0) AS bm25,
+       n_terms_matched
+FROM agg
+ORDER BY bm25 DESC, doc_id
+LIMIT {T24_TOPK}
+"""
+
+
 _LANGS_SQL = ", ".join(
     f"""len(list_filter({sql_raw_tokens("lower(text)")},
         _t -> list_contains([{", ".join(f"'{m}'" for m in markers)}], _t)))::BIGINT
@@ -1537,4 +1674,5 @@ SPECS = [
     QuerySpec("t21_bpe_merges", t21_bpe_merges, _bpe_oracle()),
     QuerySpec("t22_bpe_encode", t22_bpe_encode, _t22_oracle()),
     QuerySpec("t23_inverted_index", t23_inverted_index, _t23_oracle()),
+    QuerySpec("t24_bm25_topk", t24_bm25_topk, _t24_oracle()),
 ]

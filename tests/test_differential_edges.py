@@ -94,6 +94,10 @@ DOCS_ONLY_QUERIES = [
     # postings; CJK/unicode terms index like any token; duplicate docs
     # exercise tf > df
     "t23_inverted_index",
+    # round-8: BM25 top-k — the tiny edge vocabulary re-derives its own
+    # query terms; float scores must stay bit-identical through the
+    # integer-input division + fixed-order sum on both engines
+    "t24_bm25_topk",
 ]
 
 

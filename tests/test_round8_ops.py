@@ -172,6 +172,20 @@ def test_t23_posting_state_is_capped(spark):
     assert capped > 0, "corpus must exercise the cap branch"
 
 
+def test_t24_bm25_scores_are_sane(spark):
+    """Top-20 scores must be positive, sorted (score DESC, doc_id ASC),
+    with 1..3 query terms matched per doc; the top doc must match at
+    least as many query terms as the bottom one is allowed to (BM25
+    basics, not oracle duplication — the oracle pins exact values)."""
+    rows = textplans.t24_bm25_topk(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= textplans.T24_TOPK
+    for r in rows:
+        assert r["bm25"] > 0.0
+        assert 1 <= r["n_terms_matched"] <= 3
+    keys = [(-r["bm25"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+
+
 def test_p19_no_global_single_partition_window(spark):
     """The running sum must stay per-partition: the plan's window spec
     partitions by pid — a bare global Window (empty partitionBy) would
