@@ -157,6 +157,7 @@ HEADLINE = [
     "j13_bloom_semi_join",
     "t23_inverted_index",
     "t24_bm25_topk",
+    "s08_rrf_fusion",
     "a09_approx_stats",
     "ml01_lda_themes",
     "ml02_topic_top_words",

@@ -582,6 +582,117 @@ ORDER BY emb.vec_id
 """
 
 
+RRF_K = 60       # the standard reciprocal-rank-fusion damping constant
+RRF_POOL = 100   # per-retriever candidate pool (top-N, not full lists)
+RRF_TOPK = 20
+RRF_ANCHOR = 0   # query = vec_id 0's embedding
+
+
+def s08_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion — the
+    lexical+semantic fusion step of a RAG/retrieval pipeline: the
+    BM25 ranking (t24's scores, 3-term self-derived query) and the
+    embedding ranking (cosine against the vec_id-0 anchor, the
+    s01 machinery) each contribute their top-RRF_POOL docs, and fused
+    docs score Σ 1/(RRF_K + rank) over the lists that contain them
+    (standard RRF; a doc in one list only gets that one term).
+
+    Exactness: ranks are integers from tie-broken row_numbers over
+    bit-exact scores (BM25 integer-input divisions, cosine sequential
+    folds — both proven hash-identical elsewhere); 1/(60+r) is one
+    correctly-rounded division of exact inputs and the two terms add
+    in fixed lex-then-sem order, so the fused doubles hash-match
+    DuckDB.
+
+    Scale: fusing POOLED lists is the point — each retriever
+    contributes a tie-broken top-100 (a distributed TakeOrdered, not a
+    global sort), so the rank windows and the full-outer fusion join
+    see O(POOL) rows regardless of corpus size; ranks within a pool
+    equal global ranks for exactly the rows a pool admits."""
+    from .textplans import _bm25_scores
+
+    lex_pool = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(RRF_POOL)
+        .withColumn(
+            "r_lex",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+            .cast("long"),
+        )
+        .select("doc_id", "r_lex")
+    )
+    emb = _emb(spark, sf_dir).filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    anchor = emb.filter(F.col("vec_id") == RRF_ANCHOR).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    sem_pool = (
+        emb.filter(F.col("vec_id") != RRF_ANCHOR)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_from_norms(
+                F.col("q_emb"), F.col("embedding"),
+                F.col("q_nrm"), F.col("nrm"),
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(RRF_POOL)
+        .withColumn(
+            "r_sem",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), "doc_id"))
+            .cast("long"),
+        )
+        .select("doc_id", "r_sem")
+    )
+    fused = lex_pool.join(sem_pool, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_sem",
+        (
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_sem")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(RRF_TOPK)
+
+
+def _s08_sql() -> str:
+    from .textplans import _bm25_scores_sql
+
+    return f"""
+WITH lex_pool AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+  FROM (SELECT * FROM ({_bm25_scores_sql()})
+        ORDER BY bm25 DESC, doc_id LIMIT {RRF_POOL})
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+anchor AS (SELECT v AS q FROM e WHERE vec_id = {RRF_ANCHOR}),
+sem AS (
+  SELECT e.vec_id AS doc_id, {_cos('anchor.q', 'e.v')} AS cos
+  FROM e, anchor WHERE e.vec_id <> {RRF_ANCHOR}
+),
+sem_pool AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r_sem
+  FROM (SELECT * FROM sem ORDER BY cos DESC, doc_id LIMIT {RRF_POOL})
+),
+fused AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+         l.r_lex::BIGINT AS r_lex, s.r_sem::BIGINT AS r_sem,
+         coalesce(1.0::DOUBLE / ({RRF_K} + l.r_lex), 0.0)
+         + coalesce(1.0::DOUBLE / ({RRF_K} + s.r_sem), 0.0) AS rrf
+  FROM lex_pool l FULL OUTER JOIN sem_pool s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, r_lex, r_sem, rrf FROM fused
+ORDER BY rrf DESC, doc_id LIMIT {RRF_TOPK}
+"""
+
+
 SPECS = [
     QuerySpec(
         "s01_cosine_topk",
@@ -728,4 +839,5 @@ SPECS = [
         FROM ranked WHERE rn <= {ANN_TOPK}
         """,
     ),
+    QuerySpec("s08_rrf_fusion", s08_rrf_fusion, _s08_sql()),
 ]

@@ -1196,11 +1196,12 @@ ORDER BY st.term
 T24_TOPK = 20
 
 
-def t24_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 retrieval over the t23 inverted-index statistics — rank the
-    corpus against a 3-term query (self-derived: the 3 highest-df
-    terms, df DESC / term ASC tie-break, so the query is deterministic
-    and corpus-portable) and return the top-20 docs.
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the t23 inverted-index statistics — score
+    every matching doc against a 3-term query (self-derived: the 3
+    highest-df terms, df DESC / term ASC tie-break, so the query is
+    deterministic and corpus-portable); t24 takes the top-20, s08
+    fuses the ranking with the embedding leg.
 
     Cross-engine-exact BM25 (k1 = 1.2, b = 0.75): every input to the
     one float division per (doc, query-term) is an EXACT INTEGER —
@@ -1273,22 +1274,32 @@ def t24_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
     )
     zero = F.lit(0.0)
+    return per_doc_score.select(
+        "doc_id",
+        (
+            F.coalesce(F.col("q1"), zero)
+            + F.coalesce(F.col("q2"), zero)
+            + F.coalesce(F.col("q3"), zero)
+        ).alias("bm25"),
+        "n_terms_matched",
+    )
+
+
+def t24_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 of the _bm25_scores ranking (score DESC, doc_id ASC) —
+    see _bm25_scores for the exactness construction; s08 reuses the
+    same scores as the lexical leg of hybrid retrieval."""
     return (
-        per_doc_score.select(
-            "doc_id",
-            (
-                F.coalesce(F.col("q1"), zero)
-                + F.coalesce(F.col("q2"), zero)
-                + F.coalesce(F.col("q3"), zero)
-            ).alias("bm25"),
-            "n_terms_matched",
-        )
+        _bm25_scores(spark, sf_dir)
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(T24_TOPK)
     )
 
 
-def _t24_oracle() -> str:
+def _bm25_scores_sql() -> str:
+    """DuckDB twin of _bm25_scores as a bare SELECT (no ORDER/LIMIT) —
+    shared verbatim by t24's oracle and s08's lexical leg so the
+    scoring semantics can never drift between the two."""
     return f"""
 WITH tok AS (
   SELECT doc_id, _u.term
@@ -1325,9 +1336,14 @@ SELECT doc_id,
        coalesce(q1, 0.0) + coalesce(q2, 0.0) + coalesce(q3, 0.0) AS bm25,
        n_terms_matched
 FROM agg
-ORDER BY bm25 DESC, doc_id
-LIMIT {T24_TOPK}
 """
+
+
+def _t24_oracle() -> str:
+    return (
+        f"SELECT * FROM ({_bm25_scores_sql()}) "
+        f"ORDER BY bm25 DESC, doc_id LIMIT {T24_TOPK}"
+    )
 
 
 _LANGS_SQL = ", ".join(

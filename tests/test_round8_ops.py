@@ -186,6 +186,28 @@ def test_t24_bm25_scores_are_sane(spark):
     assert keys == sorted(keys)
 
 
+def test_s08_rrf_ranks_and_scores_consistent(spark):
+    """Fused rows must carry at least one rank, ranks within the pool
+    bound, and rrf must equal exactly the sum its ranks imply; at
+    least one top doc should appear in BOTH lists on this corpus (the
+    fusion case that distinguishes RRF from either list alone)."""
+    from customer_review__etl_spark.plans import simplans
+
+    rows = simplans.s08_rrf_fusion(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= simplans.RRF_TOPK
+    both = 0
+    for r in rows:
+        assert r["r_lex"] is not None or r["r_sem"] is not None
+        want = 0.0
+        for rank in (r["r_lex"], r["r_sem"]):
+            if rank is not None:
+                assert 1 <= rank <= simplans.RRF_POOL
+                want += 1.0 / (simplans.RRF_K + rank)
+        assert r["rrf"] == want
+        both += r["r_lex"] is not None and r["r_sem"] is not None
+    assert both > 0
+
+
 def test_p19_no_global_single_partition_window(spark):
     """The running sum must stay per-partition: the plan's window spec
     partitions by pid — a bare global Window (empty partitionBy) would
