@@ -192,6 +192,26 @@ def _time_queries(
     consumer's first rep, visible in that query's rep spread."""
     timings: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
+    # Shared run-scratch intermediates (shingle stream, d02/d03/d04
+    # pair sets, s03 pairs, s02 kNN candidates) land once per process
+    # per corpus on their FIRST consumer — which made that consumer's
+    # rep-1 number unattributable (d06 15.0 s vs 6.3 s, s05 7.0 vs
+    # 2.5 at sf0.1). Pay them up front as ONE timed `scratch_build`
+    # row (running these three consumers populates every shared kind);
+    # the per-query reps then measure steady-state plans.
+    t0 = time.time()
+    for warmer in (
+        "d06_unified_clusters",   # shingles + d02 + d03 + d04 pair sets
+        "s05_semantic_clusters",  # s03 pair set
+        "ml09_knn_label",         # s02 kNN candidate set
+    ):
+        fn = qs.get(warmer)
+        if fn is not None:
+            _materialize(fn(spark, sf_dir))
+    spark.catalog.clearCache()
+    build = round(time.time() - t0, 3)
+    timings["scratch_build"] = build
+    all_reps["scratch_build"] = [build]
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:

@@ -85,6 +85,62 @@ def test_p19_deterministic_under_repartition(spark):
     assert a == b
 
 
+def _ref_pack(texts, budget):
+    """Independent pure-Python concat-and-chunk packer: doc_id order,
+    BPE-ish token counts, docs span fixed-budget sequences."""
+    import re
+
+    pat = re.compile(textplans.BPE_PATTERN)
+    out, cum = [], 0
+    for doc_id in sorted(texts):
+        n = len(pat.findall((texts[doc_id] or "").lower()))
+        if n == 0:
+            continue
+        start, end = cum, cum + n
+        cum = end
+        for seq in range(start // budget, (end - 1) // budget + 1):
+            lo = max(start, seq * budget)
+            hi = min(end, (seq + 1) * budget)
+            out.append((seq, doc_id, lo - seq * budget, hi - lo))
+    return out
+
+
+def test_p19_matches_the_python_reference_on_random_corpora(
+    spark, tmp_path
+):
+    """Triangulation for sequence packing: random corpora with doc
+    sizes engineered around the budget boundary (empty docs, exact
+    multiples of B, oversized spanning docs) must pack identically in
+    the Spark two-phase plan and a straightforward Python walk."""
+    import random
+
+    for seed in (3, 23):
+        rng = random.Random(seed)
+        texts = {}
+        for doc_id in range(rng.randint(5, 25)):
+            choice = rng.random()
+            if choice < 0.15:
+                texts[doc_id] = ""          # zero tokens → no slice
+            elif choice < 0.3:
+                texts[doc_id] = "w " * B    # exactly one full sequence
+            elif choice < 0.5:
+                texts[doc_id] = "w " * rng.randint(B + 1, 3 * B)  # spans
+            else:
+                texts[doc_id] = "w " * rng.randint(1, B - 1)
+        d = str(tmp_path / f"pack{seed}")
+        spark.createDataFrame(
+            [(i, t, "en", "web", len(t)) for i, t in texts.items()],
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+            "n_chars BIGINT",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        got = sorted(
+            tuple(r) for r in relational.p19_sequence_pack(spark, d).collect()
+        )
+        assert got == sorted(_ref_pack(texts, B)), f"seed {seed}"
+
+
 def test_j13_bloom_prefilter_is_selective_and_exact(spark):
     """The bloom prefilter must (a) actually drop fact rows — the whole
     point is shrinking the join exchange — while (b) never dropping a
