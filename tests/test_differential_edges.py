@@ -90,6 +90,9 @@ DOCS_ONLY_QUERIES = [
     # NULL-text docs contribute no slice; docs longer than the budget
     # must span sequences with offsets/lengths exact on both engines
     "p19_sequence_pack",
+    # round-8 coverage sweep: whitespace/NULL-text docs must drop in
+    # the non-empty filter exactly like the oracle's trim test
+    "p07_filter_nonempty",
     # round-8: inverted index — empty/NULL/stopword-only docs emit no
     # postings; CJK/unicode terms index like any token; duplicate docs
     # exercise tf > df
@@ -204,6 +207,9 @@ EVENTS_ONLY_QUERIES = [
     # round-7: MAD outliers — the 1e9 value is the outlier the MEAN
     # screen would hide behind its own inflation; 1-row groups → MAD 0
     "a16_mad_outliers",
+    # round-8 coverage sweep: as-of join against duplicate/NULL
+    # timestamps; cube over the NULL-heavy (type, user) grid
+    "j08_asof_join", "g02_cube",
 ]
 
 
@@ -264,6 +270,27 @@ def edge_events_dir(spark, tmp_path_factory):
 @pytest.fixture(scope="module")
 def edge_emb_dir(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("edge_emb")
+    spark.createDataFrame(
+        EDGE_EMBEDDINGS, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+# round-8: s08 fuses a documents-side ranking with an embeddings-side
+# ranking, so it needs BOTH tables in one fixture — the adversarial doc
+# set (NULL/empty/CJK texts) against the adversarial embedding set
+# (zero vector = the anchor, exact duplicates, NULL-free ids).
+HYBRID_QUERIES = ["s08_rrf_fusion"]
+
+
+@pytest.fixture(scope="module")
+def edge_hybrid_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_hybrid")
+    spark.createDataFrame(
+        EDGE_DOCS,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
     spark.createDataFrame(
         EDGE_EMBEDDINGS, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
     ).coalesce(1).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
@@ -546,6 +573,12 @@ TPCH_ONLY_QUERIES = [
     # (bloom probe + semi join both drop it, like the oracle's IN);
     # the tiny dim set exercises a near-empty bloom
     "j13_bloom_semi_join",
+    # round-8 coverage sweep (tools/coverage_report.py never_edge list):
+    # md5 sampling over NULL/dup keys, the two-pass exact median and the
+    # observe() accounting on the adversarial lineitem, ORC roundtrip
+    # of the edge part table
+    "p12_deterministic_sample", "a11_scalable_median",
+    "a12_observed_metrics", "io04_orc_roundtrip",
 ]
 
 
@@ -575,3 +608,8 @@ def test_edge_tpch_match_oracle(spark, edge_tpch_dir, name):
 @pytest.mark.parametrize("name", EMB_ONLY_QUERIES)
 def test_edge_embeddings_match_oracle(spark, edge_emb_dir, name):
     _compare(spark, edge_emb_dir, name, "embeddings")
+
+
+@pytest.mark.parametrize("name", HYBRID_QUERIES)
+def test_edge_hybrid_match_oracle(spark, edge_hybrid_dir, name):
+    _compare(spark, edge_hybrid_dir, name, ["documents", "embeddings"])

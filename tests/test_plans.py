@@ -295,6 +295,20 @@ def test_q11_q15_threshold_broadcast(spark):
         assert "CartesianProduct" not in plan, fn.__name__
 
 
+def test_j13_bloom_probe_is_mapside_and_join_is_semi(spark):
+    """j13: the bloom probe (xxhash64 bit tests) must be a plain Filter
+    fed by the broadcast bloom row — never a shuffle — and the
+    false-positive cleanup must be a genuine LeftSemi hash join."""
+    plan = _plan(relational.j13_bloom_semi_join(spark, SF_DIR))
+    assert "xxhash64" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # the bloom row arrives via broadcast; the probe filter references
+    # the map lookup, which only a broadcast (not an exchange of the
+    # fact side keyed on bloom) can deliver map-side
+    assert "BroadcastExchange" in plan
+
+
 def test_q16_anti_join_and_early_distinct(spark):
     """q16: NOT-IN is a left-anti join, and the (part, supp) bridge
     dedups BEFORE the dim join (HashAggregate below the join)."""

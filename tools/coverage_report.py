@@ -63,12 +63,30 @@ def latest_round() -> int:
     return max(rounds) if rounds else 0
 
 
+def edge_tested() -> set[str]:
+    """Queries replayed on at least one adversarial edge/fuzz corpus
+    (the lists in tests/test_differential_edges.py)."""
+    import re
+
+    names = set()
+    for fname in ("test_differential_edges.py", "test_edge_relational.py"):
+        p = REPO / "tests" / fname
+        if not p.is_file():
+            continue
+        src = p.read_text()
+        for m in re.finditer(r"\"([a-z]+[0-9]+[a-z0-9_]*)\"", src):
+            names.add(m.group(1))
+    return names
+
+
 def report() -> dict:
     from customer_review__etl_spark.plans import all_queries
 
-    names = list(all_queries())
+    specs = all_queries()
+    names = list(specs)
     seen = driver_seen()
     timed = bench_seen()
+    edged = edge_tested()
     cur = latest_round()
 
     never_driver = [n for n in names if n not in seen]
@@ -76,6 +94,13 @@ def report() -> dict:
         n for n in names if n in seen and cur - max(seen[n]) >= 2
     ]
     never_benched = [n for n in names if n not in timed]
+    # informational (not RED): oracle-backed queries with no adversarial
+    # edge/fuzz replay — many are TPC-H-table ops fully covered by the
+    # TPCH edge fixture lists; anything else is a verification gap worth
+    # a look when adding fixtures.
+    never_edge = [
+        n for n in names if specs[n].oracle is not None and n not in edged
+    ]
     return {
         "registry_total": len(names),
         "driver_covered": len(names) - len(never_driver),
@@ -83,6 +108,7 @@ def report() -> dict:
         "never_driver_sampled": never_driver,
         "stale_driver_ge2_rounds": stale_driver,
         "never_benched": never_benched,
+        "never_edge_tested": never_edge,
     }
 
 
@@ -101,6 +127,10 @@ def main() -> int:
         print(f"{key}: {len(vals)} [{flag}]")
         if vals:
             print("  " + " ".join(vals))
+    ne = rep["never_edge_tested"]
+    print(f"never_edge_tested (informational): {len(ne)}")
+    if ne:
+        print("  " + " ".join(ne))
     return 0
 
 

@@ -46,6 +46,12 @@ EXPECTED_BNLJ = {
                                     # class-stats broadcast crosses
     "a15_revenue_concentration",  # ONE-row revenue-total broadcast onto
                                   # the ~40-row log2 bucket spine
+    "j13_bloom_semi_join",  # ONE-row (16 KB bloom bitmap) broadcast cross
+                            # onto the fact scan — the runtime-filter probe
+    "t24_bm25_topk",  # ONE-row (N, S) corpus-totals broadcast cross onto
+                      # the matching postings (the t16 doc-count shape)
+    "s08_rrf_fusion",  # inherits t24's totals cross + the ONE-row anchor
+                       # embedding broadcast cross (the s01 query shape)
 }
 
 
