@@ -47,6 +47,28 @@ _SCHEMA_TEMPLATE = (
 WATERMARK = "1 hour"
 SESSION_GAP = "30 minutes"
 
+# Shuffle width for STREAMING queries only. Every stateful streaming
+# operator materializes one state store PER shuffle partition PER
+# micro-batch (HDFS-backed delta + snapshot files under the
+# checkpoint), so partition count is a state-store-commit multiplier,
+# not just a parallelism knob: st09's two-sided join at the session
+# default of 32 spent 7 of its 9 s in store init/commit (measured
+# 9.1 s → 2.35 s at width 8, sf0.1, identical rows). Sized for the
+# fixture corpus here; on a real cluster set it to track key
+# cardinality / throughput per the usual streaming-state guidance.
+STREAM_SHUFFLE_WIDTH = 8
+
+
+def _stream_session(spark: SparkSession) -> SparkSession:
+    """A cloned session (shared SparkContext/cache, separate conf) with
+    the streaming shuffle width — batch plans in the caller's session
+    keep their own width; every streaming DF built from stream_events
+    inherits this session through its plan."""
+    s = spark.newSession()
+    ensure_confs(s)
+    s.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_WIDTH))
+    return s
+
 
 def stream_events(
     spark: SparkSession, sf_dir: str, single_batch: bool = False
@@ -82,7 +104,9 @@ def stream_events(
     schema = _SCHEMA_TEMPLATE.format(
         ts_type="BIGINT" if ts_is_long else "TIMESTAMP"
     )
-    reader = spark.readStream.schema(schema).format("parquet")
+    reader = (
+        _stream_session(spark).readStream.schema(schema).format("parquet")
+    )
     if single_batch:
         reader = reader.option("maxFilesPerTrigger", 1_000_000)
     if os.path.isdir(path):
