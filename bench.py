@@ -158,6 +158,8 @@ HEADLINE = [
     "t23_inverted_index",
     "t24_bm25_topk",
     "s08_rrf_fusion",
+    "t25_quality_rules",
+    "t26_line_dedup",
     "a09_approx_stats",
     "ml01_lda_themes",
     "ml02_topic_top_words",

@@ -112,12 +112,13 @@ PRIORITY: tuple[str, ...] = (
     #   j12 (join family: no j query is unsampled), d04 (d0 family +
     #   the perf-watched dedup), f01 (function family, stale since r2).
     #   Deliberately deferred to r9: p13/p14 (sampler shapes adjacent
-    #   to p12/p16/p18) and t23 (inverted index, added late in r8 and
-    #   covered by local+edge gates) — after which only the four
-    #   rows-only-by-design entries (t02/ml01/ml02/ml04) remain outside
-    #   driver history. Late r8 swap: j12→j13 (j12 sampled r7; j13 =
-    #   the new bloom-prefiltered semi join, never sampled, keeps the
-    #   join family in the head).
+    #   to p12/p16/p18) and the late-r8 additions t23/t24/t25/t26/s08
+    #   (inverted index, BM25, quality rules, line dedup, RRF fusion —
+    #   each local+edge+empty gated this round) — after which only the
+    #   four rows-only-by-design entries (t02/ml01/ml02/ml04) remain
+    #   outside driver history. Late r8 swap: j12→j13 (j12 sampled r7;
+    #   j13 = the new bloom-prefiltered semi join, never sampled,
+    #   keeps the join family in the head).
     # TPC-H tail — the reference-mandated generalization surface
     "q4_order_priority",
     "q11_important_stock",

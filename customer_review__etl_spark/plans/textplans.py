@@ -1346,6 +1346,165 @@ def _t24_oracle() -> str:
     )
 
 
+def t25_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule-based quality gate — the keep/drop decision
+    a pretraining corpus build applies per document, with PER-RULE
+    verdicts kept alongside the final flag so filter-rate monitoring
+    can attribute drops (t04 scores quality; this one DECIDES, with
+    reasons). Rules: word count in [10, 100000]; mean token length in
+    [2, 12]; symbol ratio < 10 %; ≥ 2 distinct stopwords present.
+
+    All rule inputs are exact integers and every threshold compare is
+    integer cross-multiplied (2·n ≤ Σlen ≤ 12·n instead of a float
+    mean; 10·n_sym < n_chars instead of a ratio), so the row —
+    booleans included — is bit-exact cross-engine. One narrow map, no
+    shuffle; at 100 TB this is a free rider on the ingest scan."""
+    low = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    toks = T.raw_tokens(low)
+    stop_arr = F.array(*[F.lit(s) for s in T.STOPWORDS])
+    base = _docs_par(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda a, x: a + F.length(x).cast("long"),
+        ).alias("sum_wl"),
+        F.length(F.regexp_replace(low, r"[a-z0-9\s]", "")).cast("long")
+        .alias("n_sym"),
+        F.length(low).cast("long").alias("n_chars"),
+        F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    r_count = (F.col("n_words") >= 10) & (F.col("n_words") <= 100000)
+    r_wl = (
+        (F.col("n_words") > 0)
+        & (2 * F.col("n_words") <= F.col("sum_wl"))
+        & (F.col("sum_wl") <= 12 * F.col("n_words"))
+    )
+    r_sym = 10 * F.col("n_sym") < F.col("n_chars")
+    r_stop = F.col("n_stop") >= 2
+    return base.select(
+        "doc_id",
+        "n_words",
+        "sum_wl",
+        "n_sym",
+        "n_stop",
+        r_count.alias("rule_word_count"),
+        r_wl.alias("rule_word_length"),
+        r_sym.alias("rule_symbol_ratio"),
+        r_stop.alias("rule_stopwords"),
+        (r_count & r_wl & r_sym & r_stop).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _t25_oracle() -> str:
+    toks = sql_raw_tokens("lower(text)")
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         len({toks})::BIGINT AS n_words,
+         coalesce(list_sum(list_transform({toks}, _t -> len(_t))), 0)::BIGINT
+           AS sum_wl,
+         length(regexp_replace(lower(coalesce(text, '')),
+                               '[a-z0-9\\s]', '', 'g'))::BIGINT AS n_sym,
+         length(lower(coalesce(text, '')))::BIGINT AS n_chars,
+         len(list_intersect(list_distinct({toks}),
+                            {sql_stopword_array()}))::BIGINT AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_words, sum_wl, n_sym, n_stop,
+       (n_words >= 10 AND n_words <= 100000) AS rule_word_count,
+       (n_words > 0 AND 2 * n_words <= sum_wl AND sum_wl <= 12 * n_words)
+         AS rule_word_length,
+       (10 * n_sym < n_chars) AS rule_symbol_ratio,
+       (n_stop >= 2) AS rule_stopwords,
+       ((n_words >= 10 AND n_words <= 100000)
+        AND (n_words > 0 AND 2 * n_words <= sum_wl
+             AND sum_wl <= 12 * n_words)
+        AND (10 * n_sym < n_chars) AND (n_stop >= 2)) AS keep
+FROM base ORDER BY doc_id
+"""
+
+
+def t26_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style within-document duplicate-line removal: split each doc
+    into lines, keep only the FIRST occurrence of every distinct line
+    (boilerplate headers/footers/cookie banners repeat verbatim), and
+    reassemble in original order — plus kept/dropped accounting for
+    filter-rate monitoring.
+
+    Keep-first is the deterministic window form (row_number over
+    (doc_id, line) ordered by position, rn = 1 — the P3 dedup rule
+    applied intra-document); reassembly sorts the kept (pos, line)
+    structs per doc, so the output text is reproducible. State per
+    group is one doc's lines — bounded by doc length, never corpus
+    size. NULL text ≡ '' (one empty line), so every doc survives with
+    exact accounting."""
+    lines = _docs_par(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), "\n", -1)
+        ).alias("pos", "line"),
+    )
+    w = Window.partitionBy("doc_id", "line").orderBy("pos")
+    kept = lines.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, line))), "
+                "s -> s.line)"
+            ),
+        ).alias("cleaned"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    tot = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    return (
+        agg.join(tot, "doc_id")
+        .select(
+            "doc_id",
+            "cleaned",
+            "n_lines",
+            "n_kept",
+            (F.col("n_lines") - F.col("n_kept")).alias("n_dropped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_T26_SQL = """
+WITH ls AS (
+  SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS a
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, a[g.i] AS line, g.i AS pos
+  FROM ls, UNNEST(generate_series(1, len(a))) AS g(i)
+),
+kept AS (
+  SELECT doc_id, line, pos,
+         row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+  FROM lines
+),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned,
+         count(1)::BIGINT AS n_kept
+  FROM kept WHERE rn = 1 GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(1)::BIGINT AS n_lines FROM lines GROUP BY doc_id)
+SELECT a.doc_id, a.cleaned, t.n_lines, a.n_kept,
+       (t.n_lines - a.n_kept)::BIGINT AS n_dropped
+FROM agg a JOIN tot t ON a.doc_id = t.doc_id
+ORDER BY a.doc_id
+"""
+
+
 _LANGS_SQL = ", ".join(
     f"""len(list_filter({sql_raw_tokens("lower(text)")},
         _t -> list_contains([{", ".join(f"'{m}'" for m in markers)}], _t)))::BIGINT
@@ -1691,4 +1850,6 @@ SPECS = [
     QuerySpec("t22_bpe_encode", t22_bpe_encode, _t22_oracle()),
     QuerySpec("t23_inverted_index", t23_inverted_index, _t23_oracle()),
     QuerySpec("t24_bm25_topk", t24_bm25_topk, _t24_oracle()),
+    QuerySpec("t25_quality_rules", t25_quality_rules, _t25_oracle()),
+    QuerySpec("t26_line_dedup", t26_line_dedup, _T26_SQL),
 ]

@@ -101,6 +101,12 @@ DOCS_ONLY_QUERIES = [
     # query terms; float scores must stay bit-identical through the
     # integer-input division + fixed-order sum on both engines
     "t24_bm25_topk",
+    # round-8: quality rules — NULL/empty/whitespace/CJK docs pin the
+    # zero-token guards in the integer cross-multiplied thresholds
+    "t25_quality_rules",
+    # round-8: line dedup — NULL ≡ '' (one empty line), repeated blank
+    # lines collapse to the first, unicode lines compare exactly
+    "t26_line_dedup",
 ]
 
 

@@ -264,6 +264,73 @@ def test_s08_rrf_ranks_and_scores_consistent(spark):
     assert both > 0
 
 
+def test_t26_line_dedup_is_idempotent_and_accounted(spark, tmp_path):
+    """Dedup of the cleaned text must drop nothing (idempotence), the
+    accounting must tie out, and a doc built of known repeats must keep
+    exactly the first occurrence of each line in original order."""
+    from pyspark.sql import functions as F
+
+    texts = {
+        1: "header\nbody a\nheader\nbody b\nheader",
+        2: "only\n\n\nonly\n",         # blank-line repeats + trailing split
+        3: None,                         # NULL ≡ '' → one empty line
+        4: "unique1\nunique2",
+    }
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t or "")) for i, t in texts.items()],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    rows = {r["doc_id"]: r for r in textplans.t26_line_dedup(spark, d).collect()}
+    assert rows[1]["cleaned"] == "header\nbody a\nbody b"
+    assert (rows[1]["n_lines"], rows[1]["n_kept"], rows[1]["n_dropped"]) == (5, 3, 2)
+    assert rows[2]["cleaned"] == "only\n"          # 'only' + first '' kept
+    assert (rows[2]["n_lines"], rows[2]["n_kept"]) == (5, 2)
+    assert rows[3]["cleaned"] == "" and rows[3]["n_dropped"] == 0
+    assert rows[4]["n_dropped"] == 0 and rows[4]["cleaned"] == "unique1\nunique2"
+
+    # idempotence: run the operator over its own output
+    d2 = str(tmp_path / "docs2")
+    spark.createDataFrame(
+        [(i, rows[i]["cleaned"], "en", "web", len(rows[i]["cleaned"]))
+         for i in texts],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d2}/documents.parquet")
+    again = textplans.t26_line_dedup(spark, d2)
+    assert again.agg(F.sum("n_dropped")).collect()[0][0] == 0
+
+
+def test_t25_rules_fire_on_engineered_docs(spark, tmp_path):
+    """Each rule must fail on a doc engineered to violate exactly it,
+    and a plainly good doc must pass all four."""
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks home with all the other animals in the field today")
+    texts = {
+        1: good,
+        2: "word " * 5,                     # too few words
+        3: ("a " * 300) + good,             # mean token length < 2
+        4: ("!!! ### $$$ %%% " * 20) + good,  # symbol ratio >= 10%
+        5: "zebra quokka xylophone " * 10,  # no stopwords
+    }
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in texts.items()],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {
+        r["doc_id"]: r for r in textplans.t25_quality_rules(spark, d).collect()
+    }
+    assert rows[1]["keep"] is True
+    assert rows[2]["rule_word_count"] is False and rows[2]["keep"] is False
+    assert rows[3]["rule_word_length"] is False and rows[3]["keep"] is False
+    assert rows[4]["rule_symbol_ratio"] is False and rows[4]["keep"] is False
+    assert rows[5]["rule_stopwords"] is False and rows[5]["keep"] is False
+
+
 def test_p19_no_global_single_partition_window(spark):
     """The running sum must stay per-partition: the plan's window spec
     partitions by pid — a bare global Window (empty partitionBy) would
