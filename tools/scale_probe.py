@@ -94,6 +94,7 @@ def _materialize(df) -> None:
 
 def main() -> int:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2:])  # optional subset of probe names
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("scale_probe")
     from customer_review__etl_spark.scratch import run_scratch
@@ -113,6 +114,8 @@ def main() -> int:
         "queries": {},
     }
     for name in PROBE + PROBE_DUP_INFLATED:
+        if only and name not in only:
+            continue
         fn = qs[name].fn
         times = {}
         for label, d in (("base", src), ("big", dst)):
@@ -133,7 +136,8 @@ def main() -> int:
         print(f"{name}: base={times['base']} big={times['big']} "
               f"ratio={ratio}", flush=True)
 
-    (REPO / "SCALE_PROBE.json").write_text(json.dumps(out, indent=1) + "\n")
+    fname = "SCALE_PROBE.json" if mult == 10 else f"SCALE_PROBE_{mult}x.json"
+    (REPO / fname).write_text(json.dumps(out, indent=1) + "\n")
     lin = [v["ratio"] for n, v in out["queries"].items()
            if not v["dup_inflated"] and v["ratio"]]
     print(json.dumps({"mult": mult,
