@@ -160,6 +160,7 @@ HEADLINE = [
     "s08_rrf_fusion",
     "t25_quality_rules",
     "t26_line_dedup",
+    "w12_retention_cohorts",
     "a09_approx_stats",
     "ml01_lda_themes",
     "ml02_topic_top_words",

@@ -1933,6 +1933,68 @@ ORDER BY a.day
 """
 
 
+def w12_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix — the product-analytics staple:
+    users are cohorted by their FIRST active week, and each
+    (cohort_week, week_no) cell counts how many of that cohort were
+    active week_no weeks later, alongside the cohort size (exact
+    integers; the retention ratio is the consumer's one division —
+    emitting ints keeps the row hash-exact).
+
+    Week buckets are date_trunc('week') (Monday-start in both
+    engines); week_no = days-between DIV 7, exact because both
+    endpoints are week-truncated dates. Scale: one distinct over
+    (user, week) — the activity set, tiny relative to raw events —
+    then a per-user min (cohort) and two joins that reuse the user_id
+    partitioning; counts are partial-aggregated. No windows, no
+    per-user state beyond the distinct."""
+    active = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        )
+        .distinct()
+    )
+    cohort = active.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    return (
+        active.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            F.expr("CAST(datediff(wk, cohort_week) DIV 7 AS BIGINT)").alias(
+                "week_no"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_no")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .orderBy("cohort_week", "week_no")
+    )
+
+
+_W12_SQL = """
+WITH a AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+c AS (SELECT user_id, min(wk) AS cohort_week FROM a GROUP BY user_id),
+sz AS (SELECT cohort_week, count(1)::BIGINT AS n_cohort
+       FROM c GROUP BY cohort_week)
+SELECT c.cohort_week,
+       ((a.wk - c.cohort_week) // 7)::BIGINT AS week_no,
+       count(DISTINCT a.user_id)::BIGINT AS n_active,
+       sz.n_cohort
+FROM a JOIN c USING (user_id) JOIN sz USING (cohort_week)
+GROUP BY c.cohort_week, week_no, sz.n_cohort
+ORDER BY cohort_week, week_no
+"""
+
+
 def w11_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC bars — the time-series rollup finance and metrics systems
     run: per (event_type, hour) bucket, the OPENING value (first by
@@ -4288,6 +4350,7 @@ SPECS = [
     QuerySpec("w09_range_frame", w09_range_frame, _W09_SQL),
     QuerySpec("w10_sessionize", w10_sessionize, _W10_SQL),
     QuerySpec("w11_ohlc_bars", w11_ohlc_bars, _W11_SQL),
+    QuerySpec("w12_retention_cohorts", w12_retention_cohorts, _W12_SQL),
     QuerySpec(
         "w08_rolling_median",
         w08_rolling_median,

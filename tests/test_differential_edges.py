@@ -216,6 +216,10 @@ EVENTS_ONLY_QUERIES = [
     # round-8 coverage sweep: as-of join against duplicate/NULL
     # timestamps; cube over the NULL-heavy (type, user) grid
     "j08_asof_join", "g02_cube",
+    # round-8: weekly retention — NULL users/ts drop; single-event
+    # users pin week_no = 0; duplicate (user, week) rows collapse in
+    # the distinct on both engines
+    "w12_retention_cohorts",
 ]
 
 
