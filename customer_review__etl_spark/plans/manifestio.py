@@ -16,6 +16,7 @@ import json
 import os
 import re
 import shutil
+import uuid
 
 
 class CommitConflict(Exception):
@@ -55,7 +56,11 @@ def io15_commit_snapshot(root: str, files: list[str],
     v = expected_version + 1
     os.makedirs(f"{root}/manifests", exist_ok=True)
     path = f"{root}/manifests/v{v}.json"
-    tmp = f"{root}/manifests/.tmp_v{v}_{os.getpid()}_{id(files):x}.json"
+    # uuid4 (not id(files)): id() values are reused after GC, so two
+    # same-pid threads racing the same version could share a tmp path
+    # and publish an interleaved manifest via os.link, breaking the
+    # absent-or-complete invariant. uuid4 is collision-safe per writer.
+    tmp = f"{root}/manifests/.tmp_v{v}_{os.getpid()}_{uuid.uuid4().hex}.json"
     with open(tmp, "w") as fh:
         json.dump({"version": v, "files": files}, fh)
         fh.flush()

@@ -1144,7 +1144,10 @@ def t23_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id) partial-agg shuffle → term-partitioned window + two
     term-keyed aggregates that reuse the same partitioning. Postings
     ship as a CSV string: cross-engine exact, no array-hash
-    dependence."""
+    dependence. The list is sorted NUMERICALLY before the string cast
+    (sort longs, then cast) so the CSV order matches the documented
+    "first cap doc_ids ascending" semantics — string-sorting the casts
+    would put "10" before "2"."""
     tok = _docs_par(spark, sf_dir).select(
         "doc_id", F.explode(T.clean_tokens(F.col("text"))).alias("term")
     )
@@ -1162,7 +1165,10 @@ def t23_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(
             F.array_join(
-                F.array_sort(F.collect_list(F.col("doc_id").cast("string"))),
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
                 ",",
             ).alias("postings")
         )
@@ -1184,8 +1190,9 @@ tp AS (SELECT term, doc_id,
               row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
        FROM pd),
 po AS (SELECT term,
-              array_to_string(list_sort(list(doc_id::VARCHAR)), ',')
-                AS postings
+              array_to_string(
+                list_transform(list_sort(list(doc_id)), d -> d::VARCHAR),
+                ',') AS postings
        FROM tp WHERE rn <= {T23_POSTINGS_CAP} GROUP BY term)
 SELECT st.term, st.df, st.tf, po.postings
 FROM st JOIN po USING (term)
