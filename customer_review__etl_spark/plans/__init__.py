@@ -119,63 +119,80 @@ PRIORITY: tuple[str, ...] = (
     #   outside driver history. Late r8 swap: j12→j13 (j12 sampled r7;
     #   j13 = the new bloom-prefiltered semi join, never sampled,
     #   keeps the join family in the head).
-    # TPC-H tail — the reference-mandated generalization surface
-    "q4_order_priority",
-    "q11_important_stock",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q18_large_orders",
-    "q20_potential_promotion",
-    "q21_waiting_supplier",
-    "q22_idle_customers",
-    # LLM-pipeline: packing (new), dedup/decontam, text analysis
-    "p19_sequence_pack",
-    "dc03_verbatim_decontaminate",
-    "d04_ngram_jaccard",
-    "t20_novelty_ratio",
-    "t22_bpe_encode",
-    "t06_fingerprint",
-    "t07_positional_hash",
-    "t09_pii_scrub",
-    "t10_repetition_score",
-    "t12_vocab_coverage",
-    "t17_reading_ease",
-    # samplers / aggregates / windows
-    "p12_deterministic_sample",
-    "p16_scalable_ordinal",
-    "a14_running_distinct",
-    "a15_revenue_concentration",
-    "a16_mad_outliers",
-    "w08_rolling_median",
-    "w09_range_frame",
-    "w11_ohlc_bars",
-    "j13_bloom_semi_join",
-    "f01_string_date_math",
-    # python-surface shapes
-    "u04_sentence_udtf",
-    "u06_ewma_partitioned",
-    "u07_arrow_batch_clip",
-    # similarity / graph
-    "s07_multiprobe_ann",
-    "gr03_khop_reachability",
-    "gr04_item_similarity",
-    "gr05_connected_components",
-    # streaming / ML / multimodal
-    "st10_keyed_upsert",
-    "st12_stream_quarantine",
-    "ml08_linreg",
-    "ml09_knn_label",
-    "ml10_classifier_gate",
-    "ml12_hashed_features",
-    "mm04_blob_chunks",
-    # IO formats / maintenance
-    "io03_jsonl_roundtrip",
-    "io04_orc_roundtrip",
-    "io07_compaction",
-    "io08_dynamic_partition_overwrite",
-    "io12_nested_projection",
-    "io16_quarantine_write",
+    #   r9 (wholesale stale-veteran rotation, round-8 VERDICT asks #1
+    #   and #7): every r8-head entry earned its driver row, so the
+    #   head flips to (a) the final 8 never-driver-sampled
+    #   oracle-backed queries — after this round ALL 188 oracle-backed
+    #   queries have driver history; (b) the two new round-9 operators
+    #   d08 (cross-doc repeated substrings) + pl03 (retrieval-corpus
+    #   pipeline); (c) 40 stale veterans, OLDEST-FIRST: all 35 entries
+    #   last sampled in r2/r3, plus the family representatives the
+    #   r2/r3 cohort lacks (u01/t04 from r4, mm03 from r5, ml03 from
+    #   r6, io02 from r4). The 50-slot arithmetic leaves five r4
+    #   veterans out (d03/q12/s04/st08/w01, staleness 4 → 5 next
+    #   round); the tripwire's hard gate (coverage_report
+    #   "overdue_hard": staleness ≥ 5 AND not head-scheduled) will
+    #   FAIL pytest at round-10 start until they rotate in — the
+    #   forcing function round-8 VERDICT ask #7 requested (threshold 5
+    #   not 4: a 50-slot head cannot hold 8 never-sampled + all 43
+    #   entries at staleness ≥ 4 = 51 slots; 5 is the tightest
+    #   satisfiable bound and still forces next-round rotation).
+    # never-driver-sampled backlog (round-8 VERDICT ask #1) — closes
+    # driver coverage at 188/188 oracle-backed
+    "p13_group_quota_sample",
+    "p14_weighted_mix",
+    "w12_retention_cohorts",
+    "t23_inverted_index",
+    "t24_bm25_topk",
+    "t25_quality_rules",
+    "t26_line_dedup",
+    "s08_rrf_fusion",
+    # new round-9 operators
+    "d08_repeated_substrings",
+    "pl03_retrieval_corpus",
+    # stale veterans, oldest-first: the full r2 cohort
+    "a02_count_distinct",
+    "a03_null_counts",
+    "a04_row_count",
+    "a05_distinct_sort",
+    "a07_summary_stats",
+    "a09_approx_stats",
+    "f02_array_funcs",
+    "g01_rollup",
+    "g02_cube",
+    "g03_grouping_sets",
+    "j03_left_semi",
+    "j04_left_anti",
+    "j05_full_outer",
+    "j07_right_outer",
+    "p05_lowercase_rename",
+    "p06_ordinal",
+    "p07_filter_nonempty",
+    "p08_filter_eq",
+    "p09_select",
+    "p10_limit_topk",
+    "p11_derived_json",
+    "q10_returned_items",
+    "q19_disjunctive_pred",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "set01_union_all",
+    "set02_intersect",
+    "set03_except_all",
+    "w02_lag_lead",
+    "w06_moving_avg",
+    # the full r3 cohort
+    "j06_theta_range",
+    "p02_drop_columns",
+    "st02_sliding_window",
+    "w04_rank_dense",
+    # family representatives the r2/r3 cohort lacks (oldest available)
+    "u01_grouped_minmax",
+    "t04_quality_scores",
+    "io02_parquet_roundtrip",
+    "mm03_frame_sample",
+    "ml03_train_test_split",
 )
 
 
@@ -220,6 +237,29 @@ def build_registry() -> dict[str, QuerySpec]:
         if name not in registry:
             registry[name] = spec
     return registry
+
+
+def shared_intermediates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every cross-query run-scratch materialization, by kind label —
+    the warm set bench.py's `scratch_build` row pays up front (and
+    times PER KIND, round-8 VERDICT ask #4). Each callable forces the
+    parquet landing on first touch and returns the lazy scan.
+
+    Dependency note: "d02_pairs" consumes "shingles" inside its
+    builder, so bench builds "shingles" first and may run the rest
+    concurrently (independent Spark jobs from separate threads)."""
+    from . import dedupplans, graphplans, mlplans, simplans
+
+    return {
+        "shingles": dedupplans.shingles_m,            # d02 builder + dc02
+        "d02_pairs": dedupplans.d02_pairs_m,          # d05, d06
+        "d03_pairs": dedupplans.d03_pairs_m,          # d06
+        "d04_pairs": dedupplans.d04_pairs_m,          # d06
+        "s03_pairs": simplans.s03_pairs_m,            # s05
+        "s02_knn": mlplans.s02_knn_pairs_m,           # ml09
+        "copurchase": graphplans._copurchase_edges,   # gr01, gr02
+        "copurchase_thresholded": graphplans._copurchase_thresholded_m,  # gr05
+    }
 
 
 _REGISTRY: dict[str, QuerySpec] | None = None

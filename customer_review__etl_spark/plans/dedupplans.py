@@ -80,6 +80,8 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fixtures); a long-lived service mutating data in place would need an
 # explicit invalidation hook.
 _EDGE_CACHE: dict[tuple[str, str], tuple[str, object]] = {}
+_EDGE_LOCKS: dict[tuple[str, str], object] = {}
+_EDGE_LOCKS_GUARD = __import__("threading").Lock()
 
 
 def materialized_df(spark, sf_dir, kind, builder, cols):
@@ -87,15 +89,27 @@ def materialized_df(spark, sf_dir, kind, builder, cols):
     once-per-process parquet materialization.
 
     The explicit-schema read keeps the result well-defined even when
-    the result set is empty (zero part files)."""
+    the result set is empty (zero part files).
+
+    Thread-safe via one lock PER KIND (not a global lock): bench.py
+    builds all warm kinds concurrently (Spark schedules jobs from many
+    threads), and d02's builder itself calls shingles_m — per-key
+    locking lets the d02 thread block on exactly the shingles landing
+    while unrelated kinds keep building, with no duplicated work."""
+    import threading
+
     key = (kind, sf_dir)
     if key not in _EDGE_CACHE:
-        from ..scratch import run_scratch
+        with _EDGE_LOCKS_GUARD:
+            lock = _EDGE_LOCKS.setdefault(key, threading.Lock())
+        with lock:
+            if key not in _EDGE_CACHE:
+                from ..scratch import run_scratch
 
-        out = run_scratch(f"edges_{kind}_")
-        df = builder(spark, sf_dir).select(*cols)
-        df.write.mode("overwrite").parquet(out)
-        _EDGE_CACHE[key] = (out, df.schema)
+                out = run_scratch(f"edges_{kind}_")
+                df = builder(spark, sf_dir).select(*cols)
+                df.write.mode("overwrite").parquet(out)
+                _EDGE_CACHE[key] = (out, df.schema)
     path, schema = _EDGE_CACHE[key]
     return spark.read.schema(schema).parquet(path)
 
@@ -824,6 +838,29 @@ ORDER BY doc_a, doc_b
 """
 
 
+def d02_pairs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized d02 MinHash near-dup pair set — one mining pass
+    per process per corpus, shared by d05 + d06 (and timed as its own
+    scratch_build intermediate in bench.py)."""
+    return materialized_df(
+        spark, sf_dir, "d02", d02_minhash_near_dup, ["doc_a", "doc_b"]
+    )
+
+
+def d03_pairs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized d03 SimHash pair set (consumer: d06 + its reps)."""
+    return materialized_df(
+        spark, sf_dir, "d03", d03_simhash_near_dup, ["doc_a", "doc_b"]
+    )
+
+
+def d04_pairs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized d04 n-gram Jaccard pair set (consumer: d06)."""
+    return materialized_df(
+        spark, sf_dir, "d04", d04_ngram_jaccard, ["doc_a", "doc_b"]
+    )
+
+
 def d05_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collapse d02's near-dup PAIRS into clusters and pick each
     cluster's keep-first survivor — the step that turns pair mining
@@ -834,9 +871,9 @@ def d05_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster representative (lowest doc_id in its connected component;
     singletons map to themselves) and a survivor flag. Downstream, a
     semi-join on survivor=1 IS the deduplicated corpus."""
-    pairs = materialized_df(
-        spark, sf_dir, "d02", d02_minhash_near_dup, ["doc_a", "doc_b"]
-    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    pairs = d02_pairs_m(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
     labels = connected_components(pairs)
     docs = _docs(spark, sf_dir).select("doc_id")
     return (
@@ -867,10 +904,9 @@ def d06_unified_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     between them until the tiny edge-list union); edges are (long,
     long) pairs — document bodies never reach the CC join. CC cost is
     bounded by the pointer-jumping loop (O(log diameter) rounds)."""
-    cols = ["doc_a", "doc_b"]
-    e2 = materialized_df(spark, sf_dir, "d02", d02_minhash_near_dup, cols)
-    e3 = materialized_df(spark, sf_dir, "d03", d03_simhash_near_dup, cols)
-    e4 = materialized_df(spark, sf_dir, "d04", d04_ngram_jaccard, cols)
+    e2 = d02_pairs_m(spark, sf_dir)
+    e3 = d03_pairs_m(spark, sf_dir)
+    e4 = d04_pairs_m(spark, sf_dir)
     edges = (
         e2.union(e3)
         .union(e4)
@@ -1343,6 +1379,115 @@ FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
 WHERE NOT is_eval
 """
 
+# --------------------------------------------------------------------------
+# d08: cross-document repeated-substring dedup (winnowed anchors)
+# --------------------------------------------------------------------------
+
+D08_SUBSTR_LEN = 40  # minimum repeated-substring length L (chars)
+D08_WINDOW = 8       # winnowing window w (consecutive k-grams)
+D08_GRAM = D08_SUBSTR_LEN - D08_WINDOW + 1  # k: anchor gram width
+
+
+def d08_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring dedup — the corpus-level
+    signal t26 (within-doc line dedup) cannot see: every pair of
+    documents sharing an exact substring of ≥ D08_SUBSTR_LEN chars,
+    the suffix-array/winnowing dedup family of the training-data
+    literature (a ≥L common run is boilerplate, license text, or a
+    verbatim quote — removal candidates all). "Common substring ≥ L"
+    is EXACTLY "the L-gram sets intersect" (any ≥L run contains its
+    own L-prefix), which is what the oracle computes by brute force.
+
+    Candidate generation is winnowing (Schleimer et al., SIGMOD'03)
+    made deterministic: per doc, hash every k-gram (k = L - w + 1)
+    with xxhash64, take the minimum hash of each window of w
+    CONSECUTIVE gram positions, and keep the distinct window-minima as
+    the doc's anchors. Completeness: a shared substring of length
+    ≥ L = k + w - 1 spans ≥ w consecutive k-grams identical in both
+    docs, so one full window lies inside the shared run in each — and
+    the min of the same w hashes is the same value, hence a shared
+    anchor (min-by-value has no position/tie dependence). No DF cap:
+    unlike d04's recall-floor trade this stays complete; a hot anchor
+    (shared boilerplate) fans out quadratically, but those pairs are
+    TRUE OUTPUT rows (every pair sharing the run belongs in the
+    result) — at 100 TB you collapse this pair stream with d05's
+    connected components rather than enumerate it, and the anchor
+    stream itself is ~2/(w+1) of the gram stream (8-byte keys), never
+    document bodies.
+
+    Verification is exact and JVM-side: candidate pairs join their
+    bodies once and `arrays_overlap` on the REAL L-gram string arrays
+    (built per pair, O(len) each, hash-set probe) — xxhash64
+    collisions in the anchor stage can only add candidates, never
+    results. Verify joins are on pairs, so bodies shuffle only for
+    candidates, mirroring d04's candidate-only exact-verify shape."""
+    L, w, k = D08_SUBSTR_LEN, D08_WINDOW, D08_GRAM
+    base = (
+        _docs_par(spark, sf_dir)
+        .filter(F.length("text") >= L)
+        .select("doc_id", "text")
+    )
+    # hs: xxhash64 of each k-gram; anchors: distinct rolling-window
+    # minima. The trailing empty-slice rand() no-op marks the anchor
+    # expression nondeterministic so InferFiltersFromGenerate's
+    # size()-filter keeps referencing the ATTRIBUTE instead of cloning
+    # the whole O(n·w) scan below the exchange (the t19/d04 lesson).
+    anchors_expr = (
+        f"concat(array_distinct(transform("
+        f"sequence(1, length(text) - {L} + 1), "
+        f"j -> array_min(transform(sequence(j, j + {w} - 1), "
+        f"i -> xxhash64(substr(text, i, {k})))))), "
+        f"slice(array(cast(rand(42) AS bigint)), 1, 0))"
+    )
+    doc_anchors = base.select(
+        "doc_id", F.explode(F.expr(anchors_expr)).alias("anchor")
+    )
+    cand = (
+        doc_anchors.alias("a")
+        .join(
+            doc_anchors.alias("b"),
+            (F.col("a.anchor") == F.col("b.anchor"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    grams = f"transform(sequence(1, length(text) - {L} + 1), i -> substr(text, i, {L}))"
+    bodies_a = base.select(
+        F.col("doc_id").alias("doc_a"), F.expr(grams).alias("ga")
+    )
+    bodies_b = base.select(
+        F.col("doc_id").alias("doc_b"), F.expr(grams).alias("gb")
+    )
+    return (
+        cand.join(bodies_a, "doc_a")
+        .join(bodies_b, "doc_b")
+        .filter(F.arrays_overlap("ga", "gb"))
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_D08_SQL = f"""
+WITH g AS (
+  SELECT doc_id, _u.g
+  FROM (SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, length(text) - {D08_SUBSTR_LEN} + 2),
+                 i -> substr(text, i, {D08_SUBSTR_LEN}))) AS gs
+        FROM documents WHERE length(text) >= {D08_SUBSTR_LEN}),
+       UNNEST(gs) AS _u(g)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY doc_a, doc_b
+"""
+
+
 SPECS = [
     QuerySpec(
         "d01_exact_dedup",
@@ -1359,6 +1504,7 @@ SPECS = [
     QuerySpec("d03_simhash_near_dup", d03_simhash_near_dup, _D03_SQL),
     QuerySpec("d04_ngram_jaccard", d04_ngram_jaccard, _D04_SQL),
     QuerySpec("d07_containment_pairs", d07_containment_pairs, _D07_SQL),
+    QuerySpec("d08_repeated_substrings", d08_repeated_substrings, _D08_SQL),
     QuerySpec("d05_neardup_clusters", d05_neardup_clusters, _D05_SQL),
     QuerySpec("d06_unified_clusters", d06_unified_clusters, _D06_SQL),
     QuerySpec("dc01_decontaminate", dc01_decontaminate, _DC01_SQL),

@@ -79,6 +79,45 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_thresholded_build(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = (
+        tables.load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey").isNotNull())
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= GR05_MIN_ORDERS)
+        .select("src", "dst")
+    )
+
+
+def _copurchase_thresholded_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gr05's thresholded co-purchase edge list, landed once per
+    process per corpus — every CC round re-joins against it."""
+    from .dedupplans import materialized_df
+
+    return materialized_df(
+        spark,
+        sf_dir,
+        "copurchase_thresholded",
+        _copurchase_thresholded_build,
+        ["src", "dst"],
+    )
+
+
 def gr01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point PageRank (3 iterations, damping 0.85) over the
     co-purchase graph; returns every node with its integer rank.
@@ -477,35 +516,11 @@ def gr05_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     round (dedupplans.connected_components). Isolated parts (no
     surviving edge) are excluded by definition — a component of one
     is not a co-purchase cluster."""
-    from .dedupplans import connected_components, materialized_df
-
-    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
-        li = (
-            tables.load(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_partkey")
-            .filter(F.col("l_partkey").isNotNull())
-            .distinct()
-        )
-        a = li.select(
-            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
-        )
-        b = li.select(
-            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
-        )
-        return (
-            a.join(b, "ok")
-            .filter(F.col("src") < F.col("dst"))
-            .groupBy("src", "dst")
-            .agg(F.count(F.lit(1)).alias("n_orders"))
-            .filter(F.col("n_orders") >= GR05_MIN_ORDERS)
-            .select("src", "dst")
-        )
+    from .dedupplans import connected_components
 
     # land the thresholded edge list once per process (the
     # _copurchase_edges move): every CC round re-joins against it
-    edges = materialized_df(
-        spark, sf_dir, "copurchase_thresholded", build, ["src", "dst"]
-    )
+    edges = _copurchase_thresholded_m(spark, sf_dir)
     return (
         connected_components(edges)
         .select(

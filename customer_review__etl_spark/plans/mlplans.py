@@ -46,16 +46,38 @@ def ml03_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rf_label_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared (label, prediction) test-set scoring of the RF
+    classifier — ONE 100-tree fit per process per corpus (round-8
+    VERDICT "What's wrong" #4: ml04 and ml10 each re-trained the same
+    RandomForestClassifier(seed=42), 17.3 s combined in the bench).
+    The fitted model's test predictions land in run-scratch parquet via
+    the materialized_df pattern; both consumers read the lazy file
+    scan. Only the two columns the consumers aggregate are kept — the
+    vector columns (features/rawPrediction/probability) never leave
+    the fitting process. At cluster scale this is "score once, persist
+    the prediction table" — the standard ML-pipeline shape."""
+    from .dedupplans import materialized_df
+
+    def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        toks = P.stratified_split(
+            P.with_tokens(_docs(spark, sf_dir)), "doc_id", "lang"
+        )
+        _, predictions, _ = P.fit_classifier(toks)
+        return predictions.select("label", "prediction")
+
+    return materialized_df(
+        spark, sf_dir, "rf_predictions", _build, ["label", "prediction"]
+    )
+
+
 def ml04_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7-M9: unigram TF-IDF → RF(100 trees, seed=42) on the STRATIFIED
     deterministic split (reference parity: cleaner.py:246-248 passes
     stratify=y to train_test_split), predicting `lang`; exact-count
-    accuracy + weighted F1."""
-    toks = P.stratified_split(
-        P.with_tokens(_docs(spark, sf_dir)), "doc_id", "lang"
-    )
-    _, predictions, _ = P.fit_classifier(toks)
-    return P.classification_metrics(predictions)
+    accuracy + weighted F1. The fit is shared with ml10 via
+    _rf_label_prediction — metrics only consume (label, prediction)."""
+    return P.classification_metrics(_rf_label_prediction(spark, sf_dir))
 
 
 def ml05_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,7 +657,7 @@ def ml10_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_test BIGINT, n_majority BIGINT, covered_all_test BOOLEAN, "
             "beats_majority BOOLEAN",
         )
-    _, predictions, _ = P.fit_classifier(toks)
+    predictions = _rf_label_prediction(spark, sf_dir)
     n_major = (
         toks.filter(F.col("split") == "test")
         .groupBy("lang")
@@ -682,6 +704,22 @@ FROM t
 """
 
 
+def _s02_knn_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .simplans import s02_ann_lsh
+
+    return s02_ann_lsh(spark, sf_dir).select("q_id", "n_id")
+
+
+def s02_knn_pairs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized s02 (q_id, n_id) kNN candidate set (consumer:
+    ml09's vote + its reps)."""
+    from .dedupplans import materialized_df
+
+    return materialized_df(
+        spark, sf_dir, "s02_knn", _s02_knn_build, ["q_id", "n_id"]
+    )
+
+
 def ml09_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label prediction over ANN candidates — the weak-supervision
     / label-propagation primitive (label unlabeled items by majority
@@ -701,19 +739,10 @@ def ml09_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     query — and a window over ≤ k rows per partition."""
     from pyspark.sql.window import Window
 
-    from .dedupplans import materialized_df
-    from .simplans import s02_ann_lsh
-
     # the (q_id, n_id) neighbor set is a tiny pair table consumed by
     # both the s02 registry entry and this vote — materialize it once
     # per process per corpus (the shared-intermediate pattern)
-    knn = materialized_df(
-        spark,
-        sf_dir,
-        "s02_knn",
-        lambda sp, sd: s02_ann_lsh(sp, sd).select("q_id", "n_id"),
-        ["q_id", "n_id"],
-    )
+    knn = s02_knn_pairs_m(spark, sf_dir)
     emb = tables.load(spark, sf_dir, "embeddings").select("vec_id", "label")
     votes = (
         knn.join(

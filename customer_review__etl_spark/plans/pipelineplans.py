@@ -251,9 +251,247 @@ ORDER BY doc_id
 """
 
 
+PL03_QUERIES = 3   # size of the query set answered in one pass
+PL03_QTERMS = 2    # terms per lexical query (fixed-order exact sum)
+PL03_POOL = 50     # per-retriever per-query candidate pool
+PL03_TOPK = 10     # fused answers returned per query
+
+
+def pl03_retrieval_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG-corpus build + query answering — the retrieval
+    twin of pl01's training-data chain, composing the engine's whole
+    retrieval stack in ONE declarative plan (round-8 VERDICT ask #2;
+    reference anchor: the dashboard's interactive query loop,
+    dashboard.py:21-46, generalized to corpus scale):
+
+    1. CHUNK the corpus — t18's sliding token windows (CHUNK_WIN /
+       CHUNK_STRIDE), the passage granularity retrieval actually
+       indexes;
+    2. LEXICAL leg — t24's integer-exact BM25 (k1 = 1.2, b = 0.75;
+       idf = floor-log2 bit length, rationals multiplied through, one
+       exact-input division per term) scored per CHUNK for a
+       deterministic 3-query set (the 2·3 highest-chunk-df terms,
+       df DESC / term ASC; query i gets ranks i and i+3), then
+       doc score = MAX over its chunks' bm25 — MaxP passage retrieval
+       (Dai & Callan 2019), exact under doubles since max never sums;
+    3. SEMANTIC leg — s01's cosine machinery per query against anchor
+       embeddings vec_id = query_id − 1 (norms folded once at scan);
+    4. FUSE — s08's reciprocal-rank fusion per query over the two
+       tie-broken top-PL03_POOL pools, top-PL03_TOPK answers each.
+
+    Output: (query_id, rank, doc_id, r_lex, r_sem, rrf) — the answer
+    table a query loop would page through, ordered by (query, rank).
+
+    Scale: chunking is a narrow map (no shuffle); BM25 stats ride one
+    (term, chunk) partial-agg shuffle; the 6-row query-term table and
+    3-row anchor table broadcast; every per-query ranking is a
+    row_number window FILTERED to a constant (rn ≤ POOL/TOPK), which
+    Spark 4's InferWindowGroupLimit executes as partial per-partition
+    top-k BEFORE the shuffle — no global per-query sort materializes;
+    the fusion join sees O(QUERIES · POOL) rows regardless of corpus
+    size. Exactness: every double is either a single division of
+    exact integers, a max, or a fixed-order 2-term sum — bit-identical
+    in DuckDB (the t24/s08 devices)."""
+    from .simplans import RRF_K, _emb
+    from .textplans import CHUNK_STRIDE, CHUNK_WIN
+    from ..functions.vectors import cosine_from_norms
+
+    w, st, nq, nt = CHUNK_WIN, CHUNK_STRIDE, PL03_QUERIES, PL03_QTERMS
+    toks = T.raw_tokens(F.lower(F.col("text")))
+    base = tables.load_parallel(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("toks")
+    )
+    chunks_expr = F.expr(
+        f"CASE WHEN size(toks) = 0 THEN CAST(array() AS array<array<string>>)"
+        f" ELSE transform("
+        f"sequence(1, 1 + CAST(ceil(greatest(size(toks) - {w}, 0) / {st}.0)"
+        f" AS INT)), i -> slice(toks, (i - 1) * {st} + 1, {w})) END"
+    )
+    chunk_rows = base.select(
+        "doc_id", F.posexplode(chunks_expr).alias("pos", "ctoks")
+    ).select(
+        "doc_id", (F.col("pos") + 1).cast("long").alias("chunk_id"), "ctoks"
+    )
+    tf = (
+        chunk_rows.select(
+            "doc_id", "chunk_id", F.explode("ctoks").alias("term")
+        )
+        .groupBy("doc_id", "chunk_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dl = chunk_rows.select(
+        "doc_id", "chunk_id", F.size("ctoks").cast("long").alias("dl")
+    )
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("dl").cast("long").alias("s_tokens"),
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qterms = (
+        dft.orderBy(F.desc("df"), "term")
+        .limit(nq * nt)
+        .withColumn(
+            "qrank", F.row_number().over(Window.orderBy(F.desc("df"), "term"))
+        )
+        .select(
+            "term",
+            "df",
+            ((F.col("qrank") - 1) % nq + 1).cast("long").alias("query_id"),
+            (F.floor((F.col("qrank") - 1) / nq) + 1).cast("long").alias("tord"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, ["doc_id", "chunk_id"])
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "query_id",
+            "tord",
+            "doc_id",
+            "chunk_id",
+            (
+                (F.length(F.expr("bin(1 + n_chunks DIV df)")) - F.lit(1))
+                .cast("long")
+                * 44 * F.col("s_tokens") * F.col("tf")
+            ).cast("double").alias("num"),
+            (
+                20 * F.col("s_tokens") * F.col("tf")
+                + 6 * F.col("s_tokens")
+                + 18 * F.col("n_chunks") * F.col("dl")
+            ).cast("double").alias("den"),
+        )
+        .withColumn("partial", F.col("num") / F.col("den"))
+    )
+    zero = F.lit(0.0)
+    bm = scored.groupBy("query_id", "doc_id", "chunk_id").agg(
+        (
+            F.coalesce(F.max(F.when(F.col("tord") == 1, F.col("partial"))), zero)
+            + F.coalesce(F.max(F.when(F.col("tord") == 2, F.col("partial"))), zero)
+        ).alias("bm25")
+    )
+    maxp = bm.groupBy("query_id", "doc_id").agg(F.max("bm25").alias("lex_score"))
+    wlex = Window.partitionBy("query_id").orderBy(F.desc("lex_score"), "doc_id")
+    lex_pool = (
+        maxp.withColumn("rn", F.row_number().over(wlex))
+        .filter(F.col("rn") <= PL03_POOL)
+        .select("query_id", "doc_id", F.col("rn").cast("long").alias("r_lex"))
+    )
+    emb = _emb(spark, sf_dir).filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    anchors = emb.filter(F.col("vec_id") < nq).select(
+        (F.col("vec_id") + 1).cast("long").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    semsc = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("query_id") - 1)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            cosine_from_norms(
+                F.col("q_emb"), F.col("embedding"),
+                F.col("q_nrm"), F.col("nrm"),
+            ).alias("cos"),
+        )
+    )
+    wsem = Window.partitionBy("query_id").orderBy(F.desc("cos"), "doc_id")
+    sem_pool = (
+        semsc.withColumn("rn", F.row_number().over(wsem))
+        .filter(F.col("rn") <= PL03_POOL)
+        .select("query_id", "doc_id", F.col("rn").cast("long").alias("r_sem"))
+    )
+    fused = lex_pool.join(sem_pool, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "r_lex",
+        "r_sem",
+        (
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_lex")), zero)
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_sem")), zero)
+        ).alias("rrf"),
+    )
+    wtop = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= PL03_TOPK)
+        .select(
+            "query_id", F.col("rank").cast("long").alias("rank"),
+            "doc_id", "r_lex", "r_sem", "rrf",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _pl03_sql() -> str:
+    from .simplans import RRF_K, _cos
+    from .textplans import CHUNK_STRIDE, CHUNK_WIN
+
+    w, st, nq, nt = CHUNK_WIN, CHUNK_STRIDE, PL03_QUERIES, PL03_QTERMS
+    return f"""
+WITH b AS (SELECT doc_id, {sql_raw_tokens("lower(text)")} AS toks
+           FROM documents),
+ch AS (SELECT doc_id, i::BIGINT AS chunk_id,
+              list_slice(toks, (i - 1) * {st} + 1,
+                         (i - 1) * {st} + {w}) AS ctoks
+       FROM b, UNNEST(range(1, 2 + CAST(ceil(
+                 greatest(len(toks) - {w}, 0) / {st}.0) AS INT))) AS u(i)
+       WHERE len(toks) > 0),
+tf AS (SELECT doc_id, chunk_id, _u.term, count(1)::BIGINT AS tf
+       FROM ch, UNNEST(ctoks) AS _u(term) GROUP BY 1, 2, 3),
+dl AS (SELECT doc_id, chunk_id, len(ctoks)::BIGINT AS dl FROM ch),
+corpus AS (SELECT count(1)::BIGINT AS n_chunks, sum(dl)::BIGINT AS s_tokens
+           FROM dl),
+dft AS (SELECT term, count(1)::BIGINT AS df FROM tf GROUP BY term),
+qt AS (SELECT term, ((qrank - 1) % {nq} + 1)::BIGINT AS query_id,
+              ((qrank - 1) // {nq} + 1)::BIGINT AS tord, df
+       FROM (SELECT term, df,
+                    row_number() OVER (ORDER BY df DESC, term) AS qrank
+             FROM dft ORDER BY df DESC, term LIMIT {nq * nt})),
+sc AS (SELECT qt.query_id, qt.tord, tf.doc_id, tf.chunk_id,
+              ((length(bin(1 + n_chunks // qt.df)) - 1)::BIGINT
+               * 44 * s_tokens * tf.tf)::DOUBLE
+              / (20 * s_tokens * tf.tf + 6 * s_tokens
+                 + 18 * n_chunks * dl.dl)::DOUBLE AS partial
+       FROM tf JOIN qt USING (term) JOIN dl USING (doc_id, chunk_id), corpus),
+bm AS (SELECT query_id, doc_id, chunk_id,
+              coalesce(max(CASE WHEN tord = 1 THEN partial END), 0.0)
+              + coalesce(max(CASE WHEN tord = 2 THEN partial END), 0.0)
+                AS bm25
+       FROM sc GROUP BY 1, 2, 3),
+maxp AS (SELECT query_id, doc_id, max(bm25) AS lex_score
+         FROM bm GROUP BY 1, 2),
+lex_pool AS (SELECT query_id, doc_id, rn::BIGINT AS r_lex FROM
+  (SELECT query_id, doc_id, row_number() OVER (
+     PARTITION BY query_id ORDER BY lex_score DESC, doc_id) AS rn
+   FROM maxp) WHERE rn <= {PL03_POOL}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+anch AS (SELECT (vec_id + 1)::BIGINT AS query_id, v AS q FROM e
+         WHERE vec_id < {nq}),
+semsc AS (SELECT a.query_id, e.vec_id AS doc_id, {_cos('a.q', 'e.v')} AS cos
+          FROM e, anch a WHERE e.vec_id <> a.query_id - 1),
+sem_pool AS (SELECT query_id, doc_id, rn::BIGINT AS r_sem FROM
+  (SELECT query_id, doc_id, row_number() OVER (
+     PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rn
+   FROM semsc) WHERE rn <= {PL03_POOL}),
+fused AS (SELECT query_id, doc_id, r_lex, r_sem,
+                 coalesce(1.0::DOUBLE / ({RRF_K} + r_lex), 0.0)
+                 + coalesce(1.0::DOUBLE / ({RRF_K} + r_sem), 0.0) AS rrf
+          FROM lex_pool FULL OUTER JOIN sem_pool USING (query_id, doc_id))
+SELECT query_id, rank::BIGINT AS rank, doc_id, r_lex, r_sem, rrf FROM
+  (SELECT *, row_number() OVER (
+     PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+   FROM fused) WHERE rank <= {PL03_TOPK}
+ORDER BY query_id, rank
+"""
+
+
 SPECS = [
     QuerySpec("pl01_training_pipeline", pl01_training_pipeline, _PL01_SQL),
     QuerySpec(
         "pl02_incremental_refresh", pl02_incremental_refresh, _PL02_SQL
     ),
+    QuerySpec("pl03_retrieval_corpus", pl03_retrieval_corpus, _pl03_sql()),
 ]

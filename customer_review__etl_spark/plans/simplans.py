@@ -303,6 +303,16 @@ def s04_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s03_pairs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized s03 embedding near-dup pair set — one banded-LSH
+    mining pass per process per corpus (consumer: s05 + its reps)."""
+    from .dedupplans import materialized_df
+
+    return materialized_df(
+        spark, sf_dir, "s03", s03_embedding_neardup, ["vec_a", "vec_b"]
+    )
+
+
 def s05_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style SEMANTIC dedup decision: collapse the s03
     embedding near-dup pairs into connected components and keep the
@@ -316,11 +326,11 @@ def s05_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banded-LSH candidate join, components via min-label
     propagation with pointer jumping (O(log diameter) rounds), output
     is a left join of the full collection against the label map."""
-    from .dedupplans import connected_components, materialized_df
+    from .dedupplans import connected_components
 
-    pairs = materialized_df(
-        spark, sf_dir, "s03", s03_embedding_neardup, ["vec_a", "vec_b"]
-    ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    pairs = s03_pairs_m(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
     labels = connected_components(pairs)
     vecs = _emb(spark, sf_dir).select("vec_id")
     return (

@@ -74,6 +74,12 @@ def get_spark(app_name: str = "customer-review-etl-spark") -> SparkSession:
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # FAIR job scheduling: bench.py's scratch warm-up (and any
+        # caller building independent intermediates from threads) runs
+        # concurrent jobs; FAIR round-robins task slots between them so
+        # a long job cannot starve the rest (with a single job at a
+        # time this is indistinguishable from FIFO).
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
     )
     return ensure_confs(builder.getOrCreate())

@@ -37,6 +37,18 @@ EDGE_DOCS = [
     (16, "mail me at jo.doe+x@ex-ample.co.uk or visit", "en", "web", 43),
     (17, "see https://a.b/c?u=jo@ex.com&v=1 and http://x.io.", "en", "web", 50),
     (18, "not-an-email @ nor http:// alone [at] a.b", "en", "web", 41),
+    # d08 repeated-substring edges: docs 19/20 share a 45-char license
+    # line verbatim (must pair); docs 21/22 share EXACTLY 39 chars with
+    # different neighbors on both ends (one char below the L=40
+    # threshold: must NOT pair, though both pass the length filter)
+    (19, "alpha copyright license all rights reserved forever", "en",
+     "web", 51),
+    (20, "copyright license all rights reserved forever omega", "en",
+     "mirror", 51),
+    (21, "this shared run is exactly 39 chars ok!x tail padding",
+     "en", "web", 53),
+    (22, "y this shared run is exactly 39 chars ok! other padding",
+     "en", "web", 55),
 ]
 
 DOCS_ONLY_QUERIES = [
@@ -107,6 +119,11 @@ DOCS_ONLY_QUERIES = [
     # round-8: line dedup — NULL ≡ '' (one empty line), repeated blank
     # lines collapse to the first, unicode lines compare exactly
     "t26_line_dedup",
+    # round-9: cross-doc repeated substrings — the 45-char shared
+    # license line (docs 19/20) must pair; the 39-char share (21/22)
+    # must NOT (below L=40); sub-L and NULL docs drop in the length
+    # filter on both engines
+    "d08_repeated_substrings",
 ]
 
 
@@ -290,7 +307,7 @@ def edge_emb_dir(spark, tmp_path_factory):
 # ranking, so it needs BOTH tables in one fixture — the adversarial doc
 # set (NULL/empty/CJK texts) against the adversarial embedding set
 # (zero vector = the anchor, exact duplicates, NULL-free ids).
-HYBRID_QUERIES = ["s08_rrf_fusion"]
+HYBRID_QUERIES = ["s08_rrf_fusion", "pl03_retrieval_corpus"]
 
 
 @pytest.fixture(scope="module")

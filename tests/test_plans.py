@@ -51,12 +51,14 @@ def test_registry_head_covers_every_family():
 
 
 def test_coverage_tripwire_reports():
-    """Warning-level cumulative-coverage tripwire (round-7 VERDICT ask
-    #5): every registry query should have a driver row within the last
-    2 rounds OR be freshly added, and a bench timing row somewhere.
-    Emits warnings (not failures) so a scheduling backlog is loud in
-    every pytest run without blocking unrelated work; the judge-facing
-    gate is the report itself."""
+    """Cumulative-coverage tripwire (round-7 VERDICT ask #5, escalated
+    per round-8 ask #7): every registry query should have a driver row
+    within the last 2 rounds OR be freshly added, and a bench timing
+    row somewhere — those emit warnings so a scheduling backlog is
+    loud in every pytest run. The HARD gate: a query whose driver row
+    is ≥ coverage_report.HARD_STALE rounds old and that is NOT
+    scheduled in the current PRIORITY head FAILS — rotating stale
+    veterans back in is no longer optional once they age out."""
     import sys
     import warnings
     from pathlib import Path
@@ -76,6 +78,12 @@ def test_coverage_tripwire_reports():
             )
     # hard floor: the tool itself must see the whole registry
     assert rep["registry_total"] >= 185
+    assert rep["overdue_hard"] == [], (
+        f"{len(rep['overdue_hard'])} queries are ≥{coverage_report.HARD_STALE}"
+        f" driver-rounds stale and not scheduled in the PRIORITY head — "
+        f"rotate them in (oldest-first) before doing anything else: "
+        f"{' '.join(rep['overdue_hard'])}"
+    )
 
 
 def test_dimension_join_is_broadcast(spark):

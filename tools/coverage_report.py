@@ -79,8 +79,18 @@ def edge_tested() -> set[str]:
     return names
 
 
+# Hard-fail staleness bound (round-8 VERDICT ask #7, escalated from a
+# warning): a query whose last driver row is >= HARD_STALE rounds old
+# and that is NOT scheduled in the current registry head fails pytest
+# until the head rotates it in. 5, not 4: the 50-slot head cannot hold
+# the 8 never-sampled entries plus all 43 queries that reached
+# staleness 4 by round 9 (51 slots) — 5 is the tightest satisfiable
+# bound, and it still forces oldest-first rotation every round.
+HARD_STALE = 5
+
+
 def report() -> dict:
-    from customer_review__etl_spark.plans import all_queries
+    from customer_review__etl_spark.plans import PRIORITY, all_queries
 
     specs = all_queries()
     names = list(specs)
@@ -92,6 +102,12 @@ def report() -> dict:
     never_driver = [n for n in names if n not in seen]
     stale_driver = [
         n for n in names if n in seen and cur - max(seen[n]) >= 2
+    ]
+    head = set(PRIORITY[:50])
+    overdue_hard = [
+        n
+        for n in names
+        if n in seen and cur - max(seen[n]) >= HARD_STALE and n not in head
     ]
     never_benched = [n for n in names if n not in timed]
     # informational (not RED): oracle-backed queries with no adversarial
@@ -107,6 +123,7 @@ def report() -> dict:
         "latest_round": cur,
         "never_driver_sampled": never_driver,
         "stale_driver_ge2_rounds": stale_driver,
+        "overdue_hard": overdue_hard,
         "never_benched": never_benched,
         "never_edge_tested": never_edge,
     }
@@ -121,7 +138,8 @@ def main() -> int:
         f"registry: {rep['registry_total']} queries | driver-covered: "
         f"{rep['driver_covered']} | latest driver round: r{rep['latest_round']}"
     )
-    for key in ("never_driver_sampled", "stale_driver_ge2_rounds", "never_benched"):
+    for key in ("never_driver_sampled", "stale_driver_ge2_rounds",
+                "overdue_hard", "never_benched"):
         vals = rep[key]
         flag = "\033[91mRED\033[0m" if vals else "ok"
         print(f"{key}: {len(vals)} [{flag}]")

@@ -1,22 +1,40 @@
 """Measured scale-up probe: run key operators at sf0.1 AND at a
-synthesized 10x corpus, and report the wall-clock ratio per query.
+synthesized N× corpus, and report the wall-clock ratio per query.
 
 bench.py's scale_ratio compares sf0.01 -> sf0.1 (10x up to the largest
 shipped fixture); this probe extends the curve one more decade by
-UNIONING 10 doc_id-remapped copies of the sf0.1 documents/embeddings
-tables (plus proportionally remapped events) into a scratch corpus —
-same distributions, 10x the rows — so superlinear behavior that only
-appears beyond the fixtures is measured, not argued. A blocked/banded
-dedup whose candidate fan-out is bounded should land near ~10x
-(linear) or below (fixed overhead still amortizing); anything well
-above 10x is a scale red flag.
+UNIONING N id-remapped copies of the sf0.1 documents / embeddings /
+lineitem tables into a scratch corpus — N× the rows — so superlinear
+behavior that only appears beyond the fixtures is measured, not
+argued. A blocked/banded dedup whose candidate fan-out is bounded
+should land near ~N× (linear) or below (fixed overhead still
+amortizing); anything well above N× is a scale red flag.
 
-Caveat (documented, inherent to replication): near-dup families gain
-cross-copy duplicate pairs (every doc now has 9 exact twins), so
-pair-emitting queries do MORE than 10x the semantic work — their
-ratios are upper bounds, reported separately as `dup_inflated`.
+Two growth modes (round-8 VERDICT ask #5 — the pair-emitting and
+graph families need BOTH measured):
 
-Writes SCALE_PROBE.json. Usage: python tools/scale_probe.py [mult]
+- REPLICATED (the adversarial mode): copies are verbatim, so every
+  document gains N−1 exact twins and every part keeps its identity
+  across copies. Near-dup pair counts grow ~quadratically in N BY
+  CONSTRUCTION (those pairs are real), and co-purchase weights
+  densify — replicated ratios are upper bounds on plan behavior,
+  reported as `ratio_repl`.
+- ORGANIC (the fair mode): each copy k ≥ 1 is content-decorrelated
+  while its WITHIN-copy structure is preserved exactly —
+  · documents: translate() rotates the 9 most common letters by k,
+    the same bijection applied to every doc of the copy, so planted
+    near-dup pairs inside a copy survive verbatim while cross-copy
+    shingle/gram overlap collapses;
+  · embeddings: a per-copy deterministic ±1 sign flip per dimension
+    (an orthogonal diagonal transform — within-copy cosines are
+    EXACTLY preserved, cross-copy cosines decorrelate to ~0);
+  · lineitem: l_orderkey AND l_partkey remap per copy (N disjoint
+    co-purchase graphs — organic growth in components).
+  Organic ratios (`ratio_org`) are the linear-scaling claim: N×
+  independent corpora through the same plan.
+
+Writes SCALE_PROBE.json (or SCALE_PROBE_<N>x.json for N != 10).
+Usage: python tools/scale_probe.py [mult] [query_name ...]
 """
 
 from __future__ import annotations
@@ -32,7 +50,10 @@ sys.path.insert(0, str(REPO))
 
 from customer_review__etl_spark.session import get_spark  # noqa: E402
 
-# Linear-expected set: per-doc/narrow-map and capped-candidate ops.
+# Linear-expected set: per-doc/narrow-map and capped-candidate ops —
+# probed on the REPLICATED corpus only (content identity does not
+# change their work shape; d04's DF cap self-limiting under
+# replication is itself the measurement of record, SCALING.md).
 PROBE = [
     "t03_topk_words",
     "t08_bpe_token_count",
@@ -45,17 +66,27 @@ PROBE = [
     "t19_cdc_chunks",
     "s02_ann_lsh",
     "ml12_hashed_features",
-]
-# Pair-emitting dedup: ratios are upper bounds under replication (every
-# doc gains 9 exact twins -> candidate sets genuinely grow superlinearly
-# in SEMANTIC content, not a plan defect).
-PROBE_DUP_INFLATED = [
-    "d02_minhash_near_dup",
     "d04_ngram_jaccard",
 ]
+# Pair-emitting / graph set: probed on BOTH corpora. Replicated
+# ratios are upper bounds (cross-copy twins / densified graphs do
+# genuinely more semantic work); organic ratios are the linear claim.
+PROBE_PAIR = [
+    "d02_minhash_near_dup",
+    "d07_containment_pairs",
+    "dc03_verbatim_decontaminate",
+    "gr02_triangle_count",
+    "gr03_khop_reachability",
+    "s03_embedding_neardup",
+]
+
+# the 9 most frequent English letters — rotating them per copy changes
+# the vast majority of shingles/grams while staying a bijection
+_ROT = "etaoinshr"
 
 
-def synthesize(spark, src: str, dst: str, mult: int) -> None:
+def synthesize(spark, src: str, dst: str, mult: int,
+               organic: bool = False) -> None:
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{src}/documents.parquet")
@@ -65,6 +96,11 @@ def synthesize(spark, src: str, dst: str, mult: int) -> None:
         part = docs.withColumn(
             "doc_id", (F.col("doc_id") + F.lit(k * max_doc)).cast("long")
         )
+        if organic and k:
+            r = k % len(_ROT)
+            part = part.withColumn(
+                "text", F.translate("text", _ROT, _ROT[r:] + _ROT[:r])
+            )
         out = part if out is None else out.unionByName(part)
     out.write.mode("overwrite").parquet(f"{dst}/documents.parquet")
 
@@ -75,8 +111,35 @@ def synthesize(spark, src: str, dst: str, mult: int) -> None:
         part = emb.withColumn(
             "vec_id", (F.col("vec_id") + F.lit(k * max_vec)).cast("long")
         )
+        if organic and k:
+            # deterministic per-copy ±1 diagonal: orthogonal, so
+            # within-copy cosines are bit-preserved; cross-copy ~0
+            part = part.withColumn(
+                "embedding",
+                F.expr(
+                    f"transform(embedding, (x, i) -> CAST(x * (CASE WHEN "
+                    f"((i + 1) * 2654435761 * {k + 1}) % 4294967296 "
+                    f">= 2147483648 THEN -1.0 ELSE 1.0 END) AS FLOAT))"
+                ),
+            )
         out = part if out is None else out.unionByName(part)
     out.write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
+
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    max_ok = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    max_pk = li.agg(F.max("l_partkey")).collect()[0][0] + 1
+    out = None
+    for k in range(mult):
+        part = li.withColumn(
+            "l_orderkey", (F.col("l_orderkey") + F.lit(k * max_ok)).cast("long")
+        )
+        if organic and k:
+            part = part.withColumn(
+                "l_partkey",
+                (F.col("l_partkey") + F.lit(k * max_pk)).cast("long"),
+            )
+        out = part if out is None else out.unionByName(part)
+    out.write.mode("overwrite").parquet(f"{dst}/lineitem.parquet")
 
     # small dims some probe queries' sources expect to exist
     for t in ("nation", "region"):
@@ -92,6 +155,17 @@ def _materialize(df) -> None:
         df.count()
 
 
+def _best_of(fn, spark, d, reps=2):
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        _materialize(fn(spark, d))
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+        spark.catalog.clearCache()
+    return round(best, 3)
+
+
 def main() -> int:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = set(sys.argv[2:])  # optional subset of probe names
@@ -99,9 +173,11 @@ def main() -> int:
     spark = get_spark("scale_probe")
     from customer_review__etl_spark.scratch import run_scratch
 
-    dst = run_scratch("scaleprobe_")
+    dst_repl = run_scratch("scaleprobe_repl_")
+    dst_org = run_scratch("scaleprobe_org_")
     t0 = time.time()
-    synthesize(spark, src, dst, mult)
+    synthesize(spark, src, dst_repl, mult, organic=False)
+    synthesize(spark, src, dst_org, mult, organic=True)
     build_s = round(time.time() - t0, 1)
 
     from customer_review__etl_spark.plans import all_queries
@@ -113,35 +189,32 @@ def main() -> int:
         "synth_build_sec": build_s,
         "queries": {},
     }
-    for name in PROBE + PROBE_DUP_INFLATED:
+    for name in PROBE + PROBE_PAIR:
         if only and name not in only:
             continue
         fn = qs[name].fn
-        times = {}
-        for label, d in (("base", src), ("big", dst)):
-            best = None
-            for _ in range(2):
-                t0 = time.time()
-                _materialize(fn(spark, d))
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-                spark.catalog.clearCache()
-            times[label] = round(best, 3)
-        ratio = round(times["big"] / times["base"], 2) if times["base"] else None
-        out["queries"][name] = {
-            **times,
-            "ratio": ratio,
-            "dup_inflated": name in PROBE_DUP_INFLATED,
-        }
-        print(f"{name}: base={times['base']} big={times['big']} "
-              f"ratio={ratio}", flush=True)
+        row: dict = {"base": _best_of(fn, spark, src)}
+        row["big_repl"] = _best_of(fn, spark, dst_repl)
+        row["ratio_repl"] = (
+            round(row["big_repl"] / row["base"], 2) if row["base"] else None
+        )
+        if name in PROBE_PAIR:
+            row["big_org"] = _best_of(fn, spark, dst_org)
+            row["ratio_org"] = (
+                round(row["big_org"] / row["base"], 2) if row["base"] else None
+            )
+        out["queries"][name] = row
+        print(f"{name}: {json.dumps(row)}", flush=True)
 
     fname = "SCALE_PROBE.json" if mult == 10 else f"SCALE_PROBE_{mult}x.json"
     (REPO / fname).write_text(json.dumps(out, indent=1) + "\n")
-    lin = [v["ratio"] for n, v in out["queries"].items()
-           if not v["dup_inflated"] and v["ratio"]]
+    lin = [
+        v.get("ratio_org") or v["ratio_repl"]
+        for n, v in out["queries"].items()
+        if v.get("ratio_org") or (n in PROBE and v["ratio_repl"])
+    ]
     print(json.dumps({"mult": mult,
-                      "max_linear_family_ratio": max(lin) if lin else None}))
+                      "max_fair_ratio": max(lin) if lin else None}))
     return 0
 
 
