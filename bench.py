@@ -169,6 +169,8 @@ HEADLINE = [
     # round-9 additions
     "d08_repeated_substrings",
     "pl03_retrieval_corpus",
+    "t27_perplexity_buckets",
+    "gr06_label_propagation",
 ]
 
 

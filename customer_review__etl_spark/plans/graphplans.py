@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources import tables
 from . import QuerySpec
@@ -557,6 +558,84 @@ ORDER BY n.part
 """
 
 
+GR06_ROUNDS = 3  # fixed synchronous LPA rounds (unrolled in the oracle)
+
+
+def gr06_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label propagation (Raghavan
+    et al. 2007) over the thresholded co-purchase graph — the
+    frequency-based community signal next to gr05's connectivity-based
+    components: a node adopts the label MOST FREQUENT among its
+    neighbors each round (not the minimum reachable label), so dense
+    cliques keep their own community even when a thin bridge connects
+    them to another — exactly what separates product families that CC
+    would merge. Determinism: ties break to the SMALLEST label, labels
+    start as node ids, and the round count is fixed (GR06_ROUNDS,
+    synchronous update), so the result is exact and the oracle unrolls
+    the same three rounds in CTEs.
+
+    Scale: each round is ONE partial-aggregatable count shuffle on
+    (node, label) followed by an argmax window whose per-node state is
+    bounded by the node's distinct neighbor-label count; the edge list
+    is the materialized shared intermediate (third consumer, after
+    gr05 and bench's warm set). No driver state, no collect, fixed
+    stage count = rounds."""
+    edges = _copurchase_thresholded_m(spark, sf_dir)
+    both = edges.select(
+        F.col("src").alias("s"), F.col("dst").alias("d")
+    ).union(edges.select(F.col("dst").alias("s"), F.col("src").alias("d")))
+    labels = (
+        both.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    wv = Window.partitionBy("node").orderBy(F.desc("c"), "lbl")
+    for _ in range(GR06_ROUNDS):
+        nbl = labels.select(F.col("node").alias("d2"), "lbl")
+        nb = both.join(nbl, both["d"] == nbl["d2"]).select(
+            both["s"].alias("node"), "lbl"
+        )
+        cnt = nb.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return labels.select(
+        "node", F.col("lbl").alias("community")
+    ).orderBy("node")
+
+
+def _gr06_round(prev: str, cur: str) -> str:
+    return f"""
+c{cur} AS (SELECT e.s AS node, l.lbl, count(1) AS c
+           FROM edges e JOIN l{prev} l ON e.d = l.node GROUP BY 1, 2),
+l{cur} AS (SELECT node, lbl FROM
+  (SELECT node, lbl,
+          row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+   FROM c{cur}) WHERE rn = 1)"""
+
+
+_GR06_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey IS NOT NULL
+),
+pairs AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(1) >= {GR05_MIN_ORDERS}
+),
+edges AS (SELECT src AS s, dst AS d FROM pairs
+          UNION SELECT dst, src FROM pairs),
+l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM edges),
+{",".join(_gr06_round(str(i), str(i + 1)) for i in range(GR06_ROUNDS))}
+SELECT node, lbl AS community FROM l{GR06_ROUNDS} ORDER BY node
+"""
+
+
 SPECS = [
     QuerySpec("gr01_pagerank", gr01_pagerank, _pr_oracle()),
     QuerySpec(
@@ -565,4 +644,5 @@ SPECS = [
     QuerySpec("gr02_triangle_count", gr02_triangle_count, _GR02_SQL),
     QuerySpec("gr03_khop_reachability", gr03_khop_reachability, _khop_oracle()),
     QuerySpec("gr04_item_similarity", gr04_item_similarity, _GR04_SQL),
+    QuerySpec("gr06_label_propagation", gr06_label_propagation, _GR06_SQL),
 ]

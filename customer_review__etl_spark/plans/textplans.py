@@ -490,6 +490,12 @@ def t15_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     count passes and the (w1, w2) equi-join back to the stream —
     equi-joins on token keys, never broadcast (conditional vocab is
     O(unique bigrams), itself large at 100 TB)."""
+    return _t15_scores(spark, sf_dir).orderBy("doc_id")
+
+
+def _t15_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t15's per-doc score table WITHOUT the presentation sort — shared
+    by the t15 registry entry and t27's perplexity bucketing."""
     docs = _docs_par(spark, sf_dir)
     base = docs.select(
         "doc_id",
@@ -532,8 +538,128 @@ def t15_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_bigrams").cast("double")
             ).alias("mean_bits"),
         )
+    )
+
+
+_T15_CORE = None  # assigned below (needs sql helpers defined at import)
+
+
+def _t15_core_sql() -> str:
+    return f"""
+        WITH big AS (
+          SELECT doc_id, tks[i] AS w1, tks[i + 1] AS w2
+          FROM (SELECT doc_id, {sql_raw_tokens(sql_normalize('text'))} AS tks
+                FROM documents),
+               UNNEST(range(1, len(tks))) AS _u(i)
+        ),
+        ctx AS (SELECT w1, count(1) AS c1 FROM big GROUP BY w1),
+        pairs AS (SELECT w1, w2, count(1) AS c2 FROM big GROUP BY w1, w2),
+        bits AS (
+          SELECT doc_id,
+                 (length(bin(c1)) - length(bin(c2)))::BIGINT AS b
+          FROM big JOIN pairs USING (w1, w2) JOIN ctx USING (w1)
+        ),
+        pd AS (SELECT doc_id, count(1)::BIGINT AS n_bigrams,
+                      sum(b)::BIGINT AS sum_bits
+               FROM bits GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams,
+               pd.sum_bits,
+               pd.sum_bits::DOUBLE / pd.n_bigrams::DOUBLE AS mean_bits
+        FROM documents d LEFT JOIN pd USING (doc_id)"""
+
+
+_T15_CORE = _t15_core_sql()
+
+
+T27_BUCKETS = ("head", "middle", "tail")  # CCNet rank thirds
+
+
+def t27_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-quality bucketing (Wenzek et al. 2020, the
+    perplexity-stratification step of CommonCrawl curation): score
+    every document with the t15 bigram-LM mean surprisal and split the
+    SCORED corpus into head / middle / tail thirds by exact global
+    rank — the stratification a pre-training pipeline feeds into
+    per-bucket sampling (head = corpus-typical text, tail = improbable
+    noise; p18's temperature mixes then sample per bucket). Documents
+    with < 2 tokens cannot be scored and land in an explicit
+    'unscored' bucket (stated, not dropped).
+
+    Exactness: surprisal is t15's integer-bits scheme; the one double
+    (mean_bits) is a single division of exact integers; bucket edges
+    are integer cross-multiplications (3·rank ≤ n, 3·rank ≤ 2n) over a
+    tie-broken row_number — no float percentile interpolation
+    anywhere.
+
+    Scale: the global rank is NOT a single-partition window — the
+    a11/p16 two-phase move: docs spine-bucket on floor(mean_bits) (an
+    integer spine bounded by the ~64-value surprisal-bits ceiling),
+    per-spine counts aggregate to broadcastable cumulative offsets,
+    and the row_number window partitions BY SPINE, so no task ever
+    sorts more than one spine bucket. Everything else is t15's
+    shuffles plus one broadcast join."""
+    base = _t15_scores(spark, sf_dir)
+    scored = base.filter(F.col("n_bigrams") > 0).withColumn(
+        "bkt", F.floor("mean_bits").cast("long")
+    )
+    per_b = scored.groupBy("bkt").agg(F.count(F.lit(1)).alias("bn"))
+    woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per_b.select(
+        "bkt",
+        F.coalesce(F.sum("bn").over(woff), F.lit(0)).alias("off"),
+        F.sum("bn").over(
+            Window.orderBy("bkt").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    wrn = Window.partitionBy("bkt").orderBy("mean_bits", "doc_id")
+    ranked = (
+        scored.join(F.broadcast(offs), "bkt")
+        .withColumn(
+            "bucket_rank",
+            (F.col("off") + F.row_number().over(wrn)).cast("long"),
+        )
+        .select(
+            "doc_id",
+            "bucket_rank",
+            F.when(3 * F.col("bucket_rank") <= F.col("n"), F.lit("head"))
+            .when(3 * F.col("bucket_rank") <= 2 * F.col("n"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+    return (
+        base.join(ranked, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_bits",
+            "mean_bits",
+            "bucket_rank",
+            F.coalesce("bucket", F.lit("unscored")).alias("bucket"),
+        )
         .orderBy("doc_id")
     )
+
+
+def _t27_oracle() -> str:
+    return f"""
+WITH pd0 AS ({_T15_CORE}),
+sc AS (SELECT doc_id,
+              row_number() OVER (ORDER BY mean_bits, doc_id) AS rnk
+       FROM pd0 WHERE n_bigrams > 0),
+tot AS (SELECT count(1)::BIGINT AS n FROM sc)
+SELECT p.doc_id, p.n_bigrams, p.sum_bits, p.mean_bits,
+       s.rnk::BIGINT AS bucket_rank,
+       CASE WHEN s.rnk IS NULL THEN 'unscored'
+            WHEN 3 * s.rnk <= tot.n THEN 'head'
+            WHEN 3 * s.rnk <= 2 * tot.n THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM pd0 p LEFT JOIN sc s USING (doc_id), tot
+ORDER BY p.doc_id
+"""
 
 
 def t17_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1751,30 +1877,7 @@ SPECS = [
     QuerySpec(
         "t15_bigram_surprisal",
         t15_bigram_surprisal,
-        f"""
-        WITH big AS (
-          SELECT doc_id, tks[i] AS w1, tks[i + 1] AS w2
-          FROM (SELECT doc_id, {sql_raw_tokens(sql_normalize('text'))} AS tks
-                FROM documents),
-               UNNEST(range(1, len(tks))) AS _u(i)
-        ),
-        ctx AS (SELECT w1, count(1) AS c1 FROM big GROUP BY w1),
-        pairs AS (SELECT w1, w2, count(1) AS c2 FROM big GROUP BY w1, w2),
-        bits AS (
-          SELECT doc_id,
-                 (length(bin(c1)) - length(bin(c2)))::BIGINT AS b
-          FROM big JOIN pairs USING (w1, w2) JOIN ctx USING (w1)
-        ),
-        pd AS (SELECT doc_id, count(1)::BIGINT AS n_bigrams,
-                      sum(b)::BIGINT AS sum_bits
-               FROM bits GROUP BY doc_id)
-        SELECT d.doc_id,
-               coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams,
-               pd.sum_bits,
-               pd.sum_bits::DOUBLE / pd.n_bigrams::DOUBLE AS mean_bits
-        FROM documents d LEFT JOIN pd USING (doc_id)
-        ORDER BY d.doc_id
-        """,
+        f"{_T15_CORE}\nORDER BY doc_id",
     ),
     QuerySpec(
         "t16_tfidf_terms",
@@ -1859,4 +1962,5 @@ SPECS = [
     QuerySpec("t24_bm25_topk", t24_bm25_topk, _t24_oracle()),
     QuerySpec("t25_quality_rules", t25_quality_rules, _t25_oracle()),
     QuerySpec("t26_line_dedup", t26_line_dedup, _T26_SQL),
+    QuerySpec("t27_perplexity_buckets", t27_perplexity_buckets, _t27_oracle()),
 ]

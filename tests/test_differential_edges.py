@@ -124,6 +124,10 @@ DOCS_ONLY_QUERIES = [
     # must NOT (below L=40); sub-L and NULL docs drop in the length
     # filter on both engines
     "d08_repeated_substrings",
+    # round-9: perplexity buckets — sub-2-token and NULL docs land in
+    # 'unscored'; the tiny scored set pins the 3·rank ≤ n third edges
+    # (n not divisible by 3) and exact-dup docs tie on mean_bits
+    "t27_perplexity_buckets",
 ]
 
 
@@ -606,6 +610,10 @@ TPCH_ONLY_QUERIES = [
     # of the edge part table
     "p12_deterministic_sample", "a11_scalable_median",
     "a12_observed_metrics", "io04_orc_roundtrip",
+    # round-9: synchronous label propagation — NULL part keys drop
+    # before pairing; ties in neighbor-label frequency must break to
+    # the SMALLEST label identically across engines on the tiny graph
+    "gr06_label_propagation",
 ]
 
 
