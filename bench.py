@@ -171,6 +171,8 @@ HEADLINE = [
     "pl03_retrieval_corpus",
     "t27_perplexity_buckets",
     "gr06_label_propagation",
+    "w13_forward_fill",
+    "p20_length_curriculum",
 ]
 
 

@@ -1995,6 +1995,132 @@ ORDER BY cohort_week, week_no
 """
 
 
+def w13_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF — last observation carried forward): per
+    user, replace a NULL metric value with the most recent preceding
+    non-NULL one in event order — the imputation step every
+    telemetry/feature pipeline runs before resampling or training
+    (st08's gapfill synthesizes missing ROWS; w13 repairs missing
+    VALUES on rows that exist). Rows before a user's first observation
+    stay NULL (stated, not invented); `was_filled` makes the repair
+    auditable.
+
+    Determinism: the frame is ROWS UNBOUNDED PRECEDING..CURRENT over
+    the unique (ts, event_id) order, evaluated as last(value IGNORE
+    NULLS) in Spark and last_value(value IGNORE NULLS) in DuckDB —
+    same semantics by definition. NULL-ts rows are excluded up front
+    (the engines disagree on default NULL placement in ORDER BY).
+
+    Scale: one window partitioned by user_id — per-task state is one
+    running value per partition, no shuffle beyond the user_id hash."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = F.last("value", ignorenulls=True).over(w)
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            filled.alias("filled_value"),
+            (F.col("value").isNull() & filled.isNotNull())
+            .cast("int")
+            .alias("was_filled"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_W13_SQL = """
+SELECT event_id, user_id, ts, value,
+       last_value(value IGNORE NULLS) OVER w AS filled_value,
+       CASE WHEN value IS NULL
+             AND last_value(value IGNORE NULLS) OVER w IS NOT NULL
+            THEN 1 ELSE 0 END AS was_filled
+FROM events
+WHERE ts IS NOT NULL
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+def p20_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed curriculum ordering — the batch-scheduling step
+    between quality gating and p19's sequence packing: documents train
+    shortest-first in log2-length STAGES (curriculum learning's
+    easy→hard schedule; equal-length batching also minimizes padding
+    waste), deterministically SHUFFLED within each stage by md5(doc_id)
+    so no source/ingest order leaks into training order. Output is the
+    (doc_id, n_tokens, stage, ordinal) schedule, ordinal unique and
+    gapless across stages.
+
+    Scale: the global ordinal is p16's two-phase machinery verbatim —
+    range-partition by the unique composite sort key (stage, h,
+    doc_id), read back O(#partitions) counts as offsets, ordinal =
+    offset + local rank; no single-partition window. The md5 shuffle
+    key means re-runs after appending documents keep every existing
+    doc's relative order within its stage (content-addressed, the ml03
+    property applied to ordering)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(T.raw_tokens(F.lower(F.col("text"))))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    keyed = docs.select(
+        "doc_id",
+        "n_tokens",
+        F.length(F.bin(F.col("n_tokens"))).cast("long").alias("stage"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    rp = (
+        keyed.repartitionByRange(n_parts, "stage", "h", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = rp.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r.pid):
+        offsets[r.pid] = acc
+        acc += r.n
+    if offsets:
+        omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        base = omap[F.col("pid")]
+    else:
+        base = F.lit(0)
+    w = Window.partitionBy("pid").orderBy("stage", "h", "doc_id")
+    return (
+        rp.withColumn("ordinal", (base + F.row_number().over(w)).cast("long"))
+        .select("doc_id", "n_tokens", "stage", "ordinal")
+        .orderBy("ordinal")
+    )
+
+
+def _p20_sql() -> str:
+    from .helpers import sql_raw_tokens
+
+    return f"""
+WITH d AS (SELECT doc_id,
+                  len({sql_raw_tokens("lower(text)")})::BIGINT AS n_tokens
+           FROM documents),
+k AS (SELECT doc_id, n_tokens,
+             length(bin(n_tokens))::BIGINT AS stage,
+             md5(doc_id::VARCHAR) AS h
+      FROM d)
+SELECT doc_id, n_tokens, stage,
+       row_number() OVER (ORDER BY stage, h, doc_id)::BIGINT AS ordinal
+FROM k ORDER BY ordinal
+"""
+
+
 def w11_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC bars — the time-series rollup finance and metrics systems
     run: per (event_type, hour) bucket, the OPENING value (first by
@@ -4351,6 +4477,8 @@ SPECS = [
     QuerySpec("w10_sessionize", w10_sessionize, _W10_SQL),
     QuerySpec("w11_ohlc_bars", w11_ohlc_bars, _W11_SQL),
     QuerySpec("w12_retention_cohorts", w12_retention_cohorts, _W12_SQL),
+    QuerySpec("w13_forward_fill", w13_forward_fill, _W13_SQL),
+    QuerySpec("p20_length_curriculum", p20_length_curriculum, _p20_sql()),
     QuerySpec(
         "w08_rolling_median",
         w08_rolling_median,

@@ -128,6 +128,10 @@ DOCS_ONLY_QUERIES = [
     # 'unscored'; the tiny scored set pins the 3·rank ≤ n third edges
     # (n not divisible by 3) and exact-dup docs tie on mean_bits
     "t27_perplexity_buckets",
+    # round-9: length curriculum — zero-token/NULL docs land in stage
+    # 1 (bitlen(0)); exact-dup docs get distinct ordinals via the
+    # doc_id tie-break; stages are sparse on the tiny corpus
+    "p20_length_curriculum",
 ]
 
 
@@ -241,6 +245,10 @@ EVENTS_ONLY_QUERIES = [
     # users pin week_no = 0; duplicate (user, week) rows collapse in
     # the distinct on both engines
     "w12_retention_cohorts",
+    # round-9: forward fill — NULL values before a user's first
+    # observation must STAY NULL; duplicate (ts) rows pin the
+    # event_id tie-break; NULL user_id rows form one partition
+    "w13_forward_fill",
 ]
 
 

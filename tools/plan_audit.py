@@ -52,6 +52,10 @@ EXPECTED_BNLJ = {
                       # the matching postings (the t16 doc-count shape)
     "s08_rrf_fusion",  # inherits t24's totals cross + the ONE-row anchor
                        # embedding broadcast cross (the s01 query shape)
+    "pl03_retrieval_corpus",  # inherits the same two tiny crosses at
+                              # query-set width: ONE-row (N, S) chunk
+                              # totals + the 3-row anchor-embedding
+                              # broadcast (vec_id ≠ query anchor non-equi)
 }
 
 
