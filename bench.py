@@ -173,6 +173,7 @@ HEADLINE = [
     "gr06_label_propagation",
     "w13_forward_fill",
     "p20_length_curriculum",
+    "st13_late_data_audit",
 ]
 
 

@@ -298,8 +298,71 @@ SELECT event_id, event_type, value,
 FROM events ORDER BY event_id
 """
 
+def st13_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics, observable and oracle-checked —
+    the one streaming behavior a single-batch replay can never
+    exercise: events replay in THREE deterministic arrival batches
+    (event_id % 3 — jobs.stream_events_arrival_batches), and the
+    1-hour-watermarked tumbling aggregation in APPEND mode must
+
+    - DROP batch-2 rows whose window was already EVICTED at batch 1's
+      commit (window.end ≤ W1 = max(batch-0 ts) − 1 h). Spark's dual
+      watermark (SPARK-40925) filters late events with the PREVIOUS
+      batch's eviction watermark — a row is late exactly when its
+      window has already been emitted, never merely when it trails the
+      newest data (batch-1 rows therefore all merge, however old);
+    - EMIT exactly the windows finalized by the end-of-stream
+      watermark (window.end ≤ W3 = max(all ts) − 1 h; availableNow
+      runs closing no-data batches to flush them), never still-open
+      ones — and emit each window ONCE, which is precisely why the
+      late filter exists (an unfiltered late row would resurrect a
+      closed window's state and re-emit it).
+
+    The oracle reproduces both watermark rules in plain SQL (the
+    batch-0 max, the global max, the two ≤ comparisons), so a drift
+    in either boundary — the classic off-by-one-window streaming
+    bug — turns the row hash red. Note the watermark itself advances
+    on EVERY input row, late or not (event-time stats are collected
+    before the state filter), which the oracle mirrors by computing
+    the final watermark over all rows, not surviving ones.
+
+    Scale: identical state shape to st04 (one count/sum pair per
+    open window, eviction bounded by the watermark); the arrival
+    split is a test harness, not a plan property."""
+    out = jobs.run_available_now(
+        jobs.late_tumbling_counts(
+            jobs.stream_events_arrival_batches(spark, sf_dir)
+        ),
+        output_mode="append",
+    )
+    return out.orderBy("wstart")
+
+
+_ST13_SQL = f"""
+WITH e AS (SELECT event_id, ts, value FROM events WHERE ts IS NOT NULL),
+w1 AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM e WHERE event_id % 3 = 0),
+kept AS (
+  SELECT ts, value FROM e WHERE event_id % 3 < 2
+  UNION ALL
+  SELECT e.ts, e.value FROM e, w1
+  WHERE e.event_id % 3 = 2
+    AND (w1.wm IS NULL
+         OR date_trunc('hour', e.ts) + INTERVAL 1 HOUR > w1.wm)
+),
+wmf AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM e),
+agg AS (SELECT date_trunc('hour', ts) AS wstart, count(1)::BIGINT AS n,
+               sum({sql_cents('value')})::BIGINT AS sum_cents
+        FROM kept GROUP BY 1)
+SELECT a.wstart, a.n, a.sum_cents
+FROM agg a, wmf
+WHERE a.wstart + INTERVAL 1 HOUR <= wmf.wm
+ORDER BY a.wstart
+"""
+
+
 SPECS = [
     QuerySpec("st01_tumbling_window", st01_tumbling_window, _ST01_SQL),
+    QuerySpec("st13_late_data_audit", st13_late_data_audit, _ST13_SQL),
     QuerySpec("st12_stream_quarantine", st12_stream_quarantine, _ST12_SQL),
     QuerySpec(
         "st02_sliding_window",

@@ -458,6 +458,83 @@ def run_keyed_upsert(
     )
 
 
+ST13_ARRIVALS = 3  # deterministic arrival batches for the late-data audit
+
+
+def stream_events_arrival_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over a THREE-FILE arrival replay of events — the
+    late-data harness st13 needs to make multi-batch WATERMARK
+    semantics observable (every other streaming test replays the
+    fixture in one batch, where nothing can ever be late):
+
+    - arrival batch k = event_id % 3 == k, landed as three single
+      parquet FILES with forced modification times, so the file stream
+      source (maxFilesPerTrigger=1, oldest-first) replays them as
+      three deterministic micro-batches;
+    - THREE batches, not two, because Spark filters late events with
+      the PREVIOUS batch's eviction watermark (the SPARK-40925 dual
+      watermark — measured here, not assumed: in a two-batch replay
+      batch 1's rows merge into still-open state and nothing is ever
+      dropped). Only a batch-2 row whose window was already EVICTED at
+      batch 1's commit (window.end ≤ max(batch-0 ts) − delay) is
+      genuinely late and dropped — otherwise append mode would emit
+      its window twice.
+
+    NULL-ts rows are excluded up front (no event time → no watermark
+    semantics to audit). ts is normalized to TIMESTAMP via the batch
+    loader before landing, so the stream schema is layout-independent."""
+    import os
+    import shutil
+
+    from ..scratch import run_scratch
+    from ..sources import tables
+
+    ev = (
+        tables.load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_id", "ts", "event_type", "value")
+    )
+    stream_dir = run_scratch("st13_arrivals_")
+    tmp = run_scratch("st13_tmp_")
+    for k in range(ST13_ARRIVALS):
+        part_dir = f"{tmp}/b{k}"
+        ev.filter(F.col("event_id") % ST13_ARRIVALS == k).coalesce(
+            1
+        ).write.mode("overwrite").parquet(part_dir)
+        part = next(
+            n for n in os.listdir(part_dir)
+            if n.endswith(".parquet") and not n.startswith("_")
+        )
+        dst = f"{stream_dir}/arrival_{k}.parquet"
+        shutil.move(f"{part_dir}/{part}", dst)
+        # oldest-first source ordering keys on modification time
+        os.utime(dst, (1_600_000_000 + 100 * k, 1_600_000_000 + 100 * k))
+    reader = (
+        _stream_session(spark)
+        .readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE"
+        )
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+    )
+    return reader.load(stream_dir)
+
+
+def late_tumbling_counts(events: DataFrame) -> DataFrame:
+    """1-hour tumbling count + exact cents sum for st13 — APPEND mode,
+    so only watermark-FINALIZED windows emit, and late rows (window
+    already expired when they arrive) are dropped from the counts."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("value"))).alias("sum_cents"),
+        )
+        .select(F.col("w.start").alias("wstart"), "n", "sum_cents")
+    )
+
+
 def run_append(stream_df: DataFrame) -> DataFrame:
     """Execute an append-mode stream with AvailableNow, landing each
     micro-batch in a per-run parquet sink, and return a LAZY DataFrame

@@ -249,6 +249,10 @@ EVENTS_ONLY_QUERIES = [
     # observation must STAY NULL; duplicate (ts) rows pin the
     # event_id tie-break; NULL user_id rows form one partition
     "w13_forward_fill",
+    # round-9: late-data audit — the t=2 vs t=200 bursts split across
+    # the even/odd arrival batches make real late drops; windows past
+    # the final watermark must not emit
+    "st13_late_data_audit",
 ]
 
 

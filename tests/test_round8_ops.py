@@ -222,7 +222,10 @@ def test_t23_posting_state_is_capped(spark):
         posts = r["postings"].split(",")
         assert len(posts) <= textplans.T23_POSTINGS_CAP
         assert len(posts) == min(r["df"], textplans.T23_POSTINGS_CAP)
-        assert posts == sorted(posts)  # lexicographic on both engines
+        # numeric ascending (round-8 ADVICE #4: the CSV must honor the
+        # documented "first cap doc_ids ascending" — longs sorted
+        # BEFORE the string cast, so "2" precedes "10")
+        assert [int(p) for p in posts] == sorted(int(p) for p in posts)
         assert exact[(r["term"],)] == (r["df"], r["tf"])
         capped += len(posts) < r["df"]
     assert capped > 0, "corpus must exercise the cap branch"
