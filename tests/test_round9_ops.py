@@ -1,0 +1,198 @@
+"""Round-9 operators: pure-Python triangulation for d08's winnowing
+completeness, the st13 late-drop pin (rows genuinely dropped, windows
+emitted once), and structural invariants for pl03 / t27 / gr06 / p20 /
+w13 that the DuckDB oracles cannot express (they pin VALUES; these pin
+the PROPERTIES the operators promise)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from customer_review__etl_spark.plans import (
+    dedupplans,
+    graphplans,
+    pipelineplans,
+    relational,
+    streamplans,
+    textplans,
+)
+from customer_review__etl_spark.sources import tables
+
+from conftest import SF_DIR
+
+L = dedupplans.D08_SUBSTR_LEN
+
+
+def _brute_pairs(docs: list[tuple[int, str]]) -> set[tuple[int, int]]:
+    """Ground truth: pairs sharing any L-gram (≡ common substring ≥ L)."""
+    grams: dict[str, set[int]] = {}
+    for did, txt in docs:
+        for i in range(len(txt) - L + 1):
+            grams.setdefault(txt[i : i + L], set()).add(did)
+    pairs: set[tuple[int, int]] = set()
+    for ds in grams.values():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pairs.add((ds[i], ds[j]))
+    return pairs
+
+
+def test_d08_matches_pure_python_brute_force(spark, tmp_path):
+    """Winnowing completeness, triangulated (the t19/t21 pattern): on a
+    constructed corpus with planted shared runs at, above, and just
+    below the L=40 threshold — plus repeated boilerplate shared by
+    THREE docs (the quadratic-output case) — d08 must return exactly
+    the brute-force all-L-grams pair set."""
+    lic = "x" * 20 + " this license block is shared verbatim " + "y" * 20
+    assert len(lic) >= L
+    run39 = "z" * 39  # one char below threshold
+    docs = [
+        (0, "prefix " + lic),
+        (1, lic + " suffix"),
+        (2, "mid " + lic + " tail"),        # boilerplate clique of 3
+        (3, "a" + run39),
+        (4, run39 + "b"),                   # share exactly 39 -> no pair
+        (5, "unrelated content " * 5),
+        (6, "short doc"),                   # below length filter
+        (7, ("unrelated content " * 5) + "!"),  # shares 85-char run w/ 5
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in docs],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedupplans.d08_repeated_substrings(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    want = _brute_pairs(docs)
+    assert {(0, 1), (0, 2), (1, 2), (5, 7)} <= want  # the planted truths
+    assert (3, 4) not in want
+    assert got == want
+
+
+def test_st13_late_rows_really_dropped_and_windows_emit_once(spark):
+    """The audit must exercise both watermark rules: some arrival-batch
+    rows are genuinely dropped (emitted counts < all on-time-input
+    counts), every emitted window appears exactly once, and emitted
+    totals stay consistent (0 < Σn < total non-NULL-ts events)."""
+    out = streamplans.st13_late_data_audit(spark, SF_DIR).collect()
+    assert out, "fixture corpus must finalize at least one window"
+    starts = [r.wstart for r in out]
+    assert len(starts) == len(set(starts))  # append emits once
+    emitted = sum(r.n for r in out)
+    total = (
+        tables.load(spark, SF_DIR, "events")
+        .filter(F.col("ts").isNotNull())
+        .count()
+    )
+    assert 0 < emitted < total, (
+        "no late drop / unfinalized window observed — the multi-batch "
+        "replay degenerated into a single batch"
+    )
+
+
+def test_pl03_ranks_and_rrf_consistent(spark):
+    """Per query: ranks are 1..k gapless, rrf is non-increasing along
+    rank, and every rrf value equals the RRF formula applied to its own
+    (r_lex, r_sem) columns."""
+    from customer_review__etl_spark.plans.simplans import RRF_K
+
+    rows = pipelineplans.pl03_retrieval_corpus(spark, SF_DIR).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= pipelineplans.PL03_TOPK
+        prev = None
+        for r in rs:
+            expect = (1.0 / (RRF_K + r.r_lex) if r.r_lex is not None else 0.0) + (
+                1.0 / (RRF_K + r.r_sem) if r.r_sem is not None else 0.0
+            )
+            assert r.rrf == expect
+            assert prev is None or r.rrf <= prev
+            prev = r.rrf
+
+
+def test_t27_thirds_are_balanced_and_unscored_is_exactly_sub2(spark):
+    """Scored docs split into thirds whose sizes differ by ≤ 1;
+    'unscored' is exactly the sub-2-bigram set; bucket boundaries agree
+    with the rank column."""
+    rows = textplans.t27_perplexity_buckets(spark, SF_DIR).collect()
+    assert rows
+    scored = [r for r in rows if r.bucket != "unscored"]
+    for r in rows:
+        assert (r.bucket == "unscored") == (r.n_bigrams == 0)
+        if r.bucket == "unscored":
+            assert r.bucket_rank is None
+    n = len(scored)
+    sizes = {
+        b: sum(1 for r in scored if r.bucket == b)
+        for b in ("head", "middle", "tail")
+    }
+    assert sum(sizes.values()) == n
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    for r in scored:
+        third = (
+            "head"
+            if 3 * r.bucket_rank <= n
+            else "middle" if 3 * r.bucket_rank <= 2 * n else "tail"
+        )
+        assert r.bucket == third
+
+
+def test_gr06_communities_are_graph_labels(spark):
+    """Every community label is itself a node of the thresholded graph,
+    and nodes match gr05's node set (same edge threshold)."""
+    lpa = {r.node: r.community
+           for r in graphplans.gr06_label_propagation(spark, SF_DIR).collect()}
+    cc = {r.part
+          for r in graphplans.gr05_connected_components(spark, SF_DIR).collect()}
+    assert set(lpa) == cc
+    assert set(lpa.values()) <= set(lpa)
+
+
+def test_p20_ordinal_is_a_stage_sorted_permutation(spark):
+    """Ordinals are a 1..n permutation; stage is non-decreasing along
+    the ordinal; stage really is the bit length of n_tokens."""
+    rows = relational.p20_length_curriculum(spark, SF_DIR).collect()
+    n = len(rows)
+    assert n > 0
+    assert sorted(r.ordinal for r in rows) == list(range(1, n + 1))
+    rows.sort(key=lambda r: r.ordinal)
+    for a, b in zip(rows, rows[1:]):
+        assert a.stage <= b.stage
+    for r in rows:
+        assert r.stage == max(r.n_tokens, 0).bit_length() or (
+            r.n_tokens == 0 and r.stage == 1  # bin(0) = '0' has length 1
+        )
+
+
+def test_w13_fill_semantics(spark):
+    """Non-NULL values pass through unchanged; once a user has observed
+    a value, no later row stays NULL; rows before the first observation
+    stay NULL and are not flagged."""
+    rows = relational.w13_forward_fill(spark, SF_DIR).collect()
+    assert rows
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for rs in by_user.values():
+        rs.sort(key=lambda r: (r.ts, r.event_id))
+        seen = None
+        for r in rs:
+            if r.value is not None:
+                assert r.filled_value == r.value and r.was_filled == 0
+                seen = r.value
+            elif seen is None:
+                assert r.filled_value is None and r.was_filled == 0
+            else:
+                assert r.filled_value == seen and r.was_filled == 1
