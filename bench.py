@@ -174,6 +174,7 @@ HEADLINE = [
     "w13_forward_fill",
     "p20_length_curriculum",
     "st13_late_data_audit",
+    "s09_capped_lsh_neardup",
 ]
 
 

@@ -303,6 +303,180 @@ def s04_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+S09_BUCKET_CAP = 200  # level-1 (band, bucket) occupancy refinement cap
+
+
+def s09_capped_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s03 with OCCUPANCY-ADAPTIVE bucketing — the engineered answer to
+    the round-9 scale probe's finding (SCALING.md): s03's fixed 3-plane
+    bands give 8 buckets per band, so per-bucket occupancy grows
+    linearly with the corpus and within-bucket candidate PAIRS grow
+    quadratically (measured 12.8× wall at 10× data). Here any level-1
+    (band, bucket) whose member count exceeds S09_BUCKET_CAP is
+    refined with 3 MORE hyperplanes (an 8-way split of exactly the
+    crowded buckets); small buckets keep a sentinel sub-key so their
+    candidates are untouched. Candidate fan-out is then bounded by
+    C(cap + sub-bucket occupancy, 2) per key instead of C(n/8, 2) —
+    the d04-DF-cap idea transplanted to vector LSH. Truly identical
+    embeddings can still crowd one sub-bucket, but those pairs are
+    TRUE near-dups (quadratic OUTPUT, collapsed downstream by s05's
+    components, the d08 argument).
+
+    Recall trade, engineered: refinement only SPLITS buckets, so s09's
+    candidate set ⊆ s03's (pinned in pytest), but a plain 8-way split
+    loses pairs straddling a sub-bucket boundary (measured 0.22 recall
+    vs s03 under an aggressive cap — cos 0.4 pairs disagree on a given
+    hyperplane with p ≈ 0.37). So refined members MULTIPROBE (the s07
+    move applied at level 2): each probes its own sub-bucket plus the
+    three hamming-distance-1 ones, recovering every pair whose
+    sub-signatures differ in ≤ 1 of 3 bits per band — measured 0.65
+    recall under the same aggressive stress cap, and 0.83 at the
+    shipped cap on sf0.1 (where refinement is genuinely active and
+    s09 already runs ~1.9× faster than s03; both pinned in pytest) —
+    for a bounded 4× key fan-out on exactly the crowded buckets. The level-1 size table is 16 rows
+    (2 bands × 8 buckets) and broadcasts; everything else is s03's
+    shape: explode to (vec_id, band, key) triples, hash equi-join,
+    exact cosine ≥ NEAR_COS on candidates only."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        _bucket_col(3, first_plane=0).alias("band0"),
+        _bucket_col(3, first_plane=3).alias("band1"),
+        _bucket_col(3, first_plane=6).alias("sub0"),
+        _bucket_col(3, first_plane=9).alias("sub1"),
+    ).cache()
+    bands = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.col("band0").alias("bv"),
+                    F.col("sub0").alias("sv"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.col("band1").alias("bv"),
+                    F.col("sub1").alias("sv"),
+                ),
+            )
+        ).alias("e"),
+    ).select("vec_id", "e.band", "e.bv", "e.sv")
+    sizes = bands.groupBy("band", "bv").agg(F.count(F.lit(1)).alias("bn"))
+    keyed = bands.join(F.broadcast(sizes), ["band", "bv"]).select(
+        "vec_id",
+        "band",
+        "bv",
+        F.when(F.col("bn") > S09_BUCKET_CAP, F.col("sv"))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("sv"),
+    )
+    # level-2 multiprobe: refined members (sv ≥ 0) additionally probe
+    # the 3 hamming-1 sub-buckets; the lower id's probe set meeting the
+    # higher id's HOME key covers every ≤1-bit sub-signature difference
+    # (hamming is symmetric, so one probing side suffices)
+    probes = keyed.select(
+        "vec_id",
+        "band",
+        "bv",
+        F.explode(
+            F.when(
+                F.col("sv") >= 0,
+                F.array(
+                    F.col("sv"),
+                    F.col("sv").bitwiseXOR(F.lit(1)),
+                    F.col("sv").bitwiseXOR(F.lit(2)),
+                    F.col("sv").bitwiseXOR(F.lit(4)),
+                ),
+            ).otherwise(F.array(F.col("sv")))
+        ).alias("sv_p"),
+    )
+    k2 = keyed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("band").alias("band_b"),
+        F.col("bv").alias("bv_b"),
+        F.col("sv").alias("sv_b"),
+    )
+    cand = (
+        probes.join(
+            k2,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bv") == F.col("bv_b"))
+            & (F.col("sv_p") == F.col("sv_b"))
+            & (F.col("vec_id") < F.col("vec_b")),
+        )
+        .select(F.col("vec_id").alias("vec_a"), "vec_b")
+        .distinct()
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_from_norms(
+                F.col("emb_a"), F.col("emb_b"),
+                F.col("nrm_a"), F.col("nrm_b"),
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= NEAR_COS)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _s09_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_sql_bucket(3, 0)} AS band0, {_sql_bucket(3, 3)} AS band1,
+         {_sql_bucket(3, 6)} AS sub0, {_sql_bucket(3, 9)} AS sub1
+  FROM embeddings
+),
+bands AS (
+  SELECT vec_id, 0 AS band, band0 AS bv, sub0 AS sv FROM e
+  UNION ALL
+  SELECT vec_id, 1 AS band, band1 AS bv, sub1 AS sv FROM e
+),
+sizes AS (SELECT band, bv, count(1) AS bn FROM bands GROUP BY 1, 2),
+keyed AS (
+  SELECT b.vec_id, b.band, b.bv,
+         CASE WHEN s.bn > {S09_BUCKET_CAP} THEN b.sv ELSE -1 END AS sv
+  FROM bands b JOIN sizes s USING (band, bv)
+),
+probes AS (
+  SELECT vec_id, band, bv, _u.sv_p
+  FROM keyed,
+       UNNEST(CASE WHEN sv >= 0
+                   THEN [sv, xor(sv, 1), xor(sv, 2), xor(sv, 4)]
+                   ELSE [sv] END) AS _u(sv_p)
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM probes a JOIN keyed b
+    ON a.band = b.band AND a.bv = b.bv AND a.sv_p = b.sv
+   AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT c.vec_a, c.vec_b, {_cos('ea.v', 'eb.v')} AS cos
+FROM cand c JOIN e ea ON ea.vec_id = c.vec_a
+            JOIN e eb ON eb.vec_id = c.vec_b
+WHERE {_cos('ea.v', 'eb.v')} >= {NEAR_COS}
+ORDER BY vec_a, vec_b
+"""
+
+
 def s03_pairs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized s03 embedding near-dup pair set — one banded-LSH
     mining pass per process per corpus (consumer: s05 + its reps)."""
@@ -850,4 +1024,5 @@ SPECS = [
         """,
     ),
     QuerySpec("s08_rrf_fusion", s08_rrf_fusion, _s08_sql()),
+    QuerySpec("s09_capped_lsh_neardup", s09_capped_lsh_neardup, _s09_sql()),
 ]

@@ -279,7 +279,11 @@ EDGE_EMBEDDINGS = (
 
 EMB_ONLY_QUERIES = ["s01_cosine_topk", "s02_ann_lsh", "s03_embedding_neardup",
                     "s04_ivf_ann", "s05_semantic_clusters", "s06_pq_ann",
-                    "s07_multiprobe_ann", "ml06_kmeans", "ml09_knn_label"]
+                    "s07_multiprobe_ann", "ml06_kmeans", "ml09_knn_label",
+                    # round-9: occupancy-adaptive LSH — zero vector and
+                    # exact-duplicate embeddings pin the sentinel /
+                    # refinement key paths (tiny buckets: must equal s03)
+                    "s09_capped_lsh_neardup"]
 
 
 @pytest.fixture(scope="module")

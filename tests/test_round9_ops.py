@@ -196,3 +196,26 @@ def test_w13_fill_semantics(spark):
                 assert r.filled_value is None and r.was_filled == 0
             else:
                 assert r.filled_value == seen and r.was_filled == 1
+
+
+def test_s09_subset_of_s03_with_recall_floor(spark, monkeypatch):
+    """Occupancy-adaptive LSH must only PRUNE s03's candidates (never
+    invent pairs), stay lossless when no bucket exceeds the cap, and
+    keep a usable recall under an aggressive stress cap thanks to the
+    level-2 multiprobe (0.22 without it, measured)."""
+    from customer_review__etl_spark.plans import simplans
+
+    sf = "/root/testdata/sf0.01"
+    s03 = {(r.vec_a, r.vec_b)
+           for r in simplans.s03_embedding_neardup(spark, sf).collect()}
+    assert s03, "fixture corpus must contain near-dup pairs"
+    # shipped cap: sf0.01 buckets (~60) stay below 200 -> lossless
+    s09 = {(r.vec_a, r.vec_b)
+           for r in simplans.s09_capped_lsh_neardup(spark, sf).collect()}
+    assert s09 == s03
+    # stress cap: every bucket refines; multiprobe holds the floor
+    monkeypatch.setattr(simplans, "S09_BUCKET_CAP", 20)
+    s09s = {(r.vec_a, r.vec_b)
+            for r in simplans.s09_capped_lsh_neardup(spark, sf).collect()}
+    assert s09s <= s03
+    assert len(s09s) >= 0.6 * len(s03)

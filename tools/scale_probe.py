@@ -78,6 +78,7 @@ PROBE_PAIR = [
     "gr02_triangle_count",
     "gr03_khop_reachability",
     "s03_embedding_neardup",
+    "s09_capped_lsh_neardup",  # the occupancy-adaptive answer to s03
 ]
 
 # the 9 most frequent English letters — rotating them per copy changes
@@ -207,7 +208,18 @@ def main() -> int:
         print(f"{name}: {json.dumps(row)}", flush=True)
 
     fname = "SCALE_PROBE.json" if mult == 10 else f"SCALE_PROBE_{mult}x.json"
-    (REPO / fname).write_text(json.dumps(out, indent=1) + "\n")
+    # MERGE into an existing record: a subset re-run must not clobber
+    # rows for queries it did not probe
+    path = REPO / fname
+    if path.is_file():
+        try:
+            prior = json.loads(path.read_text())
+            merged = dict(prior.get("queries", {}))
+            merged.update(out["queries"])
+            out["queries"] = merged
+        except json.JSONDecodeError:
+            pass
+    path.write_text(json.dumps(out, indent=1) + "\n")
     lin = [
         v.get("ratio_org") or v["ratio_repl"]
         for n, v in out["queries"].items()
