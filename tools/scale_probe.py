@@ -79,6 +79,8 @@ PROBE_PAIR = [
     "gr03_khop_reachability",
     "s03_embedding_neardup",
     "s09_capped_lsh_neardup",  # the occupancy-adaptive answer to s03
+    "d08_repeated_substrings",  # winnowed anchors; replication = true
+                                # quadratic output, organic = linear
 ]
 
 # the 9 most frequent English letters — rotating them per copy changes
