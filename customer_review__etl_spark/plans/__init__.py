@@ -137,62 +137,70 @@ PRIORITY: tuple[str, ...] = (
     #   not 4: a 50-slot head cannot hold 8 never-sampled + all 43
     #   entries at staleness ≥ 4 = 51 slots; 5 is the tightest
     #   satisfiable bound and still forces next-round rotation).
-    # never-driver-sampled backlog (round-8 VERDICT ask #1) — closes
-    # driver coverage at 188/188 oracle-backed
-    "p13_group_quota_sample",
-    "p14_weighted_mix",
-    "w12_retention_cohorts",
-    "t23_inverted_index",
-    "t24_bm25_topk",
-    "t25_quality_rules",
-    "t26_line_dedup",
-    "s08_rrf_fusion",
-    # new round-9 operators
-    "d08_repeated_substrings",
-    "pl03_retrieval_corpus",
-    # stale veterans, oldest-first: the full r2 cohort
-    "a02_count_distinct",
-    "a03_null_counts",
-    "a04_row_count",
-    "a05_distinct_sort",
-    "a07_summary_stats",
-    "a09_approx_stats",
-    "f02_array_funcs",
-    "g01_rollup",
-    "g02_cube",
-    "g03_grouping_sets",
-    "j03_left_semi",
-    "j04_left_anti",
-    "j05_full_outer",
-    "j07_right_outer",
-    "p05_lowercase_rename",
-    "p06_ordinal",
-    "p07_filter_nonempty",
-    "p08_filter_eq",
-    "p09_select",
-    "p10_limit_topk",
-    "p11_derived_json",
-    "q10_returned_items",
-    "q19_disjunctive_pred",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "set01_union_all",
-    "set02_intersect",
-    "set03_except_all",
-    "w02_lag_lead",
-    "w06_moving_avg",
-    # the full r3 cohort
-    "j06_theta_range",
-    "p02_drop_columns",
-    "st02_sliding_window",
-    "w04_rank_dense",
-    # family representatives the r2/r3 cohort lacks (oldest available)
-    "u01_grouped_minmax",
-    "t04_quality_scores",
-    "io02_parquet_roundtrip",
-    "mm03_frame_sample",
-    "ml03_train_test_split",
+    #   r10 (round-9 VERDICT ask #1): the five overdue-hard veterans the
+    #   staleness tripwire named at r9-end (last sampled r4, staleness 5
+    #   — the intended forcing function), the six never-driver-sampled
+    #   oracle-backed r9 adds (completes cumulative driver coverage at
+    #   196/196 oracle-backed), then oldest-first: the ENTIRE r5 cohort
+    #   (staleness hits 5 the moment CORRECTNESS_r10 lands, so skipping
+    #   any would re-arm the tripwire immediately) and the entire r6
+    #   cohort, topped up from r7 (a11/a12/a13, alphabetical-first).
+    # overdue-hard (tools/coverage_report.py HARD_STALE=5)
+    "w01_row_number_topn",
+    "q12_shipmode_priority",
+    "d03_simhash_near_dup",
+    "s04_ivf_ann",
+    "st08_gapfill_resample",
+    # never-driver-sampled oracle-backed round-9 adds
+    "t27_perplexity_buckets",
+    "gr06_label_propagation",
+    "w13_forward_fill",
+    "p20_length_curriculum",
+    "st13_late_data_audit",
+    "s09_capped_lsh_neardup",
+    # the full r5 cohort (staleness 5 once r10 lands)
+    "d05_neardup_clusters",
+    "dc01_decontaminate",
+    "j02_inner_equi",
+    "p03_dedup_keep_first",
+    "p04_coerce_cast",
+    "s03_embedding_neardup",
+    "st05_stream_dedup",
+    "t03_topk_words",
+    "t05_lang_id",
+    "w03_running_sum",
+    # the full r6 cohort (staleness 4 once r10 lands → r11 otherwise)
+    "a01_group_count",
+    "a08_median_disc",
+    "a10_funnel_stages",
+    "d01_exact_dedup",
+    "d02_minhash_near_dup",
+    "g04_pivot",
+    "io01_csv_roundtrip",
+    "io06_schema_evolution",
+    "io10_zorder_cluster",
+    "j01_broadcast_theme_label",
+    "j08_asof_join",
+    "j09_salted_skew_agg",
+    "mm01_binary_meta",
+    "p01_project_sort",
+    "q13_customer_distribution",
+    "q5_local_supplier_volume",
+    "s01_cosine_topk",
+    "st01_tumbling_window",
+    "st03_session_window",
+    "st04_stream_tumbling",
+    "t01_text_chain",
+    "t11_chunk_dedup",
+    "t13_unigram_surprisal",
+    "t14_heavy_hitters",
+    "u02_sequence_pack",
+    "w05_ntile_frames",
+    # r7-cohort top-up (family coverage first — the head must keep an
+    # f and an ml representative — then alphabetical)
+    "f03_json_map_funcs",
+    "ml05_stratified_split",
+    "a11_scalable_median",
 )
 
 

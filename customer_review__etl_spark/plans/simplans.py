@@ -304,6 +304,13 @@ def s04_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 S09_BUCKET_CAP = 200  # level-1 (band, bucket) occupancy refinement cap
+# level-2 sub-bucket occupancy cap driving the DEPTH-2 split (planes
+# 12-14).  A separate knob from S09_BUCKET_CAP: each refinement level
+# trades ~0.69x recall on the pairs it touches (P[<=1-bit/3-plane
+# disagreement at cos 0.4]), so deployments tune the levels
+# independently - refine level 2 only where level 1 is genuinely
+# saturated, one decade of corpus growth per level (SCALING.md).
+S09_SUBBUCKET_CAP = 200
 
 
 def s09_capped_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,7 +343,23 @@ def s09_capped_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a bounded 4× key fan-out on exactly the crowded buckets. The level-1 size table is 16 rows
     (2 bands × 8 buckets) and broadcasts; everything else is s03's
     shape: explode to (vec_id, band, key) triples, hash equi-join,
-    exact cosine ≥ NEAR_COS on candidates only."""
+    exact cosine ≥ NEAR_COS on candidates only.
+
+    DEPTH-2 (round-10, VERDICT ask #2 — SCALING.md's level-stacking
+    rule made real): the round-9 30× probe showed one 8-way refinement
+    level buys exactly one decade of corpus growth before sub-buckets
+    themselves exceed the cap. So the same construction recurses once:
+    any LEVEL-2 sub-bucket (band, bv, sv) whose occupancy ALSO exceeds
+    S09_BUCKET_CAP splits 8 more ways on planes 12–14 (sv2), again
+    with hamming-1 multiprobe at the new level (≤1-bit disagreement
+    per level recovered; fan-out 4×4 = 16 probe keys, paid ONLY by
+    members of doubly-crowded buckets). Consistency rule that makes
+    the asymmetric probing exact: the level-3 decision for a probe is
+    keyed on the occupancy of the TARGET sub-bucket (band, bv, sv_p),
+    which is identical to the home-side decision of any member it can
+    meet there — so both sides of every candidate pair agree on
+    whether sv2 participates in the key. The level-2 size table is at
+    most 2 bands × 8 × 8 = 128 rows and broadcasts."""
     emb = _emb(spark, sf_dir).select(
         "vec_id",
         "embedding",
@@ -345,6 +368,7 @@ def s09_capped_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bucket_col(3, first_plane=3).alias("band1"),
         _bucket_col(3, first_plane=6).alias("sub0"),
         _bucket_col(3, first_plane=9).alias("sub1"),
+        _bucket_col(3, first_plane=12).alias("sub2"),
     ).cache()
     bands = emb.select(
         "vec_id",
@@ -354,15 +378,17 @@ def s09_capped_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(0).alias("band"),
                     F.col("band0").alias("bv"),
                     F.col("sub0").alias("sv"),
+                    F.col("sub2").alias("s2r"),
                 ),
                 F.struct(
                     F.lit(1).alias("band"),
                     F.col("band1").alias("bv"),
                     F.col("sub1").alias("sv"),
+                    F.col("sub2").alias("s2r"),
                 ),
             )
         ).alias("e"),
-    ).select("vec_id", "e.band", "e.bv", "e.sv")
+    ).select("vec_id", "e.band", "e.bv", "e.sv", "e.s2r")
     sizes = bands.groupBy("band", "bv").agg(F.count(F.lit(1)).alias("bn"))
     keyed = bands.join(F.broadcast(sizes), ["band", "bv"]).select(
         "vec_id",
@@ -372,15 +398,37 @@ def s09_capped_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(-1))
         .cast("long")
         .alias("sv"),
+        "s2r",
+    )
+    # level-2 sub-bucket occupancy: drives the depth-2 refinement on
+    # BOTH sides (home key and probe target — same (band, bv, sv) row)
+    sizes2 = (
+        keyed.filter(F.col("sv") >= 0)
+        .groupBy("band", "bv", "sv")
+        .agg(F.count(F.lit(1)).alias("sn"))
+    )
+    keyed2 = keyed.join(F.broadcast(sizes2), ["band", "bv", "sv"], "left").select(
+        "vec_id",
+        "band",
+        "bv",
+        "sv",
+        F.when(
+            (F.col("sv") >= 0) & (F.col("sn") > S09_SUBBUCKET_CAP), F.col("s2r")
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("sv2"),
+        "s2r",
     )
     # level-2 multiprobe: refined members (sv ≥ 0) additionally probe
     # the 3 hamming-1 sub-buckets; the lower id's probe set meeting the
     # higher id's HOME key covers every ≤1-bit sub-signature difference
     # (hamming is symmetric, so one probing side suffices)
-    probes = keyed.select(
+    p1 = keyed2.select(
         "vec_id",
         "band",
         "bv",
+        "s2r",
         F.explode(
             F.when(
                 F.col("sv") >= 0,
@@ -393,11 +441,33 @@ def s09_capped_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array(F.col("sv")))
         ).alias("sv_p"),
     )
-    k2 = keyed.select(
+    # level-3 multiprobe, gated on the TARGET sub-bucket's occupancy
+    sizes2_p = sizes2.select(
+        "band", "bv", F.col("sv").alias("sv_p"), F.col("sn").alias("sn_p")
+    )
+    probes = p1.join(F.broadcast(sizes2_p), ["band", "bv", "sv_p"], "left").select(
+        "vec_id",
+        "band",
+        "bv",
+        "sv_p",
+        F.explode(
+            F.when(
+                F.col("sn_p") > S09_SUBBUCKET_CAP,
+                F.array(
+                    F.col("s2r"),
+                    F.col("s2r").bitwiseXOR(F.lit(1)),
+                    F.col("s2r").bitwiseXOR(F.lit(2)),
+                    F.col("s2r").bitwiseXOR(F.lit(4)),
+                ),
+            ).otherwise(F.array(F.lit(-1).cast("long")))
+        ).alias("sv2_p"),
+    )
+    k2 = keyed2.select(
         F.col("vec_id").alias("vec_b"),
         F.col("band").alias("band_b"),
         F.col("bv").alias("bv_b"),
         F.col("sv").alias("sv_b"),
+        F.col("sv2").alias("sv2_b"),
     )
     cand = (
         probes.join(
@@ -405,6 +475,7 @@ def s09_capped_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("band") == F.col("band_b"))
             & (F.col("bv") == F.col("bv_b"))
             & (F.col("sv_p") == F.col("sv_b"))
+            & (F.col("sv2_p") == F.col("sv2_b"))
             & (F.col("vec_id") < F.col("vec_b")),
         )
         .select(F.col("vec_id").alias("vec_a"), "vec_b")
@@ -436,37 +507,65 @@ def s09_capped_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _s09_sql() -> str:
+def _s09_sql(cap: int | None = None, cap2: int | None = None) -> str:
+    """Oracle twin of s09; caps parameterized (round-9 ADVICE #4) so
+    edge tests can differentially exercise the refined + multiprobe
+    paths (both levels) under small caps instead of pytest-only."""
+    if cap is None:
+        cap = S09_BUCKET_CAP
+    if cap2 is None:
+        cap2 = S09_SUBBUCKET_CAP
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          {_sql_bucket(3, 0)} AS band0, {_sql_bucket(3, 3)} AS band1,
-         {_sql_bucket(3, 6)} AS sub0, {_sql_bucket(3, 9)} AS sub1
+         {_sql_bucket(3, 6)} AS sub0, {_sql_bucket(3, 9)} AS sub1,
+         {_sql_bucket(3, 12)} AS sub2
   FROM embeddings
 ),
 bands AS (
-  SELECT vec_id, 0 AS band, band0 AS bv, sub0 AS sv FROM e
+  SELECT vec_id, 0 AS band, band0 AS bv, sub0 AS sv, sub2 AS s2r FROM e
   UNION ALL
-  SELECT vec_id, 1 AS band, band1 AS bv, sub1 AS sv FROM e
+  SELECT vec_id, 1 AS band, band1 AS bv, sub1 AS sv, sub2 AS s2r FROM e
 ),
 sizes AS (SELECT band, bv, count(1) AS bn FROM bands GROUP BY 1, 2),
 keyed AS (
   SELECT b.vec_id, b.band, b.bv,
-         CASE WHEN s.bn > {S09_BUCKET_CAP} THEN b.sv ELSE -1 END AS sv
+         CASE WHEN s.bn > {cap} THEN b.sv ELSE -1 END AS sv,
+         b.s2r
   FROM bands b JOIN sizes s USING (band, bv)
 ),
-probes AS (
-  SELECT vec_id, band, bv, _u.sv_p
-  FROM keyed,
+sizes2 AS (
+  SELECT band, bv, sv, count(1) AS sn FROM keyed WHERE sv >= 0
+  GROUP BY 1, 2, 3
+),
+keyed2 AS (
+  SELECT k.vec_id, k.band, k.bv, k.sv,
+         CASE WHEN k.sv >= 0 AND s2.sn > {cap2} THEN k.s2r ELSE -1 END AS sv2,
+         k.s2r
+  FROM keyed k LEFT JOIN sizes2 s2 USING (band, bv, sv)
+),
+p1 AS (
+  SELECT vec_id, band, bv, s2r, _u.sv_p
+  FROM keyed2,
        UNNEST(CASE WHEN sv >= 0
                    THEN [sv, xor(sv, 1), xor(sv, 2), xor(sv, 4)]
                    ELSE [sv] END) AS _u(sv_p)
 ),
+probes AS (
+  SELECT p.vec_id, p.band, p.bv, p.sv_p, _u2.sv2_p
+  FROM p1 p
+  LEFT JOIN sizes2 s2
+    ON s2.band = p.band AND s2.bv = p.bv AND s2.sv = p.sv_p,
+       UNNEST(CASE WHEN s2.sn > {cap2}
+                   THEN [p.s2r, xor(p.s2r, 1), xor(p.s2r, 2), xor(p.s2r, 4)]
+                   ELSE [CAST(-1 AS BIGINT)] END) AS _u2(sv2_p)
+),
 cand AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM probes a JOIN keyed b
+  FROM probes a JOIN keyed2 b
     ON a.band = b.band AND a.bv = b.bv AND a.sv_p = b.sv
-   AND a.vec_id < b.vec_id
+   AND a.sv2_p = b.sv2 AND a.vec_id < b.vec_id
   GROUP BY 1, 2
 )
 SELECT c.vec_a, c.vec_b, {_cos('ea.v', 'eb.v')} AS cos

@@ -219,3 +219,43 @@ def test_s09_subset_of_s03_with_recall_floor(spark, monkeypatch):
             for r in simplans.s09_capped_lsh_neardup(spark, sf).collect()}
     assert s09s <= s03
     assert len(s09s) >= 0.6 * len(s03)
+    # depth-2 stress (round-10): sub-bucket cap tiny too, so the
+    # level-3 split + multiprobe (planes 12-14) activates; deeper
+    # refinement may only prune FURTHER, and the per-level ~0.69x
+    # multiprobe recall trade bounds the two-level floor at ~0.5
+    monkeypatch.setattr(simplans, "S09_SUBBUCKET_CAP", 20)
+    s09d = {(r.vec_a, r.vec_b)
+            for r in simplans.s09_capped_lsh_neardup(spark, sf).collect()}
+    assert s09d <= s09s
+    assert len(s09d) >= 0.5 * len(s03)
+
+
+def test_s09_depth2_refined_path_matches_oracle(spark, monkeypatch):
+    """Round-9 ADVICE #4: the refined + multiprobe paths (BOTH levels)
+    get differential oracle coverage under small caps — the shipped-cap
+    differential only exercises the sentinel (-1) path on small SFs.
+    Caps sized so at sf0.001 (~50 vecs) level-1 buckets (>5) refine and
+    any sub-bucket with >=2 members depth-2 refines."""
+    import duckdb
+
+    from customer_review__etl_spark.plans import simplans
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(simplans, "S09_BUCKET_CAP", 5)
+    monkeypatch.setattr(simplans, "S09_SUBBUCKET_CAP", 1)
+    sdf = simplans.s09_capped_lsh_neardup(spark, sf)
+    srows = {(r.vec_a, r.vec_b, r.cos) for r in sdf.collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    orows = {
+        (a, b, c)
+        for a, b, c in con.execute(
+            simplans._s09_sql(cap=5, cap2=1)
+        ).fetchall()
+    }
+    assert srows, "caps must be small enough to still emit pairs"
+    assert srows == orows
