@@ -237,7 +237,7 @@ def _time_queries(
     # starts immediately too — "d02_pairs" blocks on its lock)
     longest_first = (
         "d04_pairs", "s03_pairs", "shingles", "copurchase",
-        "copurchase_thresholded", "d03_pairs", "s02_knn", "d02_pairs",
+        "copurchase_thresholded", "d03_pairs", "s10_knn", "d02_pairs",
     )
     order = [k for k in longest_first if k in warmers] + sorted(
         k for k in warmers if k not in longest_first

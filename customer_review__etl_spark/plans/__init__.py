@@ -144,7 +144,10 @@ PRIORITY: tuple[str, ...] = (
     #   196/196 oracle-backed), then oldest-first: the ENTIRE r5 cohort
     #   (staleness hits 5 the moment CORRECTNESS_r10 lands, so skipping
     #   any would re-arm the tripwire immediately) and the entire r6
-    #   cohort, topped up from r7 (a11/a12/a13, alphabetical-first).
+    #   cohort, topped up from r7 with the family reps the head
+    #   would otherwise lack (f03, ml05) and the new round-10
+    #   operator s10_capped_ann (never sampled, the ml09 ANN-leg
+    #   migration target).
     # overdue-hard (tools/coverage_report.py HARD_STALE=5)
     "w01_row_number_topn",
     "q12_shipmode_priority",
@@ -200,7 +203,8 @@ PRIORITY: tuple[str, ...] = (
     # f and an ml representative — then alphabetical)
     "f03_json_map_funcs",
     "ml05_stratified_split",
-    "a11_scalable_median",
+    # new round-10 operator (never driver-sampled)
+    "s10_capped_ann",
 )
 
 
@@ -264,7 +268,7 @@ def shared_intermediates() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "d03_pairs": dedupplans.d03_pairs_m,          # d06
         "d04_pairs": dedupplans.d04_pairs_m,          # d06
         "s03_pairs": simplans.s03_pairs_m,            # s05
-        "s02_knn": mlplans.s02_knn_pairs_m,           # ml09
+        "s10_knn": mlplans.s10_knn_pairs_m,           # ml09
         "copurchase": graphplans._copurchase_edges,   # gr01, gr02
         "copurchase_thresholded": graphplans._copurchase_thresholded_m,  # gr05
     }

@@ -704,19 +704,23 @@ FROM t
 """
 
 
-def _s02_knn_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .simplans import s02_ann_lsh
+def _s10_knn_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .simplans import s10_capped_ann
 
-    return s02_ann_lsh(spark, sf_dir).select("q_id", "n_id")
+    return s10_capped_ann(spark, sf_dir).select("q_id", "n_id")
 
 
-def s02_knn_pairs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialized s02 (q_id, n_id) kNN candidate set (consumer:
-    ml09's vote + its reps)."""
+def s10_knn_pairs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized s10 (q_id, n_id) kNN candidate set (consumer:
+    ml09's vote + its reps). Round-10 (VERDICT ask #3): migrated off
+    s02's fixed 64 buckets onto the occupancy-capped generator — below
+    the cap s10 IS s02 bit-for-bit, so fixture-scale vote results are
+    unchanged, while probe-scale corpora no longer inherit s02's
+    convicted quadratic."""
     from .dedupplans import materialized_df
 
     return materialized_df(
-        spark, sf_dir, "s02_knn", _s02_knn_build, ["q_id", "n_id"]
+        spark, sf_dir, "s10_knn", _s10_knn_build, ["q_id", "n_id"]
     )
 
 
@@ -724,9 +728,12 @@ def ml09_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label prediction over ANN candidates — the weak-supervision
     / label-propagation primitive (label unlabeled items by majority
     vote of their nearest labeled neighbors), built by COMPOSING the
-    s02 sign-LSH ANN (its top-ANN_TOPK neighbor set, reused verbatim)
+    s10 capped sign-LSH ANN (its top-ANN_TOPK neighbor set, reused
+    verbatim)
     with a per-query vote. Demonstrates that the ANN operators are
-    building blocks, not endpoints.
+    building blocks, not endpoints. Round 10: the ANN leg is the
+    occupancy-capped s10 generator (sentinel-keyed ⇒ identical to s02
+    below the cap; occupancy-bounded candidates above it).
 
     Vote is deterministic: count per (query, neighbor label), winner
     by (votes DESC, label ASC); queries whose LSH bucket held no other
@@ -742,7 +749,7 @@ def ml09_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the (q_id, n_id) neighbor set is a tiny pair table consumed by
     # both the s02 registry entry and this vote — materialize it once
     # per process per corpus (the shared-intermediate pattern)
-    knn = s02_knn_pairs_m(spark, sf_dir)
+    knn = s10_knn_pairs_m(spark, sf_dir)
     emb = tables.load(spark, sf_dir, "embeddings").select("vec_id", "label")
     votes = (
         knn.join(
@@ -769,12 +776,12 @@ def ml09_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ml09_oracle() -> str:
-    from .simplans import _s02_sql
+    from .simplans import _s10_sql
 
     return f"""
     WITH votes AS (
       SELECT k.q_id, e.label AS nb_label, count(1) AS n_votes
-      FROM ({_s02_sql()}) k JOIN embeddings e ON e.vec_id = k.n_id
+      FROM ({_s10_sql()}) k JOIN embeddings e ON e.vec_id = k.n_id
       GROUP BY k.q_id, e.label
     ),
     ranked AS (

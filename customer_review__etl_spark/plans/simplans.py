@@ -826,6 +826,138 @@ def _s02_sql() -> str:
         """
 
 
+S10_BUCKET_CAP = 200  # occupancy cap on s02-style ANN buckets
+
+
+def s10_capped_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s02's sign-LSH ANN with OCCUPANCY-ADAPTIVE buckets — the s09
+    construction applied to the ANN (directed top-k) shape, closing the
+    round-9 probe's conviction of s02 (fixed 64 buckets → per-bucket
+    occupancy grows with the corpus → 472× wall at 30×,
+    SCALE_PROBE_30x.json): any bucket whose occupancy exceeds
+    S10_BUCKET_CAP splits 8 ways on planes 6–8, and QUERIES in refined
+    buckets multiprobe their own + the 3 hamming-1 sub-buckets
+    (neighbors stay home-keyed: the q→n candidate edge is directed, so
+    one probing side covers every ≤1-bit sub-signature difference).
+    Below the cap the sentinel sub-key (-1) makes the plan bit-identical
+    to s02 — at fixture scales (sf0.01: ~8/bucket, sf0.1: ~78/bucket)
+    this IS s02, so ml09's vote semantics are unchanged where the
+    oracle checks them, while the 30× probe corpus (~2.3 K/bucket)
+    refines and candidate fan-out stays occupancy-bounded. Further
+    decades stack levels exactly like s09's depth-2 (SCALING.md).
+
+    Scale: the size table is ≤ 64 rows and broadcasts; candidates ride
+    one hash equi-join on (bucket, sub-key); the top-k window
+    partitions by q_id over ≤ 4×cap rows per query."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        _bucket_col(ANN_PLANES).alias("bucket"),
+        _bucket_col(3, first_plane=6).alias("sub"),
+    ).cache()
+    sizes = emb.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
+    keyed = emb.join(F.broadcast(sizes), "bucket").select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        "bucket",
+        F.when(F.col("bn") > S10_BUCKET_CAP, F.col("sub"))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("sv"),
+    )
+    q = keyed.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+        F.explode(
+            F.when(
+                F.col("sv") >= 0,
+                F.array(
+                    F.col("sv"),
+                    F.col("sv").bitwiseXOR(F.lit(1)),
+                    F.col("sv").bitwiseXOR(F.lit(2)),
+                    F.col("sv").bitwiseXOR(F.lit(4)),
+                ),
+            ).otherwise(F.array(F.col("sv")))
+        ).alias("sv_p"),
+    )
+    c = keyed.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+        F.col("bucket").alias("n_bucket"),
+        F.col("sv").alias("sv_n"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
+    return (
+        q.join(
+            c,
+            (F.col("q_bucket") == F.col("n_bucket"))
+            & (F.col("sv_p") == F.col("sv_n"))
+            & (F.col("q_id") != F.col("n_id")),
+        )
+        .select(
+            "q_id",
+            "n_id",
+            cosine_from_norms(
+                F.col("q_emb"), F.col("n_emb"),
+                F.col("q_nrm"), F.col("n_nrm"),
+            ).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ANN_TOPK)
+        .select("q_id", "n_id", "cos", "rn")
+    )
+
+
+def _s10_sql(cap: int | None = None) -> str:
+    """The full s10 capped-ANN query — shared verbatim by the s10 spec
+    and ml09's kNN-vote oracle (the _s02_sql sharing pattern) so the
+    candidate semantics can never drift; `cap` parameterized so edge
+    tests differentially exercise the refined + multiprobe path."""
+    if cap is None:
+        cap = S10_BUCKET_CAP
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 {_sql_bucket(ANN_PLANES)} AS bucket,
+                 {_sql_bucket(3, 6)} AS sub
+          FROM embeddings
+        ),
+        sizes AS (SELECT bucket, count(1) AS bn FROM e GROUP BY 1),
+        keyed AS (
+          SELECT e.vec_id, e.v, e.bucket,
+                 CASE WHEN s.bn > {cap} THEN e.sub ELSE -1 END AS sv
+          FROM e JOIN sizes s USING (bucket)
+        ),
+        probes AS (
+          SELECT vec_id, v, bucket, _u.sv_p
+          FROM keyed,
+               UNNEST(CASE WHEN sv >= 0
+                           THEN [sv, xor(sv, 1), xor(sv, 2), xor(sv, 4)]
+                           ELSE [sv] END) AS _u(sv_p)
+        ),
+        pairs AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                 {_cos('q.v', 'c.v')} AS cos
+          FROM probes q JOIN keyed c
+            ON q.bucket = c.bucket AND q.sv_p = c.sv
+           AND q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+          SELECT q_id, n_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, n_id) AS rn
+          FROM pairs
+        )
+        SELECT q_id, n_id, cos, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= {ANN_TOPK}
+        """
+
+
 def _s03_pairs_sql() -> str:
     """The s03 near-dup pair set WITHOUT the final ORDER BY — shared
     verbatim by the s03 spec and s05's recursive closure so the two
@@ -1124,4 +1256,5 @@ SPECS = [
     ),
     QuerySpec("s08_rrf_fusion", s08_rrf_fusion, _s08_sql()),
     QuerySpec("s09_capped_lsh_neardup", s09_capped_lsh_neardup, _s09_sql()),
+    QuerySpec("s10_capped_ann", s10_capped_ann, _s10_sql()),
 ]

@@ -283,7 +283,10 @@ EMB_ONLY_QUERIES = ["s01_cosine_topk", "s02_ann_lsh", "s03_embedding_neardup",
                     # round-9: occupancy-adaptive LSH — zero vector and
                     # exact-duplicate embeddings pin the sentinel /
                     # refinement key paths (tiny buckets: must equal s03)
-                    "s09_capped_lsh_neardup"]
+                    "s09_capped_lsh_neardup",
+                    # round-10: occupancy-capped ANN (dormant caps must
+                    # make it s02 exactly on the tiny edge corpus)
+                    "s10_capped_ann"]
 
 
 @pytest.fixture(scope="module")
