@@ -227,8 +227,17 @@ def _time_queries(
 
     def _build_kind(item) -> None:
         kind, fn = item
+        # FAIR mode schedules round-robin BETWEEN pools but FIFO within
+        # one; each build gets its own on-demand pool (default weight)
+        # so concurrent warms genuinely share task slots (r9 ADVICE #2)
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"warm_{kind}"
+        )
         t = time.time()
-        fn(spark, sf_dir)  # forces the parquet landing on first touch
+        try:
+            fn(spark, sf_dir)  # forces the parquet landing on first touch
+        finally:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
         detail[kind] = round(time.time() - t, 3)
 
     warmers = shared_intermediates()

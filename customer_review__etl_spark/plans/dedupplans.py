@@ -1388,6 +1388,30 @@ D08_WINDOW = 8       # winnowing window w (consecutive k-grams)
 D08_GRAM = D08_SUBSTR_LEN - D08_WINDOW + 1  # k: anchor gram width
 
 
+def d08_doc_anchors(base: DataFrame) -> DataFrame:
+    """The (doc_id, anchor) winnowing stream d08's candidate join runs
+    on — exposed for the scale probe, which reports the anchor-stream
+    size alongside wall time (the candidate stage is the part that
+    must stay sublinear; the true-output stage is allowed to grow).
+
+    hs: xxhash64 of each k-gram; anchors: distinct rolling-window
+    minima. The trailing empty-slice rand() no-op marks the anchor
+    expression nondeterministic so InferFiltersFromGenerate's
+    size()-filter keeps referencing the ATTRIBUTE instead of cloning
+    the whole O(n·w) scan below the exchange (the t19/d04 lesson)."""
+    L, w, k = D08_SUBSTR_LEN, D08_WINDOW, D08_GRAM
+    anchors_expr = (
+        f"concat(array_distinct(transform("
+        f"sequence(1, length(text) - {L} + 1), "
+        f"j -> array_min(transform(sequence(j, j + {w} - 1), "
+        f"i -> xxhash64(substr(text, i, {k})))))), "
+        f"slice(array(cast(rand(42) AS bigint)), 1, 0))"
+    )
+    return base.select(
+        "doc_id", F.explode(F.expr(anchors_expr)).alias("anchor")
+    )
+
+
 def d08_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-substring dedup — the corpus-level
     signal t26 (within-doc line dedup) cannot see: every pair of
@@ -1421,27 +1445,13 @@ def d08_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions in the anchor stage can only add candidates, never
     results. Verify joins are on pairs, so bodies shuffle only for
     candidates, mirroring d04's candidate-only exact-verify shape."""
-    L, w, k = D08_SUBSTR_LEN, D08_WINDOW, D08_GRAM
+    L = D08_SUBSTR_LEN
     base = (
         _docs_par(spark, sf_dir)
         .filter(F.length("text") >= L)
         .select("doc_id", "text")
     )
-    # hs: xxhash64 of each k-gram; anchors: distinct rolling-window
-    # minima. The trailing empty-slice rand() no-op marks the anchor
-    # expression nondeterministic so InferFiltersFromGenerate's
-    # size()-filter keeps referencing the ATTRIBUTE instead of cloning
-    # the whole O(n·w) scan below the exchange (the t19/d04 lesson).
-    anchors_expr = (
-        f"concat(array_distinct(transform("
-        f"sequence(1, length(text) - {L} + 1), "
-        f"j -> array_min(transform(sequence(j, j + {w} - 1), "
-        f"i -> xxhash64(substr(text, i, {k})))))), "
-        f"slice(array(cast(rand(42) AS bigint)), 1, 0))"
-    )
-    doc_anchors = base.select(
-        "doc_id", F.explode(F.expr(anchors_expr)).alias("anchor")
-    )
+    doc_anchors = d08_doc_anchors(base)
     cand = (
         doc_anchors.alias("a")
         .join(

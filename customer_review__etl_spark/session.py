@@ -76,9 +76,14 @@ def get_spark(app_name: str = "customer-review-etl-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # FAIR job scheduling: bench.py's scratch warm-up (and any
         # caller building independent intermediates from threads) runs
-        # concurrent jobs; FAIR round-robins task slots between them so
-        # a long job cannot starve the rest (with a single job at a
-        # time this is indistinguishable from FIFO).
+        # concurrent jobs. NOTE (r9 ADVICE #2): FAIR round-robins
+        # BETWEEN pools; intra-pool order in the default pool is FIFO,
+        # which still lets queued jobs grab slots as the head job's
+        # stages drain. Callers that want true round-robin set a
+        # per-thread spark.scheduler.pool (bench.py's warm threads do;
+        # unnamed pools are created on demand with default weight).
+        # With a single job at a time this is indistinguishable from
+        # FIFO.
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
     )

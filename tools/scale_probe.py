@@ -81,6 +81,8 @@ PROBE_PAIR = [
     "s09_capped_lsh_neardup",  # the occupancy-adaptive answer to s03
     "d08_repeated_substrings",  # winnowed anchors; replication = true
                                 # quadratic output, organic = linear
+    "s10_capped_ann",  # occupancy-capped ANN: ml09's migrated leg —
+                       # must NOT reproduce s02's 472x conviction
 ]
 
 # the 9 most frequent English letters — rotating them per copy changes
@@ -206,6 +208,22 @@ def main() -> int:
             row["ratio_org"] = (
                 round(row["big_org"] / row["base"], 2) if row["base"] else None
             )
+        if name == "d08_repeated_substrings":
+            # the candidate stage's input size: anchors must grow ~N
+            # even when the TRUE pair output grows quadratically
+            from pyspark.sql import functions as F
+
+            from customer_review__etl_spark.plans import dedupplans
+            from customer_review__etl_spark.sources import tables
+
+            for key, d in (("base", src), ("repl", dst_repl),
+                           ("org", dst_org)):
+                docs = tables.load_parallel(spark, d, "documents").filter(
+                    F.length("text") >= dedupplans.D08_SUBSTR_LEN
+                ).select("doc_id", "text")
+                row[f"anchors_{key}"] = dedupplans.d08_doc_anchors(
+                    docs
+                ).count()
         out["queries"][name] = row
         print(f"{name}: {json.dumps(row)}", flush=True)
 
@@ -223,9 +241,9 @@ def main() -> int:
             pass
     path.write_text(json.dumps(out, indent=1) + "\n")
     lin = [
-        v.get("ratio_org") or v["ratio_repl"]
+        v.get("ratio_org") or v.get("ratio_repl")
         for n, v in out["queries"].items()
-        if v.get("ratio_org") or (n in PROBE and v["ratio_repl"])
+        if v.get("ratio_org") or (n in PROBE and v.get("ratio_repl"))
     ]
     print(json.dumps({"mult": mult,
                       "max_fair_ratio": max(lin) if lin else None}))
