@@ -148,63 +148,71 @@ PRIORITY: tuple[str, ...] = (
     #   would otherwise lack (f03, ml05) and the new round-10
     #   operator s10_capped_ann (never sampled, the ml09 ANN-leg
     #   migration target).
-    # overdue-hard (tools/coverage_report.py HARD_STALE=5)
-    "w01_row_number_topn",
-    "q12_shipmode_priority",
-    "d03_simhash_near_dup",
-    "s04_ivf_ann",
-    "st08_gapfill_resample",
-    # never-driver-sampled oracle-backed round-9 adds
-    "t27_perplexity_buckets",
-    "gr06_label_propagation",
-    "w13_forward_fill",
-    "p20_length_curriculum",
-    "st13_late_data_audit",
-    "s09_capped_lsh_neardup",
-    # the full r5 cohort (staleness 5 once r10 lands)
-    "d05_neardup_clusters",
-    "dc01_decontaminate",
-    "j02_inner_equi",
-    "p03_dedup_keep_first",
-    "p04_coerce_cast",
-    "s03_embedding_neardup",
-    "st05_stream_dedup",
-    "t03_topk_words",
-    "t05_lang_id",
-    "w03_running_sum",
-    # the full r6 cohort (staleness 4 once r10 lands → r11 otherwise)
-    "a01_group_count",
-    "a08_median_disc",
-    "a10_funnel_stages",
-    "d01_exact_dedup",
-    "d02_minhash_near_dup",
-    "g04_pivot",
-    "io01_csv_roundtrip",
-    "io06_schema_evolution",
-    "io10_zorder_cluster",
-    "j01_broadcast_theme_label",
-    "j08_asof_join",
-    "j09_salted_skew_agg",
-    "mm01_binary_meta",
-    "p01_project_sort",
-    "q13_customer_distribution",
-    "q5_local_supplier_volume",
-    "s01_cosine_topk",
-    "st01_tumbling_window",
-    "st03_session_window",
-    "st04_stream_tumbling",
-    "t01_text_chain",
-    "t11_chunk_dedup",
-    "t13_unigram_surprisal",
-    "t14_heavy_hitters",
-    "u02_sequence_pack",
-    "w05_ntile_frames",
-    # r7-cohort top-up (family coverage first — the head must keep an
-    # f and an ml representative — then alphabetical)
-    "f03_json_map_funcs",
-    "ml05_stratified_split",
-    # new round-10 operator (never driver-sampled)
-    "s10_capped_ann",
+    #   r11 (round-10 VERDICT ask #6, oldest-first from the 97-query
+    #   stale backlog): the ENTIRE r7 cohort — all 47 queries whose
+    #   last driver row is CORRECTNESS_r07 (staleness hits 4 the moment
+    #   r11 lands, so any skipped entry re-arms the HARD_STALE=5
+    #   tripwire at round-12 start) — plus the family representatives
+    #   that cohort lacks (f01 from r8 for the f family, g01 from r9
+    #   for the g family: the oldest unsampled member of each) and the
+    #   new round-11 composed operator pl04_data_recipe (never
+    #   sampled). Deferred to r12: the rest of the r8 cohort
+    #   (staleness 3 after r11; they age to hard at r13, forcing the
+    #   r12 rotation exactly as designed).
+    # the full r7 cohort (staleness 4 once r11 lands → hard at r12)
+    "p17_oversample_mix",
+    "p18_temperature_mix",
+    "a11_scalable_median",
+    "a13_grouped_quantiles",
+    "a12_observed_metrics",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q17_small_qty_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "j12_interval_overlap",
+    "j10_bucketed_range",
+    "j11_fuzzy_blocked_join",
+    "w10_sessionize",
+    "w07_scd2_intervals",
+    "u03_ewma_smooth",
+    "u05_grouped_agg_udf",
+    "t08_bpe_token_count",
+    "t15_bigram_surprisal",
+    "t16_tfidf_terms",
+    "t18_sliding_chunks",
+    "t19_cdc_chunks",
+    "t21_bpe_merges",
+    "d07_containment_pairs",
+    "d06_unified_clusters",
+    "dc02_neardup_decontaminate",
+    "s02_ann_lsh",
+    "s05_semantic_clusters",
+    "s06_pq_ann",
+    "st06_stateful_stats",
+    "st07_stream_static_join",
+    "st09_stream_stream_join",
+    "st11_incremental_resume",
+    "ml06_kmeans",
+    "ml07_naive_bayes",
+    "ml11_confidence_calibration",
+    "mm02_decode_features",
+    "io05_bucketed_join",
+    "io09_table_diff",
+    "io11_python_datasource",
+    "io14_merge_upsert",
+    "io15_snapshot_read",
+    "io13_partition_pruned_read",
+    "gr01_pagerank",
+    "gr02_triangle_count",
+    "pl01_training_pipeline",
+    "pl02_incremental_refresh",
+    # family top-ups the r7 cohort lacks (oldest unsampled per family)
+    "f01_string_date_math",
+    "g01_rollup",
+    # r8-cohort oldest-first top-up (provisional 50th slot; swaps for
+    # pl04_data_recipe when the round-11 composed pipeline lands)
+    "p16_scalable_ordinal",
 )
 
 
