@@ -45,6 +45,27 @@ NEAR_BANDS = 2   # s03: 2 bands × 3 planes
 NEAR_COS = 0.4   # s03 near-pair threshold (matches testdata's top tail)
 
 
+# One cached relation per op, swapped on re-invocation (round-10
+# ADVICE #2): s09/s10 cache their bucketed embedding scan because the
+# plan reads it 3-4 times, but a long-lived session (bench loops,
+# scale-probe reps) would otherwise accumulate one cached relation per
+# call until an external clearCache. Unpersisting the PREVIOUS call's
+# cache bounds storage at one relation per op; a still-held stale
+# DataFrame simply recomputes.
+_CACHE_SLOTS: dict[str, DataFrame] = {}
+
+
+def _cache_slot(key: str, df: DataFrame) -> DataFrame:
+    prev = _CACHE_SLOTS.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _CACHE_SLOTS[key] = df.cache()
+    return _CACHE_SLOTS[key]
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings + a precomputed L2 norm per vector: each vector's
     norm is folded ONCE at scan time, so candidate joins pay one dot
@@ -176,13 +197,16 @@ def s03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     would force an all-pairs nested loop. Only (vec_id, band, bucket)
     triples are shuffled for candidate generation; the 64-dim vectors
     are joined back solely for the per-candidate cosine check."""
-    emb = _emb(spark, sf_dir).select(
-        "vec_id",
-        "embedding",
-        "nrm",
-        _bucket_col(3, first_plane=0).alias("band0"),
-        _bucket_col(3, first_plane=3).alias("band1"),
-    ).cache()
+    emb = _cache_slot(
+        "s03",
+        _emb(spark, sf_dir).select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            _bucket_col(3, first_plane=0).alias("band0"),
+            _bucket_col(3, first_plane=3).alias("band1"),
+        ),
+    )
     bands = emb.select(
         "vec_id",
         F.explode(
@@ -350,7 +374,7 @@ def s09_capped_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     level buys exactly one decade of corpus growth before sub-buckets
     themselves exceed the cap. So the same construction recurses once:
     any LEVEL-2 sub-bucket (band, bv, sv) whose occupancy ALSO exceeds
-    S09_BUCKET_CAP splits 8 more ways on planes 12–14 (sv2), again
+    S09_BUCKET_CAP splits 8 more ways (sv2), again
     with hamming-1 multiprobe at the new level (≤1-bit disagreement
     per level recovered; fan-out 4×4 = 16 probe keys, paid ONLY by
     members of doubly-crowded buckets). Consistency rule that makes
@@ -359,17 +383,30 @@ def s09_capped_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is identical to the home-side decision of any member it can
     meet there — so both sides of every candidate pair agree on
     whether sv2 participates in the key. The level-2 size table is at
-    most 2 bands × 8 × 8 = 128 rows and broadcasts."""
-    emb = _emb(spark, sf_dir).select(
-        "vec_id",
-        "embedding",
-        "nrm",
-        _bucket_col(3, first_plane=0).alias("band0"),
-        _bucket_col(3, first_plane=3).alias("band1"),
-        _bucket_col(3, first_plane=6).alias("sub0"),
-        _bucket_col(3, first_plane=9).alias("sub1"),
-        _bucket_col(3, first_plane=12).alias("sub2"),
-    ).cache()
+    most 2 bands × 8 × 8 = 128 rows and broadcasts.
+
+    Per-band depth-2 planes (round-10 ADVICE #1): each band gets its
+    OWN level-2 planes — 12–14 for band 0, 15–17 for band 1 — matching
+    level 1's disjoint sub-planes (6–8 vs 9–11). With one shared sub2
+    column, a doubly-crowded pair differing ≥2 bits on planes 12–14
+    was dropped from BOTH bands at once, correlating band misses
+    exactly where the 2-band OR-construction is supposed to rescue
+    recall; disjoint planes restore the per-band independence the
+    ~0.69×-per-level recall model assumes."""
+    emb = _cache_slot(
+        "s09",
+        _emb(spark, sf_dir).select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            _bucket_col(3, first_plane=0).alias("band0"),
+            _bucket_col(3, first_plane=3).alias("band1"),
+            _bucket_col(3, first_plane=6).alias("sub0"),
+            _bucket_col(3, first_plane=9).alias("sub1"),
+            _bucket_col(3, first_plane=12).alias("sub2"),
+            _bucket_col(3, first_plane=15).alias("sub3"),
+        ),
+    )
     bands = emb.select(
         "vec_id",
         F.explode(
@@ -384,7 +421,7 @@ def s09_capped_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(1).alias("band"),
                     F.col("band1").alias("bv"),
                     F.col("sub1").alias("sv"),
-                    F.col("sub2").alias("s2r"),
+                    F.col("sub3").alias("s2r"),
                 ),
             )
         ).alias("e"),
@@ -520,13 +557,13 @@ WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          {_sql_bucket(3, 0)} AS band0, {_sql_bucket(3, 3)} AS band1,
          {_sql_bucket(3, 6)} AS sub0, {_sql_bucket(3, 9)} AS sub1,
-         {_sql_bucket(3, 12)} AS sub2
+         {_sql_bucket(3, 12)} AS sub2, {_sql_bucket(3, 15)} AS sub3
   FROM embeddings
 ),
 bands AS (
   SELECT vec_id, 0 AS band, band0 AS bv, sub0 AS sv, sub2 AS s2r FROM e
   UNION ALL
-  SELECT vec_id, 1 AS band, band1 AS bv, sub1 AS sv, sub2 AS s2r FROM e
+  SELECT vec_id, 1 AS band, band1 AS bv, sub1 AS sv, sub3 AS s2r FROM e
 ),
 sizes AS (SELECT band, bv, count(1) AS bn FROM bands GROUP BY 1, 2),
 keyed AS (
@@ -849,13 +886,16 @@ def s10_capped_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the size table is ≤ 64 rows and broadcasts; candidates ride
     one hash equi-join on (bucket, sub-key); the top-k window
     partitions by q_id over ≤ 4×cap rows per query."""
-    emb = _emb(spark, sf_dir).select(
-        "vec_id",
-        "embedding",
-        "nrm",
-        _bucket_col(ANN_PLANES).alias("bucket"),
-        _bucket_col(3, first_plane=6).alias("sub"),
-    ).cache()
+    emb = _cache_slot(
+        "s10",
+        _emb(spark, sf_dir).select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            _bucket_col(ANN_PLANES).alias("bucket"),
+            _bucket_col(3, first_plane=6).alias("sub"),
+        ),
+    )
     sizes = emb.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
     keyed = emb.join(F.broadcast(sizes), "bucket").select(
         "vec_id",
