@@ -223,8 +223,18 @@ def fit_classifier(
                 inputCol="unigrams", outputCol="tf_c", vocabSize=VOCAB_SIZE
             ),
             IDF(inputCol="tf_c", outputCol="features"),
+            # handleInvalid="keep": a label that appears only in the
+            # test stratum (a 1-doc language: ⌊4·1/5⌋ = 0 train rows)
+            # must SCORE, not crash — it indexes to the extra "unseen"
+            # class, which no prediction can equal, so it counts as
+            # incorrect; known-label indices are unchanged. At corpus
+            # scale unseen serving labels are routine, and a scoring
+            # pass that aborts on one is a pipeline outage.
             StringIndexer(
-                inputCol=label_col, outputCol="label", stringOrderType="alphabetAsc"
+                inputCol=label_col,
+                outputCol="label",
+                stringOrderType="alphabetAsc",
+                handleInvalid="keep",
             ),
             RandomForestClassifier(
                 numTrees=N_TREES,

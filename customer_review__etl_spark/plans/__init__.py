@@ -210,9 +210,9 @@ PRIORITY: tuple[str, ...] = (
     # family top-ups the r7 cohort lacks (oldest unsampled per family)
     "f01_string_date_math",
     "g01_rollup",
-    # r8-cohort oldest-first top-up (provisional 50th slot; swaps for
-    # pl04_data_recipe when the round-11 composed pipeline lands)
-    "p16_scalable_ordinal",
+    # new round-11 composed operator (never driver-sampled; took the
+    # provisional p16 slot — p16 rotates with its r8 cohort at r12)
+    "pl04_data_recipe",
 )
 
 

@@ -488,10 +488,183 @@ ORDER BY query_id, rank
 """
 
 
+def pl04_data_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DATA RECIPE — every corpus-preparation stage this
+    engine ships, composed into the one pipeline a pretraining run
+    actually consumes (round-9/10 VERDICT ask; the reference's
+    miniature chain is cleaner.py:99-128 dedup+clean feeding
+    ml_pipeline_dag.py's training stages — this is that chain at
+    LLM-corpus generality):
+
+    1. NEAR-DUP survivors — d05's MinHash-LSH pairs → connected
+       components → keep-first survivor map; survivors only;
+    2. DECONTAMINATION — drop the eval slice (doc_id % 13 == 0), every
+       train doc sharing a 5-token gram with the eval set (dc01), and
+       every train doc containing an eval doc verbatim (dc03). Both
+       flag sets are computed on the RAW corpus, exactly the registry
+       twins — contamination sources don't get cleaner because
+       training data did (the pl01 rule);
+    3. QUALITY GATE — t25's Gopher/C4 integer-exact rule verdicts,
+       keep = true;
+    4. WEIGHTED MIX — p14's content-addressed ≈40 % uniform-language
+       rebalance, rates derived from the POST-GATE histogram (the mix
+       targets the corpus that exists after cleaning, not the raw
+       counts);
+    5. PACKING — p19's concat-and-chunk into PACK_BUDGET-token
+       training sequences via the shared pack_sequences core.
+
+    Output: one row per (sequence, doc) slice — (seq_id, doc_id,
+    tok_offset, slice_len, lang) — the physical training-batch layout,
+    ordered by (seq_id, doc_id).
+
+    Every stage reuses its standalone registry twin's exact semantics
+    (stages 1-3 call the twins outright), so the oracle is the
+    composition of five already-proven oracle fragments — the
+    composition's plumbing, not new semantics, is what it pins.
+
+    Scale (100 TB manners): the five stages chain by doc_id equi-joins
+    on id-only projections — document BODIES are read in the d05/dc/t25
+    fragments' own scans (each already scale-audited) and again only
+    for the final token count; no stage shuffles text. The mix
+    histogram is ≤ #langs rows and broadcasts both ways; packing is
+    the two-phase per-partition-offset cumsum (no global window)."""
+    from . import dedupplans, textplans
+    from .dedupplans import DECON_EVAL_MOD
+    from .relational import pack_sequences
+    from .textplans import BPE_PATTERN
+
+    surv = (
+        dedupplans.d05_neardup_clusters(spark, sf_dir)
+        .filter(F.col("survivor") == 1)
+        .select("doc_id")
+    )
+    dc1 = (
+        dedupplans.dc01_decontaminate(spark, sf_dir)
+        .filter("contaminated")
+        .select("doc_id")
+    )
+    dc3 = (
+        dedupplans.dc03_verbatim_decontaminate(spark, sf_dir)
+        .select(F.col("train_doc").alias("doc_id"))
+        .distinct()
+    )
+    gate = (
+        textplans.t25_quality_rules(spark, sf_dir)
+        .filter("keep")
+        .select("doc_id")
+    )
+    clean = (
+        tables.load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+        .join(surv, "doc_id")
+        .join(gate, "doc_id")
+        .join(dc1, "doc_id", "left_anti")
+        .join(dc3, "doc_id", "left_anti")
+    )
+    # p14's mix device over the post-gate corpus: uniform-language
+    # targets, content-addressed membership (16-bit md5 fraction)
+    stats = clean.groupBy("lang").agg(F.count(F.lit(1)).alias("n_g"))
+    tot = stats.agg(
+        F.sum("n_g").alias("n_total"), F.count(F.lit(1)).alias("n_groups")
+    )
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            (F.lit(0.4) * F.col("n_total").cast("double"))
+            / (F.col("n_groups") * F.col("n_g")).cast("double"),
+        ).alias("rate"),
+    )
+    frac16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("double")
+    mixed = clean.join(F.broadcast(rates), "lang").filter(
+        frac16 < F.col("rate") * F.lit(65536.0)
+    )
+    toks = F.size(
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col("text"), F.lit(""))),
+            F.lit(BPE_PATTERN),
+            0,
+        )
+    ).cast("long")
+    packed_in = mixed.select("doc_id", toks.alias("n_tokens"), "lang")
+    return pack_sequences(spark, packed_in, carry=("lang",)).orderBy(
+        "seq_id", "doc_id"
+    )
+
+
+def _pl04_sql() -> str:
+    from .dedupplans import _D05_SQL, _DC01_SQL, _DC03_SQL, DECON_EVAL_MOD
+    from .relational import PACK_BUDGET
+    from .textplans import BPE_PATTERN, _t25_oracle
+
+    B = PACK_BUDGET
+    return f"""
+WITH surv AS (SELECT doc_id FROM ({_D05_SQL}) WHERE survivor = 1),
+dcflag AS (
+  SELECT doc_id FROM ({_DC01_SQL}) WHERE contaminated
+  UNION
+  SELECT train_doc FROM ({_DC03_SQL})
+),
+gate AS (SELECT doc_id FROM ({_t25_oracle()}) WHERE keep),
+clean AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM documents d JOIN surv USING (doc_id) JOIN gate USING (doc_id)
+  WHERE d.doc_id % {DECON_EVAL_MOD} <> 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM dcflag)
+),
+s AS (SELECT lang, count(*)::BIGINT AS n_g FROM clean GROUP BY lang),
+t AS (SELECT sum(n_g)::BIGINT AS n_total, count(*)::BIGINT AS n_groups
+      FROM s),
+r AS (SELECT lang,
+             least(1.0::DOUBLE,
+                   (0.4::DOUBLE * n_total::DOUBLE)
+                   / (n_groups * n_g)::DOUBLE) AS rate
+      FROM s, t),
+mixed AS (
+  SELECT c.doc_id, c.lang, c.text
+  FROM clean c JOIN r USING (lang)
+  WHERE ('0x' || substr(md5(c.doc_id::VARCHAR), 1, 4))::INT::DOUBLE
+        < r.rate * 65536.0
+),
+toks AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(coalesce(text, '')),
+             '{BPE_PATTERN}'))::BIGINT AS n_tokens
+  FROM mixed
+),
+cum AS (
+  SELECT doc_id, lang, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n_tokens)::BIGINT AS tok_start
+  FROM toks WHERE n_tokens > 0
+),
+spans AS (
+  SELECT unnest(generate_series(tok_start // {B},
+                                (tok_start + n_tokens - 1) // {B}))::BIGINT
+           AS seq_id,
+         doc_id, lang, n_tokens, tok_start
+  FROM cum
+)
+SELECT seq_id, doc_id,
+       (greatest(tok_start, seq_id * {B}) - seq_id * {B})::BIGINT
+         AS tok_offset,
+       (least(tok_start + n_tokens, (seq_id + 1) * {B})
+        - greatest(tok_start, seq_id * {B}))::BIGINT AS slice_len,
+       lang
+FROM spans
+ORDER BY seq_id, doc_id
+"""
+
+
 SPECS = [
     QuerySpec("pl01_training_pipeline", pl01_training_pipeline, _PL01_SQL),
     QuerySpec(
         "pl02_incremental_refresh", pl02_incremental_refresh, _PL02_SQL
     ),
     QuerySpec("pl03_retrieval_corpus", pl03_retrieval_corpus, _pl03_sql()),
+    QuerySpec("pl04_data_recipe", pl04_data_recipe, _pl04_sql()),
 ]

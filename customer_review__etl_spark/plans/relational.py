@@ -478,16 +478,13 @@ ORDER BY d.doc_id
 """
 
 
-def p19_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declarative sequence packing (concat-and-chunk): documents in
-    doc_id order are concatenated into one global token stream and cut
-    into fixed PACK_BUDGET-token training sequences; a doc straddling a
-    cut spans both sequences — the GPT-style packing that wastes zero
-    budget (u02 is the no-span next-fit twin, where a doc that doesn't
-    fit opens a fresh sequence). Token counts are t08's BPE-ish
-    pre-tokenizer counts. Emits one row per (doc, sequence) slice:
-    (seq_id, doc_id, tok_offset of the slice within the sequence,
-    slice_len). Zero-token docs contribute no slice.
+def pack_sequences(
+    spark: SparkSession, docs: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Concat-and-chunk packing core shared by p19 and pl04: `docs`
+    is (doc_id, n_tokens[, *carry]); emits one unordered row per
+    (doc, sequence) slice — (seq_id, doc_id, tok_offset, slice_len,
+    *carry). Zero-token docs contribute no slice.
 
     Running-sum + bucket-break, zero UDF. The global cumulative token
     count reuses p16's two-phase scalable-ordinal machinery: range
@@ -500,20 +497,7 @@ def p19_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceil(n_tokens/B)+1, bounded by doc length, and the only wide op
     after the range partition is the explode's narrow map."""
     B = PACK_BUDGET
-    from .textplans import BPE_PATTERN
-
-    toks = F.size(
-        F.regexp_extract_all(
-            F.lower(F.coalesce(F.col("text"), F.lit(""))),
-            F.lit(BPE_PATTERN),
-            0,
-        )
-    ).cast("long")
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", toks.alias("n_tokens"))
-        .filter(F.col("n_tokens") > 0)
-    )
+    docs = docs.filter(F.col("n_tokens") > 0)
     n_parts = spark.sparkContext.defaultParallelism
     # localCheckpoint pins ONE materialized partitioning (p16's rule):
     # the offsets pass and the running-sum pass must see identical
@@ -550,6 +534,7 @@ def p19_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "tok_start",
+            *carry,
             F.explode(F.sequence(seq_lo, seq_hi)).alias("seq_id"),
         )
         .select(
@@ -557,9 +542,35 @@ def p19_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             (slice_lo - F.col("seq_id") * B).cast("long").alias("tok_offset"),
             (slice_hi - slice_lo).cast("long").alias("slice_len"),
+            *carry,
         )
-        .orderBy("seq_id", "doc_id")
     )
+
+
+def p19_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative sequence packing (concat-and-chunk): documents in
+    doc_id order are concatenated into one global token stream and cut
+    into fixed PACK_BUDGET-token training sequences; a doc straddling a
+    cut spans both sequences — the GPT-style packing that wastes zero
+    budget (u02 is the no-span next-fit twin, where a doc that doesn't
+    fit opens a fresh sequence). Token counts are t08's BPE-ish
+    pre-tokenizer counts. Emits one row per (doc, sequence) slice:
+    (seq_id, doc_id, tok_offset of the slice within the sequence,
+    slice_len). Core machinery in pack_sequences (shared with pl04's
+    composed recipe) — scale notes there."""
+    from .textplans import BPE_PATTERN
+
+    toks = F.size(
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col("text"), F.lit(""))),
+            F.lit(BPE_PATTERN),
+            0,
+        )
+    ).cast("long")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("n_tokens")
+    )
+    return pack_sequences(spark, docs).orderBy("seq_id", "doc_id")
 
 
 def _p19_oracle() -> str:

@@ -132,6 +132,19 @@ DOCS_ONLY_QUERIES = [
     # 1 (bitlen(0)); exact-dup docs get distinct ordinals via the
     # doc_id tie-break; stages are sparse on the tiny corpus
     "p20_length_curriculum",
+    # round-11 coverage sweep (the 8 never-edge-tested):
+    # md5 split — NULL-text docs still split (content-addressed on
+    # doc_id, not text); the tiny corpus pins the threshold compare
+    "ml03_train_test_split",
+    # classifier gate — single-doc langs give 1-row test strata; the
+    # oracle-pinned integer claims (n_test/n_majority/coverage) must
+    # reproduce from the ml05 split formula even at degenerate size
+    "ml10_classifier_gate",
+    # round-11: the composed data recipe — the exact-dup pair (0,13)
+    # collapses to one survivor, doc 13 is ALSO dc03-flagged (contains
+    # eval doc 0 verbatim), NULL/short docs fall at the t25 gate, and
+    # the packing must agree on the handful of survivors
+    "pl04_data_recipe",
 ]
 
 
@@ -253,6 +266,17 @@ EVENTS_ONLY_QUERIES = [
     # the even/odd arrival batches make real late drops; windows past
     # the final watermark must not emit
     "st13_late_data_audit",
+    # round-11 coverage sweep (the 8 never-edge-tested):
+    # real readStream tumbling — NULL-type rows form their own group,
+    # negative/huge values ride the exact cents sums through the
+    # stream ≡ batch hash gate
+    "st04_stream_tumbling",
+    # streaming dedup — the duplicate (ts, user, type) rows at t=200
+    # must collapse once within the single micro-batch horizon
+    "st05_stream_dedup",
+    # applyInPandasWithState stats — per-user exact cents sums over
+    # NULL-type/negative-value rows, keep-latest collapse ≡ batch
+    "st06_stateful_stats",
 ]
 
 
@@ -508,29 +532,32 @@ _D96 = datetime.datetime(1996, 2, 1)   # inside q15's 1996-Q1 window
 _D97 = datetime.datetime(1997, 6, 1)   # inside q20's 1997 window
 _L = "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, " \
     "l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, " \
-    "l_shipdate TIMESTAMP_NTZ, l_returnflag STRING"
+    "l_shipdate TIMESTAMP_NTZ, l_returnflag STRING, l_linenumber BIGINT"
 EDGE_LINEITEM = [
     # part 1 (Brand#4, 'red widget'): non-null quantities 1,10,10,10,1
     # → only the qty-1 rows qualify for q17. 1997 rows drive q20:
     # s2 ships 10 of part 1's 12 total → dominant (2·10 > 12)
-    (100, 1, 1, 1.0, 11.11, 0.1, _D97, "R"),
-    (100, 1, 2, 10.0, 22.22, 0.0, _D97, "N"),
-    (101, 1, 1, 10.0, 33.33, 0.05, _D96, "R"),
-    (101, 1, 2, 10.0, 44.44, None, _D96, "R"),   # NULL discount → NULL vol
+    # l_linenumber (trailing, round-11 for io10): duplicate (1,1) on
+    # orderkey 100's first two rows pins io10's zval/orderkey/linenumber
+    # sort tie-break; one NULL linenumber must order identically
+    (100, 1, 1, 1.0, 11.11, 0.1, _D97, "R", 1),
+    (100, 1, 2, 10.0, 22.22, 0.0, _D97, "N", 1),
+    (101, 1, 1, 10.0, 33.33, 0.05, _D96, "R", 2),
+    (101, 1, 2, 10.0, 44.44, None, _D96, "R", 3),   # NULL discount → NULL vol
     # part 3 (Brand#4): quantities 5,2 — none under 20% of the avg
-    (102, 3, 1, 5.0, 55.55, 0.2, _D95, "R"),
+    (102, 3, 1, 5.0, 55.55, 0.2, _D95, "R", 1),
     # s3's 1996-Q1 revenue EXACTLY ties s1's (same price × discount):
     # q15 must keep both tied suppliers
-    (106, 3, 3, 2.0, 33.33, 0.05, _D96, "N"),
+    (106, 3, 3, 2.0, 33.33, 0.05, _D96, "N", 1),
     # part 2 (other brand): ignored by q17 regardless of quantity
-    (103, 2, 1, 0.01, 66.66, 0.0, None, "R"),    # NULL shipdate
+    (103, 2, 1, 0.01, 66.66, 0.0, None, "R", None),  # NULL shipdate+linenum
     # NULL partkey / NULL suppkey / NULL quantity rows
-    (104, None, 1, 1.0, 10.0, 0.0, _D97, "R"),
-    (100, 1, None, 1.0, 10.0, 0.0, _D97, "R"),
-    (105, 1, 2, None, 10.0, 0.1, _D97, "N"),
+    (104, None, 1, 1.0, 10.0, 0.0, _D97, "R", 2),
+    (100, 1, None, 1.0, 10.0, 0.0, _D97, "R", 3),
+    (105, 1, 2, None, 10.0, 0.1, _D97, "N", 4),
     # NULL-partkey row from the one EUROPE supplier: q11 must emit a
     # NULL part group in BOTH engines; orderkey 107 matches no order
-    (107, None, 2, 1.0, 5.0, 0.0, _D97, "N"),
+    (107, None, 2, 1.0, 5.0, 0.0, _D97, "N", 1),
 ]
 _O = "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " \
     "o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING, o_totalprice DOUBLE"
@@ -633,6 +660,18 @@ TPCH_ONLY_QUERIES = [
     # before pairing; ties in neighbor-label frequency must break to
     # the SMALLEST label identically across engines on the tiny graph
     "gr06_label_propagation",
+    # round-11 coverage sweep (the 8 never-edge-tested):
+    # schema evolution — the NULL-region nation row lands in the v2
+    # (wide) file set, old v1 files null-fill n_regionkey on read
+    "io06_schema_evolution",
+    # z-order clustering — NULL part/supp keys give NULL zvals, which
+    # must survive the range partition and drop in the rectangle
+    # filter; duplicate (zval, orderkey) rows pin the linenumber
+    # tie-break (the fixture gained l_linenumber for this)
+    "io10_zorder_cluster",
+    # Python DataSource — sf_dir-agnostic by design; running it here
+    # pins the registration + Arrow scan path inside the edge session
+    "io11_python_datasource",
 ]
 
 
