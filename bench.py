@@ -175,6 +175,10 @@ HEADLINE = [
     "p20_length_curriculum",
     "st13_late_data_audit",
     "s09_capped_lsh_neardup",
+    # round-10/11 additions (s10: the coverage tripwire's never_benched
+    # warning; pl04: the composed data recipe)
+    "s10_capped_ann",
+    "pl04_data_recipe",
 ]
 
 

@@ -56,6 +56,8 @@ EXPECTED_BNLJ = {
                               # query-set width: ONE-row (N, S) chunk
                               # totals + the 3-row anchor-embedding
                               # broadcast (vec_id ≠ query anchor non-equi)
+    "pl04_data_recipe",  # inherits p14's ONE-row (N, G) totals broadcast
+                         # cross onto the ≤#langs mix-rate table
 }
 
 
