@@ -328,13 +328,20 @@ def s04_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 S09_BUCKET_CAP = 200  # level-1 (band, bucket) occupancy refinement cap
-# level-2 sub-bucket occupancy cap driving the DEPTH-2 split (planes
-# 12-14).  A separate knob from S09_BUCKET_CAP: each refinement level
-# trades ~0.69x recall on the pairs it touches (P[<=1-bit/3-plane
+# sub-bucket occupancy cap driving every DEEPER split (levels >= 2).
+# A separate knob from S09_BUCKET_CAP: each refinement level trades
+# ~0.69x recall on the pairs it touches (P[<=1-bit/3-plane
 # disagreement at cos 0.4]), so deployments tune the levels
-# independently - refine level 2 only where level 1 is genuinely
+# independently - refine level N only where level N-1 is genuinely
 # saturated, one decade of corpus growth per level (SCALING.md).
 S09_SUBBUCKET_CAP = 200
+# refinement levels below the band bucket. The round-10 30x probe
+# measured depth-2 at 69-78x wall (completing where depth-1 timed out
+# >370x): 30x sf0.1 is 1.5 decades, and the per-level stacking rule
+# says the half-decade past depth-2's budget needs level 3. The
+# construction is a LOOP, not hand-unrolled levels — raising this knob
+# is the entire scale response as a corpus grows by further decades.
+S09_MAX_DEPTH = 3
 
 
 def s09_capped_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,30 +376,35 @@ def s09_capped_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: explode to (vec_id, band, key) triples, hash equi-join,
     exact cosine ≥ NEAR_COS on candidates only.
 
-    DEPTH-2 (round-10, VERDICT ask #2 — SCALING.md's level-stacking
-    rule made real): the round-9 30× probe showed one 8-way refinement
-    level buys exactly one decade of corpus growth before sub-buckets
-    themselves exceed the cap. So the same construction recurses once:
-    any LEVEL-2 sub-bucket (band, bv, sv) whose occupancy ALSO exceeds
-    S09_BUCKET_CAP splits 8 more ways (sv2), again
-    with hamming-1 multiprobe at the new level (≤1-bit disagreement
-    per level recovered; fan-out 4×4 = 16 probe keys, paid ONLY by
-    members of doubly-crowded buckets). Consistency rule that makes
-    the asymmetric probing exact: the level-3 decision for a probe is
-    keyed on the occupancy of the TARGET sub-bucket (band, bv, sv_p),
-    which is identical to the home-side decision of any member it can
-    meet there — so both sides of every candidate pair agree on
-    whether sv2 participates in the key. The level-2 size table is at
-    most 2 bands × 8 × 8 = 128 rows and broadcasts.
+    GENERALIZED DEPTH (round-11 — SCALING.md's level-stacking rule as
+    a LOOP, not hand-unrolled levels): the round-9 30× probe showed
+    one 8-way refinement level buys one decade of corpus growth before
+    its sub-buckets themselves exceed the cap, and the round-10 depth-2
+    measurement confirmed it (30× = 1.5 decades → depth-2 completes at
+    69–78× wall where depth-1 timed out >370×, with the residual
+    superlinearity coming from the saturated THIRD level). So the
+    construction is one loop over S09_MAX_DEPTH levels: at level lv
+    any path (band, bv, k1..k_{{lv-1}}) whose occupancy exceeds its cap
+    splits 8 more ways on that level's planes, with hamming-1
+    multiprobe at every refined level (≤1-bit disagreement per level
+    recovered; fan-out 4^lv probe keys paid ONLY by members of
+    lv-times-crowded buckets). Consistency rule that makes the
+    asymmetric probing exact at every level: the level-(lv+1) decision
+    for a probe keys on the occupancy of the TARGET path
+    (band, bv, p1..p_lv), identical to the home-side decision of any
+    member it can meet there — so both sides of every candidate pair
+    agree on whether level lv+1 participates in the key. The level-lv
+    size table is ≤ 2·8^lv rows and broadcasts. Raising S09_MAX_DEPTH
+    is the entire scale response for further decades of growth.
 
-    Per-band depth-2 planes (round-10 ADVICE #1): each band gets its
-    OWN level-2 planes — 12–14 for band 0, 15–17 for band 1 — matching
-    level 1's disjoint sub-planes (6–8 vs 9–11). With one shared sub2
-    column, a doubly-crowded pair differing ≥2 bits on planes 12–14
-    was dropped from BOTH bands at once, correlating band misses
-    exactly where the 2-band OR-construction is supposed to rescue
-    recall; disjoint planes restore the per-band independence the
-    ~0.69×-per-level recall model assumes."""
+    Per-band planes at every level (round-10 ADVICE #1): level lv,
+    band b uses planes 6·lv+3·b .. 6·lv+3·b+2 — disjoint across bands
+    AND levels. With a shared sub column, a crowded pair differing ≥2
+    bits on it was dropped from BOTH bands at once, correlating band
+    misses exactly where the 2-band OR-construction is supposed to
+    rescue recall; disjoint planes restore the per-band independence
+    the ~0.69×-per-level recall model assumes."""
+    D = S09_MAX_DEPTH
     emb = _cache_slot(
         "s09",
         _emb(spark, sf_dir).select(
@@ -401,120 +413,101 @@ def s09_capped_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nrm",
             _bucket_col(3, first_plane=0).alias("band0"),
             _bucket_col(3, first_plane=3).alias("band1"),
-            _bucket_col(3, first_plane=6).alias("sub0"),
-            _bucket_col(3, first_plane=9).alias("sub1"),
-            _bucket_col(3, first_plane=12).alias("sub2"),
-            _bucket_col(3, first_plane=15).alias("sub3"),
+            # level lv, band b → planes 6·lv+3·b .. 6·lv+3·b+2 (the
+            # per-band disjointness rule at every level)
+            *[
+                _bucket_col(3, first_plane=6 * lv + 3 * b).alias(
+                    f"sub{lv}b{b}"
+                )
+                for lv in range(1, D + 1)
+                for b in (0, 1)
+            ],
         ),
     )
     bands = emb.select(
         "vec_id",
         F.explode(
             F.array(
-                F.struct(
-                    F.lit(0).alias("band"),
-                    F.col("band0").alias("bv"),
-                    F.col("sub0").alias("sv"),
-                    F.col("sub2").alias("s2r"),
-                ),
-                F.struct(
-                    F.lit(1).alias("band"),
-                    F.col("band1").alias("bv"),
-                    F.col("sub1").alias("sv"),
-                    F.col("sub3").alias("s2r"),
-                ),
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"band{b}").alias("bv"),
+                        *[
+                            F.col(f"sub{lv}b{b}").alias(f"r{lv}")
+                            for lv in range(1, D + 1)
+                        ],
+                    )
+                    for b in (0, 1)
+                ]
             )
         ).alias("e"),
-    ).select("vec_id", "e.band", "e.bv", "e.sv", "e.s2r")
-    sizes = bands.groupBy("band", "bv").agg(F.count(F.lit(1)).alias("bn"))
-    keyed = bands.join(F.broadcast(sizes), ["band", "bv"]).select(
-        "vec_id",
-        "band",
-        "bv",
-        F.when(F.col("bn") > S09_BUCKET_CAP, F.col("sv"))
-        .otherwise(F.lit(-1))
-        .cast("long")
-        .alias("sv"),
-        "s2r",
-    )
-    # level-2 sub-bucket occupancy: drives the depth-2 refinement on
-    # BOTH sides (home key and probe target — same (band, bv, sv) row)
-    sizes2 = (
-        keyed.filter(F.col("sv") >= 0)
-        .groupBy("band", "bv", "sv")
-        .agg(F.count(F.lit(1)).alias("sn"))
-    )
-    keyed2 = keyed.join(F.broadcast(sizes2), ["band", "bv", "sv"], "left").select(
-        "vec_id",
-        "band",
-        "bv",
-        "sv",
-        F.when(
-            (F.col("sv") >= 0) & (F.col("sn") > S09_SUBBUCKET_CAP), F.col("s2r")
+    ).select("vec_id", "e.*")
+    # One loop builds both sides. HOME keys k1..kD: level lv splits on
+    # r_lv iff the parent path's occupancy exceeds its cap (a child key
+    # can only be live when the parent's is — unmatched size rows give
+    # NULL n → sentinel -1). PROBE keys p1..pD: a member probes its own
+    # sub-key plus the 3 hamming-1 variants iff the TARGET path
+    # (band, bv, p1..p_{lv-1}) is refined — the occupancy it keys on is
+    # the same row every home member of that path keyed on, so both
+    # sides of every reachable pair agree on whether level lv
+    # participates (the depth-2 consistency rule, now per level).
+    # Size tables are ≤ 2·8^lv rows and broadcast.
+    keyed = bands
+    probes = bands
+    path = ["band", "bv"]
+    for lv in range(1, D + 1):
+        cap = S09_BUCKET_CAP if lv == 1 else S09_SUBBUCKET_CAP
+        src = keyed if lv == 1 else keyed.filter(F.col(f"k{lv - 1}") >= 0)
+        sizes = src.groupBy(*path).agg(F.count(F.lit(1)).alias("n"))
+        keyed = (
+            keyed.join(F.broadcast(sizes), path, "left")
+            .withColumn(
+                f"k{lv}",
+                F.when(F.col("n") > cap, F.col(f"r{lv}"))
+                .otherwise(F.lit(-1))
+                .cast("long"),
+            )
+            .drop("n")
         )
-        .otherwise(F.lit(-1))
-        .cast("long")
-        .alias("sv2"),
-        "s2r",
-    )
-    # level-2 multiprobe: refined members (sv ≥ 0) additionally probe
-    # the 3 hamming-1 sub-buckets; the lower id's probe set meeting the
-    # higher id's HOME key covers every ≤1-bit sub-signature difference
-    # (hamming is symmetric, so one probing side suffices)
-    p1 = keyed2.select(
-        "vec_id",
-        "band",
-        "bv",
-        "s2r",
-        F.explode(
-            F.when(
-                F.col("sv") >= 0,
-                F.array(
-                    F.col("sv"),
-                    F.col("sv").bitwiseXOR(F.lit(1)),
-                    F.col("sv").bitwiseXOR(F.lit(2)),
-                    F.col("sv").bitwiseXOR(F.lit(4)),
+        ppath = ["band", "bv"] + [f"p{i}" for i in range(1, lv)]
+        tsizes = sizes.select(
+            *[F.col(c).alias(p) for c, p in zip(path, ppath)],
+            F.col("n").alias("tn"),
+        )
+        probes = (
+            probes.join(F.broadcast(tsizes), ppath, "left")
+            .withColumn(
+                f"p{lv}",
+                F.explode(
+                    F.when(
+                        F.col("tn") > cap,
+                        F.array(
+                            F.col(f"r{lv}"),
+                            F.col(f"r{lv}").bitwiseXOR(F.lit(1)),
+                            F.col(f"r{lv}").bitwiseXOR(F.lit(2)),
+                            F.col(f"r{lv}").bitwiseXOR(F.lit(4)),
+                        ),
+                    ).otherwise(F.array(F.lit(-1).cast("long")))
                 ),
-            ).otherwise(F.array(F.col("sv")))
-        ).alias("sv_p"),
-    )
-    # level-3 multiprobe, gated on the TARGET sub-bucket's occupancy
-    sizes2_p = sizes2.select(
-        "band", "bv", F.col("sv").alias("sv_p"), F.col("sn").alias("sn_p")
-    )
-    probes = p1.join(F.broadcast(sizes2_p), ["band", "bv", "sv_p"], "left").select(
-        "vec_id",
-        "band",
-        "bv",
-        "sv_p",
-        F.explode(
-            F.when(
-                F.col("sn_p") > S09_SUBBUCKET_CAP,
-                F.array(
-                    F.col("s2r"),
-                    F.col("s2r").bitwiseXOR(F.lit(1)),
-                    F.col("s2r").bitwiseXOR(F.lit(2)),
-                    F.col("s2r").bitwiseXOR(F.lit(4)),
-                ),
-            ).otherwise(F.array(F.lit(-1).cast("long")))
-        ).alias("sv2_p"),
-    )
-    k2 = keyed2.select(
+            )
+            .drop("tn")
+        )
+        path = path + [f"k{lv}"]
+    k2 = keyed.select(
         F.col("vec_id").alias("vec_b"),
         F.col("band").alias("band_b"),
         F.col("bv").alias("bv_b"),
-        F.col("sv").alias("sv_b"),
-        F.col("sv2").alias("sv2_b"),
+        *[F.col(f"k{lv}").alias(f"k{lv}_b") for lv in range(1, D + 1)],
     )
+    cond = (
+        (F.col("band") == F.col("band_b"))
+        & (F.col("bv") == F.col("bv_b"))
+        & (F.col("vec_id") < F.col("vec_b"))
+    )
+    for lv in range(1, D + 1):
+        cond = cond & (F.col(f"p{lv}") == F.col(f"k{lv}_b"))
     cand = (
-        probes.join(
-            k2,
-            (F.col("band") == F.col("band_b"))
-            & (F.col("bv") == F.col("bv_b"))
-            & (F.col("sv_p") == F.col("sv_b"))
-            & (F.col("sv2_p") == F.col("sv2_b"))
-            & (F.col("vec_id") < F.col("vec_b")),
-        )
+        probes.join(k2, cond)
         .select(F.col("vec_id").alias("vec_a"), "vec_b")
         .distinct()
     )
@@ -544,67 +537,95 @@ def s09_capped_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _s09_sql(cap: int | None = None, cap2: int | None = None) -> str:
-    """Oracle twin of s09; caps parameterized (round-9 ADVICE #4) so
-    edge tests can differentially exercise the refined + multiprobe
-    paths (both levels) under small caps instead of pytest-only."""
+def _s09_sql(
+    cap: int | None = None,
+    cap2: int | None = None,
+    depth: int | None = None,
+) -> str:
+    """Oracle twin of s09, generated by the SAME per-level loop as the
+    Spark plan; caps parameterized (round-9 ADVICE #4) so edge tests
+    can differentially exercise the refined + multiprobe paths at
+    every level under small caps, and `depth` parameterized so tests
+    can pin that a deeper level only PRUNES its parent's candidates."""
     if cap is None:
         cap = S09_BUCKET_CAP
     if cap2 is None:
         cap2 = S09_SUBBUCKET_CAP
+    D = S09_MAX_DEPTH if depth is None else depth
+    sub_cols = ",\n         ".join(
+        f"{_sql_bucket(3, 6 * lv + 3 * b)} AS sub{lv}b{b}"
+        for lv in range(1, D + 1)
+        for b in (0, 1)
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {b} AS band, band{b} AS bv, "
+        + ", ".join(f"sub{lv}b{b} AS r{lv}" for lv in range(1, D + 1))
+        + " FROM e"
+        for b in (0, 1)
+    )
+    ctes = [
+        "e AS (\n"
+        "  SELECT vec_id, embedding::DOUBLE[] AS v,\n"
+        f"         {_sql_bucket(3, 0)} AS band0,"
+        f" {_sql_bucket(3, 3)} AS band1,\n"
+        f"         {sub_cols}\n"
+        "  FROM embeddings\n)",
+        f"bands AS (\n  {band_rows}\n)",
+    ]
+    path = ["band", "bv"]
+    for lv in range(1, D + 1):
+        c = cap if lv == 1 else cap2
+        keycols = ", ".join(path)
+        prev = "bands" if lv == 1 else f"keyed{lv - 1}"
+        where = "" if lv == 1 else f" WHERE k{lv - 1} >= 0"
+        join = "JOIN" if lv == 1 else "LEFT JOIN"
+        ctes.append(
+            f"sizes{lv} AS (SELECT {keycols}, count(1) AS n FROM {prev}"
+            f"{where} GROUP BY {keycols})"
+        )
+        ctes.append(
+            f"keyed{lv} AS (\n"
+            f"  SELECT k.*, CASE WHEN s.n > {c} THEN k.r{lv} ELSE -1 END"
+            f" AS k{lv}\n"
+            f"  FROM {prev} k {join} sizes{lv} s USING ({keycols})\n)"
+        )
+        pprev = "bands" if lv == 1 else f"p{lv - 1}"
+        on = " AND ".join(
+            f"s.{k} = p.{pk}"
+            for k, pk in zip(
+                path, ["band", "bv"] + [f"p{i}" for i in range(1, lv)]
+            )
+        )
+        keep = ", ".join(
+            [f"p.p{i}" for i in range(1, lv)]
+            + [f"p.r{i}" for i in range(lv + 1, D + 1)]
+        )
+        keep = f" {keep}," if keep else ""
+        ctes.append(
+            f"p{lv} AS (\n"
+            f"  SELECT p.vec_id, p.band, p.bv,{keep} _u{lv}.p{lv}\n"
+            f"  FROM {pprev} p LEFT JOIN sizes{lv} s ON {on},\n"
+            f"       UNNEST(CASE WHEN s.n > {c}\n"
+            f"                   THEN [p.r{lv}, xor(p.r{lv}, 1),"
+            f" xor(p.r{lv}, 2), xor(p.r{lv}, 4)]\n"
+            f"                   ELSE [CAST(-1 AS BIGINT)] END)"
+            f" AS _u{lv}(p{lv})\n)"
+        )
+        path = path + [f"k{lv}"]
+    keymatch = " AND ".join(
+        f"a.p{lv} = b.k{lv}" for lv in range(1, D + 1)
+    )
+    ctes.append(
+        "cand AS (\n"
+        "  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b\n"
+        f"  FROM p{D} a JOIN keyed{D} b\n"
+        f"    ON a.band = b.band AND a.bv = b.bv AND {keymatch}\n"
+        "   AND a.vec_id < b.vec_id\n"
+        "  GROUP BY 1, 2\n)"
+    )
+    body = ",\n".join(ctes)
     return f"""
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v,
-         {_sql_bucket(3, 0)} AS band0, {_sql_bucket(3, 3)} AS band1,
-         {_sql_bucket(3, 6)} AS sub0, {_sql_bucket(3, 9)} AS sub1,
-         {_sql_bucket(3, 12)} AS sub2, {_sql_bucket(3, 15)} AS sub3
-  FROM embeddings
-),
-bands AS (
-  SELECT vec_id, 0 AS band, band0 AS bv, sub0 AS sv, sub2 AS s2r FROM e
-  UNION ALL
-  SELECT vec_id, 1 AS band, band1 AS bv, sub1 AS sv, sub3 AS s2r FROM e
-),
-sizes AS (SELECT band, bv, count(1) AS bn FROM bands GROUP BY 1, 2),
-keyed AS (
-  SELECT b.vec_id, b.band, b.bv,
-         CASE WHEN s.bn > {cap} THEN b.sv ELSE -1 END AS sv,
-         b.s2r
-  FROM bands b JOIN sizes s USING (band, bv)
-),
-sizes2 AS (
-  SELECT band, bv, sv, count(1) AS sn FROM keyed WHERE sv >= 0
-  GROUP BY 1, 2, 3
-),
-keyed2 AS (
-  SELECT k.vec_id, k.band, k.bv, k.sv,
-         CASE WHEN k.sv >= 0 AND s2.sn > {cap2} THEN k.s2r ELSE -1 END AS sv2,
-         k.s2r
-  FROM keyed k LEFT JOIN sizes2 s2 USING (band, bv, sv)
-),
-p1 AS (
-  SELECT vec_id, band, bv, s2r, _u.sv_p
-  FROM keyed2,
-       UNNEST(CASE WHEN sv >= 0
-                   THEN [sv, xor(sv, 1), xor(sv, 2), xor(sv, 4)]
-                   ELSE [sv] END) AS _u(sv_p)
-),
-probes AS (
-  SELECT p.vec_id, p.band, p.bv, p.sv_p, _u2.sv2_p
-  FROM p1 p
-  LEFT JOIN sizes2 s2
-    ON s2.band = p.band AND s2.bv = p.bv AND s2.sv = p.sv_p,
-       UNNEST(CASE WHEN s2.sn > {cap2}
-                   THEN [p.s2r, xor(p.s2r, 1), xor(p.s2r, 2), xor(p.s2r, 4)]
-                   ELSE [CAST(-1 AS BIGINT)] END) AS _u2(sv2_p)
-),
-cand AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM probes a JOIN keyed2 b
-    ON a.band = b.band AND a.bv = b.bv AND a.sv_p = b.sv
-   AND a.sv2_p = b.sv2 AND a.vec_id < b.vec_id
-  GROUP BY 1, 2
-)
+WITH {body}
 SELECT c.vec_a, c.vec_b, {_cos('ea.v', 'eb.v')} AS cos
 FROM cand c JOIN e ea ON ea.vec_id = c.vec_a
             JOIN e eb ON eb.vec_id = c.vec_b
@@ -863,7 +884,14 @@ def _s02_sql() -> str:
         """
 
 
-S10_BUCKET_CAP = 200  # occupancy cap on s02-style ANN buckets
+S10_BUCKET_CAP = 200  # occupancy cap, gating EVERY refinement level
+# refinement levels below the 64-way bucket (the s09 loop on the
+# directed shape). The round-10 30x probe measured the hand-unrolled
+# single level at 45-52x wall — exactly the next-level saturation s09
+# showed (150 K vectors → ~290 per sub-bucket > cap); depth 2's 8-way
+# split lands leaf occupancy ~37 at 30x. Raising the knob is the whole
+# scale response for further decades.
+S10_MAX_DEPTH = 2
 
 
 def s10_capped_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -871,21 +899,26 @@ def s10_capped_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction applied to the ANN (directed top-k) shape, closing the
     round-9 probe's conviction of s02 (fixed 64 buckets → per-bucket
     occupancy grows with the corpus → 472× wall at 30×,
-    SCALE_PROBE_30x.json): any bucket whose occupancy exceeds
-    S10_BUCKET_CAP splits 8 ways on planes 6–8, and QUERIES in refined
-    buckets multiprobe their own + the 3 hamming-1 sub-buckets
-    (neighbors stay home-keyed: the q→n candidate edge is directed, so
-    one probing side covers every ≤1-bit sub-signature difference).
-    Below the cap the sentinel sub-key (-1) makes the plan bit-identical
-    to s02 — at fixture scales (sf0.01: ~8/bucket, sf0.1: ~78/bucket)
-    this IS s02, so ml09's vote semantics are unchanged where the
-    oracle checks them, while the 30× probe corpus (~2.3 K/bucket)
-    refines and candidate fan-out stays occupancy-bounded. Further
-    decades stack levels exactly like s09's depth-2 (SCALING.md).
+    SCALE_PROBE_30x.json): any bucket path whose occupancy exceeds
+    S10_BUCKET_CAP splits 8 ways on that level's planes (level lv →
+    planes 3·lv+3 .. 3·lv+5, i.e. 6–8 then 9–11), and QUERIES in
+    refined paths multiprobe their own + the 3 hamming-1 sub-keys per
+    level (neighbors stay home-keyed: the q→n candidate edge is
+    directed, so one probing side covers every ≤1-bit sub-signature
+    difference; the probe's level-(lv+1) decision keys on the TARGET
+    path's occupancy — identical to the home decision of any neighbor
+    it can meet, the s09 consistency rule). Below the cap the sentinel
+    keys (-1) make the plan bit-identical to s02 — at fixture scales
+    (sf0.01: ~8/bucket, sf0.1: ~78/bucket) this IS s02, so ml09's vote
+    semantics are unchanged where the oracle checks them, while the
+    30× probe corpus (~2.3 K/bucket) refines level by level and
+    candidate fan-out stays occupancy-bounded.
 
-    Scale: the size table is ≤ 64 rows and broadcasts; candidates ride
-    one hash equi-join on (bucket, sub-key); the top-k window
-    partitions by q_id over ≤ 4×cap rows per query."""
+    Scale: the level-lv size table is ≤ 64·8^(lv-1) rows and
+    broadcasts; candidates ride one hash equi-join on the full key
+    path; the top-k window partitions by q_id over ≤ 4^D·cap rows per
+    query."""
+    D = S10_MAX_DEPTH
     emb = _cache_slot(
         "s10",
         _emb(spark, sf_dir).select(
@@ -893,52 +926,74 @@ def s10_capped_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             "nrm",
             _bucket_col(ANN_PLANES).alias("bucket"),
-            _bucket_col(3, first_plane=6).alias("sub"),
+            *[
+                _bucket_col(3, first_plane=3 * lv + 3).alias(f"r{lv}")
+                for lv in range(1, D + 1)
+            ],
         ),
     )
-    sizes = emb.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
-    keyed = emb.join(F.broadcast(sizes), "bucket").select(
-        "vec_id",
-        "embedding",
-        "nrm",
-        "bucket",
-        F.when(F.col("bn") > S10_BUCKET_CAP, F.col("sub"))
-        .otherwise(F.lit(-1))
-        .cast("long")
-        .alias("sv"),
-    )
-    q = keyed.select(
+    keyed = emb
+    probes = emb
+    path = ["bucket"]
+    for lv in range(1, D + 1):
+        src = keyed if lv == 1 else keyed.filter(F.col(f"k{lv - 1}") >= 0)
+        sizes = src.groupBy(*path).agg(F.count(F.lit(1)).alias("n"))
+        keyed = (
+            keyed.join(F.broadcast(sizes), path, "left")
+            .withColumn(
+                f"k{lv}",
+                F.when(F.col("n") > S10_BUCKET_CAP, F.col(f"r{lv}"))
+                .otherwise(F.lit(-1))
+                .cast("long"),
+            )
+            .drop("n")
+        )
+        ppath = ["bucket"] + [f"p{i}" for i in range(1, lv)]
+        tsizes = sizes.select(
+            *[F.col(c).alias(p) for c, p in zip(path, ppath)],
+            F.col("n").alias("tn"),
+        )
+        probes = (
+            probes.join(F.broadcast(tsizes), ppath, "left")
+            .withColumn(
+                f"p{lv}",
+                F.explode(
+                    F.when(
+                        F.col("tn") > S10_BUCKET_CAP,
+                        F.array(
+                            F.col(f"r{lv}"),
+                            F.col(f"r{lv}").bitwiseXOR(F.lit(1)),
+                            F.col(f"r{lv}").bitwiseXOR(F.lit(2)),
+                            F.col(f"r{lv}").bitwiseXOR(F.lit(4)),
+                        ),
+                    ).otherwise(F.array(F.lit(-1).cast("long")))
+                ),
+            )
+            .drop("tn")
+        )
+        path = path + [f"k{lv}"]
+    q = probes.select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
         F.col("bucket").alias("q_bucket"),
-        F.explode(
-            F.when(
-                F.col("sv") >= 0,
-                F.array(
-                    F.col("sv"),
-                    F.col("sv").bitwiseXOR(F.lit(1)),
-                    F.col("sv").bitwiseXOR(F.lit(2)),
-                    F.col("sv").bitwiseXOR(F.lit(4)),
-                ),
-            ).otherwise(F.array(F.col("sv")))
-        ).alias("sv_p"),
+        *[F.col(f"p{lv}") for lv in range(1, D + 1)],
     )
     c = keyed.select(
         F.col("vec_id").alias("n_id"),
         F.col("embedding").alias("n_emb"),
         F.col("nrm").alias("n_nrm"),
         F.col("bucket").alias("n_bucket"),
-        F.col("sv").alias("sv_n"),
+        *[F.col(f"k{lv}").alias(f"k{lv}_n") for lv in range(1, D + 1)],
     )
+    cond = (F.col("q_bucket") == F.col("n_bucket")) & (
+        F.col("q_id") != F.col("n_id")
+    )
+    for lv in range(1, D + 1):
+        cond = cond & (F.col(f"p{lv}") == F.col(f"k{lv}_n"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
     return (
-        q.join(
-            c,
-            (F.col("q_bucket") == F.col("n_bucket"))
-            & (F.col("sv_p") == F.col("sv_n"))
-            & (F.col("q_id") != F.col("n_id")),
-        )
+        q.join(c, cond)
         .select(
             "q_id",
             "n_id",
@@ -953,38 +1008,74 @@ def s10_capped_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _s10_sql(cap: int | None = None) -> str:
+def _s10_sql(cap: int | None = None, depth: int | None = None) -> str:
     """The full s10 capped-ANN query — shared verbatim by the s10 spec
     and ml09's kNN-vote oracle (the _s02_sql sharing pattern) so the
     candidate semantics can never drift; `cap` parameterized so edge
-    tests differentially exercise the refined + multiprobe path."""
+    tests differentially exercise the refined + multiprobe path, and
+    `depth` so tests can pin that a deeper level only prunes. Generated
+    by the SAME per-level loop as the Spark plan."""
     if cap is None:
         cap = S10_BUCKET_CAP
+    D = S10_MAX_DEPTH if depth is None else depth
+    sub_cols = ", ".join(
+        f"{_sql_bucket(3, 3 * lv + 3)} AS r{lv}" for lv in range(1, D + 1)
+    )
+    ctes = [
+        "e AS (\n"
+        "  SELECT vec_id, embedding::DOUBLE[] AS v,\n"
+        f"         {_sql_bucket(ANN_PLANES)} AS bucket,\n"
+        f"         {sub_cols}\n"
+        "  FROM embeddings\n)",
+    ]
+    path = ["bucket"]
+    for lv in range(1, D + 1):
+        keycols = ", ".join(path)
+        prev = "e" if lv == 1 else f"keyed{lv - 1}"
+        where = "" if lv == 1 else f" WHERE k{lv - 1} >= 0"
+        join = "JOIN" if lv == 1 else "LEFT JOIN"
+        ctes.append(
+            f"sizes{lv} AS (SELECT {keycols}, count(1) AS n FROM {prev}"
+            f"{where} GROUP BY {keycols})"
+        )
+        ctes.append(
+            f"keyed{lv} AS (\n"
+            f"  SELECT k.*, CASE WHEN s.n > {cap} THEN k.r{lv} ELSE -1 END"
+            f" AS k{lv}\n"
+            f"  FROM {prev} k {join} sizes{lv} s USING ({keycols})\n)"
+        )
+        pprev = "e" if lv == 1 else f"p{lv - 1}"
+        on = " AND ".join(
+            f"s.{k} = p.{pk}"
+            for k, pk in zip(
+                path, ["bucket"] + [f"p{i}" for i in range(1, lv)]
+            )
+        )
+        keep = ", ".join(
+            [f"p.p{i}" for i in range(1, lv)]
+            + [f"p.r{i}" for i in range(lv + 1, D + 1)]
+        )
+        keep = f" {keep}," if keep else ""
+        ctes.append(
+            f"p{lv} AS (\n"
+            f"  SELECT p.vec_id, p.v, p.bucket,{keep} _u{lv}.p{lv}\n"
+            f"  FROM {pprev} p LEFT JOIN sizes{lv} s ON {on},\n"
+            f"       UNNEST(CASE WHEN s.n > {cap}\n"
+            f"                   THEN [p.r{lv}, xor(p.r{lv}, 1),"
+            f" xor(p.r{lv}, 2), xor(p.r{lv}, 4)]\n"
+            f"                   ELSE [CAST(-1 AS BIGINT)] END)"
+            f" AS _u{lv}(p{lv})\n)"
+        )
+        path = path + [f"k{lv}"]
+    keymatch = " AND ".join(f"q.p{lv} = c.k{lv}" for lv in range(1, D + 1))
+    body = ",\n        ".join(ctes)
     return f"""
-        WITH e AS (
-          SELECT vec_id, embedding::DOUBLE[] AS v,
-                 {_sql_bucket(ANN_PLANES)} AS bucket,
-                 {_sql_bucket(3, 6)} AS sub
-          FROM embeddings
-        ),
-        sizes AS (SELECT bucket, count(1) AS bn FROM e GROUP BY 1),
-        keyed AS (
-          SELECT e.vec_id, e.v, e.bucket,
-                 CASE WHEN s.bn > {cap} THEN e.sub ELSE -1 END AS sv
-          FROM e JOIN sizes s USING (bucket)
-        ),
-        probes AS (
-          SELECT vec_id, v, bucket, _u.sv_p
-          FROM keyed,
-               UNNEST(CASE WHEN sv >= 0
-                           THEN [sv, xor(sv, 1), xor(sv, 2), xor(sv, 4)]
-                           ELSE [sv] END) AS _u(sv_p)
-        ),
+        WITH {body},
         pairs AS (
           SELECT q.vec_id AS q_id, c.vec_id AS n_id,
                  {_cos('q.v', 'c.v')} AS cos
-          FROM probes q JOIN keyed c
-            ON q.bucket = c.bucket AND q.sv_p = c.sv
+          FROM p{D} q JOIN keyed{D} c
+            ON q.bucket = c.bucket AND {keymatch}
            AND q.vec_id <> c.vec_id
         ),
         ranked AS (

@@ -259,3 +259,40 @@ def test_s09_depth2_refined_path_matches_oracle(spark, monkeypatch):
     }
     assert srows, "caps must be small enough to still emit pairs"
     assert srows == orows
+
+
+def test_s09_depth3_level_loop_matches_oracle(spark, monkeypatch):
+    """Round-11: the generalized level loop — at sf0.01 under caps
+    (5, 1) level 3 is genuinely ACTIVE (it prunes the depth-2 result,
+    verified below), and both depths stay bit-exact against the
+    depth-parameterized oracle generated by the same loop. Deeper
+    levels may only PRUNE (refinement splits, never merges)."""
+    import duckdb
+
+    from customer_review__etl_spark.plans import simplans
+
+    sf = "/root/testdata/sf0.01"
+    monkeypatch.setattr(simplans, "S09_BUCKET_CAP", 5)
+    monkeypatch.setattr(simplans, "S09_SUBBUCKET_CAP", 1)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    assert simplans.S09_MAX_DEPTH >= 3
+    s3 = {
+        (r.vec_a, r.vec_b, r.cos)
+        for r in simplans.s09_capped_lsh_neardup(spark, sf).collect()
+    }
+    o3 = set(con.execute(simplans._s09_sql(cap=5, cap2=1)).fetchall())
+    assert s3 and s3 == o3
+    monkeypatch.setattr(simplans, "S09_MAX_DEPTH", 2)
+    s2 = {
+        (r.vec_a, r.vec_b, r.cos)
+        for r in simplans.s09_capped_lsh_neardup(spark, sf).collect()
+    }
+    o2 = set(
+        con.execute(simplans._s09_sql(cap=5, cap2=1, depth=2)).fetchall()
+    )
+    assert s2 == o2
+    assert s3 < s2, "level 3 must be active (strict pruning) here"
