@@ -176,9 +176,10 @@ HEADLINE = [
     "st13_late_data_audit",
     "s09_capped_lsh_neardup",
     # round-10/11 additions (s10: the coverage tripwire's never_benched
-    # warning; pl04: the composed data recipe)
+    # warning; pl04: the composed data recipe; d09: substring excision)
     "s10_capped_ann",
     "pl04_data_recipe",
+    "d09_substring_excision",
 ]
 
 

@@ -1481,6 +1481,144 @@ def d08_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d09_substring_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring EXCISION — the apply step that turns
+    d08's pair mining into cleaned text (the find→remove pipeline of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022, exact-substring variant; the reference's nearest analog
+    is cleaner.py's drop_duplicates, which can only drop whole rows):
+    every character of a document covered by an L-gram
+    (L = D08_SUBSTR_LEN) that also appears in ANY lower-id document is
+    cut out, keep-first at character granularity — the lowest doc_id
+    owning a run keeps it, every later verbatim copy (license
+    boilerplate, quoted benchmarks, mirrored passages) loses exactly
+    the covered span. Output per doc: (n_chars, n_removed, cleaned),
+    with untouched docs passing through byte-identical.
+
+    Candidate-bounded, the d08 scale argument applied to the apply
+    step: only documents named in a d08 TRUE pair shuffle their gram
+    streams (a doc with a covered position shares that L-gram with a
+    lower doc, so the pair (lower, doc) is in d08's exact output and
+    BOTH endpoints are involved — restricting the gram→min-owner
+    aggregation to involved docs provably preserves every coverage
+    witness). Everything downstream of the candidate join is a narrow
+    map: covered starts collect per doc (bounded by doc length) and
+    one aggregate() fold cuts the merged [i, i+L) intervals out in a
+    single pass — no per-character rows ever exist on the Spark side
+    (the oracle states the same semantics per character, which is fine
+    at oracle scale and brute-force-complete)."""
+    L = D08_SUBSTR_LEN
+    docs = _docs_par(spark, sf_dir).select("doc_id", "text")
+    base = docs.filter(F.length("text") >= L).select("doc_id", "text")
+    pairs = d08_repeated_substrings(spark, sf_dir)
+    involved = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b")))
+        .distinct()
+    )
+    inv = base.join(involved, "doc_id")
+    grams = inv.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {L} + 1), "
+                f"i -> substr(text, i, {L}))"
+            )
+        ).alias("pos0", "g"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("i"), "g")
+    gmin = grams.groupBy("g").agg(F.min("doc_id").alias("mn"))
+    starts = (
+        grams.join(gmin, "g")
+        .filter(F.col("mn") < F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("i")).alias("starts"))
+    )
+    # single-pass interval-merge excision: fold the ascending covered
+    # starts, emitting the uncovered segment before each new interval
+    # and extending the cut cursor to max(cur, s + L)
+    fold = F.expr(
+        f"""aggregate(
+      starts,
+      struct(CAST(1 AS INT) AS cur, CAST(array() AS array<string>) AS parts),
+      (acc, s) -> struct(
+        CAST(greatest(acc.cur, s + {L}) AS INT) AS cur,
+        CASE WHEN s > acc.cur
+             THEN concat(acc.parts,
+                         array(substr(text, acc.cur, s - acc.cur)))
+             ELSE acc.parts END AS parts),
+      acc -> concat_ws('', concat(
+        acc.parts,
+        array(substr(text, acc.cur, length(text) - acc.cur + 1))))
+    )"""
+    )
+    excised = inv.join(starts, "doc_id").select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        fold.alias("cleaned"),
+    )
+    excised = excised.select(
+        "doc_id",
+        "n_chars",
+        (F.col("n_chars") - F.length("cleaned")).cast("long").alias(
+            "n_removed"
+        ),
+        "cleaned",
+    )
+    passthrough = docs.join(
+        starts.select("doc_id"), "doc_id", "left_anti"
+    ).select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias(
+            "n_chars"
+        ),
+        F.lit(0).cast("long").alias("n_removed"),
+        F.col("text").alias("cleaned"),
+    )
+    return excised.unionByName(passthrough).orderBy("doc_id")
+
+
+_D09_SQL = f"""
+WITH g AS (
+  SELECT doc_id, _u.i::INT AS i, substr(text, _u.i, {D08_SUBSTR_LEN}) AS g
+  FROM (SELECT doc_id, text FROM documents
+        WHERE length(text) >= {D08_SUBSTR_LEN}),
+       UNNEST(range(1, length(text) - {D08_SUBSTR_LEN} + 2)) AS _u(i)
+),
+gmin AS (SELECT g, min(doc_id) AS mn FROM g GROUP BY g),
+starts AS (SELECT g.doc_id, g.i FROM g JOIN gmin USING (g)
+           WHERE gmin.mn < g.doc_id),
+sdocs AS (SELECT DISTINCT doc_id FROM starts),
+covered AS (SELECT DISTINCT s.doc_id, _u.c
+            FROM starts s,
+                 UNNEST(range(s.i, s.i + {D08_SUBSTR_LEN})) AS _u(c)),
+chars AS (
+  SELECT d.doc_id, _u.c, substr(d.text, _u.c, 1) AS ch
+  FROM documents d JOIN sdocs USING (doc_id),
+       UNNEST(range(1, length(d.text) + 1)) AS _u(c)
+),
+kept AS (
+  SELECT ch.doc_id, ch.c, ch.ch
+  FROM chars ch LEFT JOIN covered v ON v.doc_id = ch.doc_id AND v.c = ch.c
+  WHERE v.c IS NULL
+),
+cln AS (
+  SELECT doc_id, string_agg(ch, '' ORDER BY c) AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       length(coalesce(d.text, ''))::BIGINT AS n_chars,
+       CASE WHEN s.doc_id IS NOT NULL
+            THEN (length(d.text) - length(coalesce(c.cleaned, '')))::BIGINT
+            ELSE 0::BIGINT END AS n_removed,
+       CASE WHEN s.doc_id IS NOT NULL
+            THEN coalesce(c.cleaned, '') ELSE d.text END AS cleaned
+FROM documents d
+LEFT JOIN sdocs s USING (doc_id)
+LEFT JOIN cln c USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 _D08_SQL = f"""
 WITH g AS (
   SELECT doc_id, _u.g
@@ -1515,6 +1653,7 @@ SPECS = [
     QuerySpec("d04_ngram_jaccard", d04_ngram_jaccard, _D04_SQL),
     QuerySpec("d07_containment_pairs", d07_containment_pairs, _D07_SQL),
     QuerySpec("d08_repeated_substrings", d08_repeated_substrings, _D08_SQL),
+    QuerySpec("d09_substring_excision", d09_substring_excision, _D09_SQL),
     QuerySpec("d05_neardup_clusters", d05_neardup_clusters, _D05_SQL),
     QuerySpec("d06_unified_clusters", d06_unified_clusters, _D06_SQL),
     QuerySpec("dc01_decontaminate", dc01_decontaminate, _DC01_SQL),

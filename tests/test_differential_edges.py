@@ -145,6 +145,11 @@ DOCS_ONLY_QUERIES = [
     # eval doc 0 verbatim), NULL/short docs fall at the t25 gate, and
     # the packing must agree on the handful of survivors
     "pl04_data_recipe",
+    # round-11: repeated-substring excision — doc 20 must lose exactly
+    # its 45-char shared license run (doc 19, the lower id, keeps it);
+    # the 39-char share (21/22) is below L=40 and must pass through;
+    # NULL/short docs pass through byte-identical
+    "d09_substring_excision",
 ]
 
 

@@ -83,6 +83,9 @@ PROBE_PAIR = [
                                 # quadratic output, organic = linear
     "s10_capped_ann",  # occupancy-capped ANN: ml09's migrated leg —
                        # must NOT reproduce s02's 472x conviction
+    "pl04_data_recipe",  # the composed recipe: its candidate stages are
+                         # d02's bands + dc01/dc03 gram joins, so the
+                         # pair-growth modes apply to the whole chain
 ]
 
 # the 9 most frequent English letters — rotating them per copy changes
