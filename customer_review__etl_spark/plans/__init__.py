@@ -275,6 +275,7 @@ def shared_intermediates() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "d02_pairs": dedupplans.d02_pairs_m,          # d05, d06
         "d03_pairs": dedupplans.d03_pairs_m,          # d06
         "d04_pairs": dedupplans.d04_pairs_m,          # d06
+        "d08_pairs": dedupplans.d08_pairs_m,          # d09
         "s03_pairs": simplans.s03_pairs_m,            # s05
         "s10_knn": mlplans.s10_knn_pairs_m,           # ml09
         "copurchase": graphplans._copurchase_edges,   # gr01, gr02

@@ -861,6 +861,16 @@ def d04_pairs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d08_pairs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized d08 repeated-substring pair set (consumer: d09,
+    which reads both endpoints + derives `starts` from the involved
+    docs — four consumption paths that would otherwise each inline
+    the full d08 subplan into the plan tree)."""
+    return materialized_df(
+        spark, sf_dir, "d08", d08_repeated_substrings, ["doc_a", "doc_b"]
+    )
+
+
 def d05_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collapse d02's near-dup PAIRS into clusters and pick each
     cluster's keep-first survivor — the step that turns pair mining
@@ -1510,7 +1520,12 @@ def d09_substring_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     L = D08_SUBSTR_LEN
     docs = _docs_par(spark, sf_dir).select("doc_id", "text")
     base = docs.filter(F.length("text") >= L).select("doc_id", "text")
-    pairs = d08_repeated_substrings(spark, sf_dir)
+    # the pair set lands in run-scratch parquet (the d02_pairs_m
+    # pattern): d09 consumes it twice (both endpoints) and `starts`
+    # twice more downstream — without materialization Spark inlines
+    # the whole d08 subplan once per consumption path (a 79-exchange
+    # plan tree, caught by tools/plan_audit.py round-11)
+    pairs = d08_pairs_m(spark, sf_dir)
     involved = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b")))
