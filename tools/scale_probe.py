@@ -86,6 +86,10 @@ PROBE_PAIR = [
     "pl04_data_recipe",  # the composed recipe: its candidate stages are
                          # d02's bands + dc01/dc03 gram joins, so the
                          # pair-growth modes apply to the whole chain
+    "d09_substring_excision",  # d08's pairs + involved-doc gram
+                               # shuffles; replication makes every doc
+                               # involved (true work), organic keeps
+                               # involvement within-copy
 ]
 
 # the 9 most frequent English letters — rotating them per copy changes
