@@ -159,60 +159,85 @@ PRIORITY: tuple[str, ...] = (
     #   sampled). Deferred to r12: the rest of the r8 cohort
     #   (staleness 3 after r11; they age to hard at r13, forcing the
     #   r12 rotation exactly as designed).
-    # the full r7 cohort (staleness 4 once r11 lands → hard at r12)
-    "p17_oversample_mix",
-    "p18_temperature_mix",
-    "a11_scalable_median",
-    "a13_grouped_quantiles",
-    "a12_observed_metrics",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q17_small_qty_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "j12_interval_overlap",
-    "j10_bucketed_range",
-    "j11_fuzzy_blocked_join",
-    "w10_sessionize",
-    "w07_scd2_intervals",
-    "u03_ewma_smooth",
-    "u05_grouped_agg_udf",
-    "t08_bpe_token_count",
-    "t15_bigram_surprisal",
-    "t16_tfidf_terms",
-    "t18_sliding_chunks",
-    "t19_cdc_chunks",
-    "t21_bpe_merges",
-    "d07_containment_pairs",
-    "d06_unified_clusters",
-    "dc02_neardup_decontaminate",
-    "s02_ann_lsh",
-    "s05_semantic_clusters",
-    "s06_pq_ann",
-    "st06_stateful_stats",
-    "st07_stream_static_join",
-    "st09_stream_stream_join",
-    "st11_incremental_resume",
-    "ml06_kmeans",
-    "ml07_naive_bayes",
-    "ml11_confidence_calibration",
-    "mm02_decode_features",
-    "io05_bucketed_join",
-    "io09_table_diff",
-    "io11_python_datasource",
-    "io14_merge_upsert",
-    "io15_snapshot_read",
-    "io13_partition_pruned_read",
-    "gr01_pagerank",
-    "gr02_triangle_count",
-    "pl01_training_pipeline",
-    "pl02_incremental_refresh",
-    # family top-ups the r7 cohort lacks (oldest unsampled per family)
-    "f01_string_date_math",
-    "g01_rollup",
-    # new round-11 composed operator (never driver-sampled; took the
-    # provisional p16 slot — p16 rotates with its r8 cohort at r12)
-    "pl04_data_recipe",
+    #   r12 (round-11 VERDICT ask #1, the scheduled forcing function):
+    #   the ENTIRE r8 cohort — all 49 queries whose last driver row is
+    #   CORRECTNESS_r08 (staleness hits 4 the moment r12 lands; any
+    #   skipped entry re-arms the HARD_STALE=5 tripwire at round-13
+    #   start) — plus d09_substring_excision, the only oracle-backed
+    #   query with no driver row (added after the r11 rotation was
+    #   pinned; round-11 ADVICE item #3). That fills all 50 slots.
+    #   Pinned for r13 (round-11 VERDICT ask #4): one head slot each
+    #   for the four rows-only-by-design entries t02_stemmed_chain /
+    #   ml01_lda_themes / ml02_topic_top_words / ml04_classifier_metrics
+    #   so the driver's weaker rows-only check is on record at least
+    #   once and never_driver_sampled reaches 0 — they did not fit at
+    #   r12 without dropping r8-cohort entries into the hard gate.
+    #   One documented exception to "full r8 cohort": the cohort has
+    #   NO f-family query and the head-coverage gate requires one, so
+    #   q15_top_supplier (one of the cohort's NINE q-family entries,
+    #   its agg+join+scalar-subquery shape also inside q2/q18/q20)
+    #   defers to r13 — it hits HARD_STALE=5 there, so the r13 head
+    #   MUST include it alongside the four rows-only entries — and
+    #   f02_array_funcs (oldest unsampled f, last row r9) takes the
+    #   slot.
+    # the r8 cohort (staleness 4 once r12 lands → hard at r13),
+    # grouped by family for readability; set == CORRECTNESS_r08 keys
+    # minus everything re-sampled in r9-r11, minus the documented
+    # q15→f02 family swap above
+    "p12_deterministic_sample",
+    "p16_scalable_ordinal",
+    "p19_sequence_pack",
+    "a14_running_distinct",
+    "a15_revenue_concentration",
+    "a16_mad_outliers",
+    "q4_order_priority",
+    "q11_important_stock",
+    "q14_promo_revenue",
+    "q16_parts_supplier",
+    "q18_large_orders",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
+    "j13_bloom_semi_join",
+    "w08_rolling_median",
+    "w09_range_frame",
+    "w11_ohlc_bars",
+    "u04_sentence_udtf",
+    "u06_ewma_partitioned",
+    "u07_arrow_batch_clip",
+    "t06_fingerprint",
+    "t07_positional_hash",
+    "t09_pii_scrub",
+    "t10_repetition_score",
+    "t12_vocab_coverage",
+    "t17_reading_ease",
+    "t20_novelty_ratio",
+    "t22_bpe_encode",
+    "d04_ngram_jaccard",
+    "dc03_verbatim_decontaminate",
+    "s07_multiprobe_ann",
+    "st10_keyed_upsert",
+    "st12_stream_quarantine",
+    "ml08_linreg",
+    "ml09_knn_label",
+    "ml10_classifier_gate",
+    "ml12_hashed_features",
+    "mm04_blob_chunks",
+    "io03_jsonl_roundtrip",
+    "io04_orc_roundtrip",
+    "io07_compaction",
+    "io08_dynamic_partition_overwrite",
+    "io12_nested_projection",
+    "io16_quarantine_write",
+    "gr03_khop_reachability",
+    "gr04_item_similarity",
+    "gr05_connected_components",
+    # family top-up the cohort lacks (oldest unsampled f; see the
+    # documented q15→f02 swap in the r12 rotation-log entry above)
+    "f02_array_funcs",
+    # the one oracle-backed query with no driver row (added post-r11
+    # rotation; round-11 ADVICE #3 and VERDICT ask #1)
+    "d09_substring_excision",
 )
 
 
