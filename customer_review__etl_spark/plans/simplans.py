@@ -29,6 +29,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -53,17 +55,23 @@ NEAR_COS = 0.4   # s03 near-pair threshold (matches testdata's top tail)
 # cache bounds storage at one relation per op; a still-held stale
 # DataFrame simply recomputes.
 _CACHE_SLOTS: dict[str, DataFrame] = {}
+# bench builds plans from multiple threads (round-11 ADVICE #1): an
+# unguarded pop/assign pair can leak a cached relation or unpersist one
+# an in-flight concurrent job is reading (correct but slow — Spark
+# recomputes). Mirrors materialized_df's per-kind locking.
+_CACHE_LOCK = threading.Lock()
 
 
 def _cache_slot(key: str, df: DataFrame) -> DataFrame:
-    prev = _CACHE_SLOTS.pop(key, None)
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass  # session already stopped — nothing to release
-    _CACHE_SLOTS[key] = df.cache()
-    return _CACHE_SLOTS[key]
+    with _CACHE_LOCK:
+        prev = _CACHE_SLOTS.pop(key, None)
+        if prev is not None:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing to release
+        _CACHE_SLOTS[key] = df.cache()
+        return _CACHE_SLOTS[key]
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,6 +335,126 @@ def s04_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Occupancy-gated ADAPTIVE DEPTH (round-11 VERDICT ask #3). The s09/s10
+# level loops are depth-parameterized, and a level whose every bucket
+# path sits at or under its cap is provably a NO-OP: no path saturates,
+# so every home key k_lv and probe key p_lv is the sentinel -1 and the
+# level's equi-join term matches trivially — the depth-D plan returns
+# results bit-identical to the depth-(D_eff) plan, where D_eff is the
+# deepest genuinely ACTIVE level. But a dormant level is not free to
+# COMPILE: each one adds a size-table aggregate, two broadcast joins
+# and an explode to the physical plan (r11 measured depth-3 s09 at 17
+# exchanges / 34 broadcasts vs r9's 5/10, ~2× wall at sf0.1 where the
+# deep levels never fire). So each call runs a one-job pre-scan first:
+# ONE groupBy over the banded keys at the finest prospective grouping
+# (map-side combinable into ≤ base·8^(D-1) groups — 1 024 rows for s09,
+# 512 for s10; an O(1 KB) collect), then replays the exact per-level
+# saturation cascade driver-side on that tiny table and compiles ONLY
+# the active levels. The decision rule is the SAME rule the plan's
+# size tables implement (level lv groups rows whose every ancestor
+# path saturated, by the path through r_{lv-1}), so the chosen plan is
+# hash-identical to the static depth-MAX oracle by construction — the
+# dormancy equivalence is exact, not heuristic. At 100 TB the pre-scan
+# is one partial-agg pass over the embedding scan; the payoff is a
+# main plan whose exchange/broadcast count tracks the corpus's real
+# occupancy instead of the worst-case knob.
+# ---------------------------------------------------------------------------
+
+
+def _cascade_effective_depth(
+    fine: list[tuple],
+    base_len: int,
+    caps: tuple[int, ...],
+    max_depth: int,
+) -> int:
+    """Replay the per-level saturation cascade on the collected fine
+    occupancy table. `fine` rows are (base_key..., r1..r_{max_depth-1},
+    n); `caps[0]` gates level 1 and `caps[-1]` every deeper level.
+    Returns the deepest ACTIVE level (≥ 1 — one dormant level keeps
+    the generators' loop shape and costs a single sentinel column)."""
+    if max_depth <= 1:
+        return max_depth
+    live = {tuple(r[:-1]): int(r[-1]) for r in fine}
+    for lv in range(1, max_depth + 1):
+        plen = base_len + lv - 1
+        sizes: dict[tuple, int] = {}
+        for key, n in live.items():
+            pk = key[:plen]
+            sizes[pk] = sizes.get(pk, 0) + n
+        cap = caps[0] if lv == 1 else caps[-1]
+        sat = {g for g, n in sizes.items() if n > cap}
+        if not sat:
+            # level lv is dormant → so is every deeper one (their size
+            # sources filter on k_{lv} ≥ 0, which no row has)
+            return max(lv - 1, 1)
+        live = {k: n for k, n in live.items() if k[:plen] in sat}
+    return max_depth
+
+
+def _s09_effective_depth(spark: SparkSession, sf_dir: str) -> int:
+    """One-job occupancy pre-scan for s09: fine counts per
+    (band, bv, r1..r_{D-1}) — r columns use the same per-band
+    disjoint-plane formula as the main plan, so the cascade replayed
+    on the collected table is the plan's own saturation rule."""
+    D = S09_MAX_DEPTH
+    if D <= 1:
+        return D
+    e = tables.load_parallel(spark, sf_dir, "embeddings").select(
+        "embedding",
+        _bucket_col(3, first_plane=0).alias("band0"),
+        _bucket_col(3, first_plane=3).alias("band1"),
+        *[
+            _bucket_col(3, first_plane=6 * lv + 3 * b).alias(f"sub{lv}b{b}")
+            for lv in range(1, D)
+            for b in (0, 1)
+        ],
+    )
+    bands = e.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"band{b}").alias("bv"),
+                        *[
+                            F.col(f"sub{lv}b{b}").alias(f"r{lv}")
+                            for lv in range(1, D)
+                        ],
+                    )
+                    for b in (0, 1)
+                ]
+            )
+        ).alias("e")
+    ).select("e.*")
+    fine = bands.groupBy(
+        "band", "bv", *[f"r{lv}" for lv in range(1, D)]
+    ).agg(F.count(F.lit(1)).alias("n")).collect()
+    return _cascade_effective_depth(
+        [tuple(r) for r in fine], 2, (S09_BUCKET_CAP, S09_SUBBUCKET_CAP), D
+    )
+
+
+def _s10_effective_depth(spark: SparkSession, sf_dir: str) -> int:
+    """s09's pre-scan on the directed (single 64-way bucket) shape."""
+    D = S10_MAX_DEPTH
+    if D <= 1:
+        return D
+    e = tables.load_parallel(spark, sf_dir, "embeddings").select(
+        _bucket_col(ANN_PLANES).alias("bucket"),
+        *[
+            _bucket_col(3, first_plane=3 * lv + 3).alias(f"r{lv}")
+            for lv in range(1, D)
+        ],
+    )
+    fine = e.groupBy(
+        "bucket", *[f"r{lv}" for lv in range(1, D)]
+    ).agg(F.count(F.lit(1)).alias("n")).collect()
+    return _cascade_effective_depth(
+        [tuple(r) for r in fine], 1, (S10_BUCKET_CAP,), D
+    )
+
+
 S09_BUCKET_CAP = 200  # level-1 (band, bucket) occupancy refinement cap
 # sub-bucket occupancy cap driving every DEEPER split (levels >= 2).
 # A separate knob from S09_BUCKET_CAP: each refinement level trades
@@ -403,8 +531,18 @@ def s09_capped_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits on it was dropped from BOTH bands at once, correlating band
     misses exactly where the 2-band OR-construction is supposed to
     rescue recall; disjoint planes restore the per-band independence
-    the ~0.69×-per-level recall model assumes."""
-    D = S09_MAX_DEPTH
+    the ~0.69×-per-level recall model assumes.
+
+    ADAPTIVE DEPTH (round-11 VERDICT ask #3): S09_MAX_DEPTH is the
+    CEILING; each call first runs the one-job occupancy pre-scan
+    (_s09_effective_depth, rationale at its definition) and compiles
+    only the levels the corpus actually saturates. A dormant level's
+    keys are all sentinel -1, so the shallow plan is hash-identical to
+    the static depth-MAX oracle — while small corpora get back the
+    r9-era 5-exchange plan instead of paying 17 exchanges / 34
+    broadcasts of dormant machinery (the r11 bench's one real
+    per-query regression)."""
+    D = _s09_effective_depth(spark, sf_dir)
     emb = _cache_slot(
         "s09",
         _emb(spark, sf_dir).select(
@@ -917,8 +1055,13 @@ def s10_capped_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the level-lv size table is ≤ 64·8^(lv-1) rows and
     broadcasts; candidates ride one hash equi-join on the full key
     path; the top-k window partitions by q_id over ≤ 4^D·cap rows per
-    query."""
-    D = S10_MAX_DEPTH
+    query. ADAPTIVE DEPTH (round-11 VERDICT ask #3): each call
+    compiles only the levels the corpus saturates, chosen by the
+    one-job occupancy pre-scan (_s10_effective_depth) — dormant-level
+    equivalence makes the shallow plan hash-identical to the depth-MAX
+    oracle, and below the level-1 cap the compiled plan is literally
+    s02's."""
+    D = _s10_effective_depth(spark, sf_dir)
     emb = _cache_slot(
         "s10",
         _emb(spark, sf_dir).select(
