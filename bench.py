@@ -180,6 +180,8 @@ HEADLINE = [
     "s10_capped_ann",
     "pl04_data_recipe",
     "d09_substring_excision",
+    # round-12 addition: the excised data recipe (pl04 + d09 apply step)
+    "pl05_data_recipe_excised",
 ]
 
 
@@ -309,6 +311,58 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _canary_probe(spark) -> float:
+    """Fixed synthetic CPU workload — an ENVIRONMENT probe, not an
+    engine benchmark (round-11 VERDICT ask #2: the shipped r11 artifact
+    was uniformly ~25 % hot from ambient load and nothing in the run
+    flagged it). Deliberately independent of the registry and the
+    testdata so engine/plan changes can never move it: 40 M xxhash64
+    rows reduced to one sum, all 32 threads busy, ~1 s on an idle
+    machine. Median of 3 runs."""
+    from pyspark.sql import functions as F
+
+    def one() -> float:
+        t0 = time.time()
+        spark.range(0, 40_000_000, 1, 32).select(
+            F.sum(F.xxhash64("id") % 1000).alias("s")
+        ).collect()
+        return time.time() - t0
+
+    return round(sorted(one() for _ in range(3))[1], 3)
+
+
+def _canary_check(spark, out: dict) -> None:
+    """Run the probe, compare to the trailing median of previous runs
+    (bench_canary_history.json, kept in-repo), and stamp the result
+    into the bench output. A >1.2× drift means the machine is loaded
+    and every number in this artifact is suspect — the warning is the
+    artifact's own confession, catching contamination at run time
+    instead of judge time."""
+    sec = _canary_probe(spark)
+    out["canary_sec"] = sec
+    hist_path = Path(__file__).resolve().parent / "bench_canary_history.json"
+    hist: list[dict] = []
+    if hist_path.exists():
+        try:
+            hist = json.loads(hist_path.read_text())
+        except ValueError:
+            hist = []
+    prev = sorted(h["sec"] for h in hist)
+    if prev:
+        med = prev[len(prev) // 2]
+        out["canary_trailing_median"] = med
+        out["ambient_load_warning"] = bool(sec > 1.2 * med)
+        if out["ambient_load_warning"]:
+            print(
+                f"WARNING: canary {sec:.2f}s is {sec / med:.2f}x its "
+                f"trailing median {med:.2f}s - machine under ambient "
+                "load, timings in this artifact are inflated",
+                file=sys.stderr,
+            )
+    hist.append({"ts": round(time.time(), 1), "sec": sec})
+    hist_path.write_text(json.dumps(hist[-20:], indent=1) + "\n")
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     small_dir = os.environ.get(
@@ -331,6 +385,7 @@ def main() -> int:
     )
 
     out: dict = {"metric": "wall_sec_total", "unit": "sec", "reps": reps}
+    _canary_check(spark, out)
 
     if small_dir and os.path.isdir(small_dir) and small_dir != sf_dir:
         small, _, _ = _time_queries(spark, qs, small_dir, reps)
@@ -376,6 +431,9 @@ def main() -> int:
         "n_queries": len(timings),
         "detail": detail_path.name,
     }
+    for k in ("canary_sec", "canary_trailing_median", "ambient_load_warning"):
+        if k in out:
+            compact[k] = out[k]
     ratios = out.get("scale_ratio", {})
     if ratios:
         worst = sorted(ratios.items(), key=lambda kv: -kv[1])[:5]

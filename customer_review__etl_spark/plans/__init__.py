@@ -172,6 +172,10 @@ PRIORITY: tuple[str, ...] = (
     #   so the driver's weaker rows-only check is on record at least
     #   once and never_driver_sampled reaches 0 — they did not fit at
     #   r12 without dropping r8-cohort entries into the hard gate.
+    #   ALSO pinned for r13: pl05_data_recipe_excised (new round-12
+    #   composed operator, added after this head was pinned — the d09
+    #   excision stage wired into the pl04 recipe) and q15_top_supplier
+    #   (the documented family swap below; hard-stale at r13).
     #   One documented exception to "full r8 cohort": the cohort has
     #   NO f-family query and the head-coverage gate requires one, so
     #   q15_top_supplier (one of the cohort's NINE q-family entries,

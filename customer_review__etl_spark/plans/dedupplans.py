@@ -1491,7 +1491,7 @@ def d08_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def d09_substring_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d09_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact repeated-substring EXCISION — the apply step that turns
     d08's pair mining into cleaned text (the find→remove pipeline of
     "Deduplicating Training Data Makes Language Models Better", Lee et
@@ -1589,7 +1589,15 @@ def d09_substring_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("n_removed"),
         F.col("text").alias("cleaned"),
     )
-    return excised.unionByName(passthrough).orderBy("doc_id")
+    return excised.unionByName(passthrough)
+
+
+def d09_substring_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: d09_cleaned plus the deterministic ordering.
+    The unordered core is shared with pl05's packing stage, which
+    consumes `cleaned` mid-pipeline (an ORDER BY there would inject a
+    useless range exchange before the join)."""
+    return d09_cleaned(spark, sf_dir).orderBy("doc_id")
 
 
 _D09_SQL = f"""

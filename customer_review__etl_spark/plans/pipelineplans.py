@@ -528,10 +528,37 @@ def pl04_data_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the final token count; no stage shuffles text. The mix
     histogram is ≤ #langs rows and broadcasts both ways; packing is
     the two-phase per-partition-offset cumsum (no global window)."""
+    from .relational import pack_sequences
+
+    return pack_sequences(
+        spark, _pl04_packed_in(spark, sf_dir), carry=("lang",)
+    ).orderBy("seq_id", "doc_id")
+
+
+def _pl04_packed_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pl04's pre-packing stage (mixed → token counts), exposed so
+    tools/plan_audit.py can audit the upstream subplan that
+    pack_sequences' localCheckpoint hides from the registered query's
+    explain output (round-11 ADVICE #2)."""
+    from .textplans import BPE_PATTERN
+
+    mixed = _pl04_mixed(spark, sf_dir)
+    toks = F.size(
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col("text"), F.lit(""))),
+            F.lit(BPE_PATTERN),
+            0,
+        )
+    ).cast("long")
+    return mixed.select("doc_id", toks.alias("n_tokens"), "lang")
+
+
+def _pl04_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 1–4 of the data recipe (survivors → decontam → gate →
+    weighted mix), shared verbatim by pl04 and pl05 so the two recipes
+    can only differ in what the packer counts."""
     from . import dedupplans, textplans
     from .dedupplans import DECON_EVAL_MOD
-    from .relational import pack_sequences
-    from .textplans import BPE_PATTERN
 
     surv = (
         dedupplans.d05_neardup_clusters(spark, sf_dir)
@@ -579,30 +606,77 @@ def pl04_data_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     frac16 = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
     ).cast("double")
-    mixed = clean.join(F.broadcast(rates), "lang").filter(
+    return clean.join(F.broadcast(rates), "lang").filter(
         frac16 < F.col("rate") * F.lit(65536.0)
+    )
+
+
+def pl05_data_recipe_excised(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pl04 with d09's exact substring EXCISION wired in before packing
+    (round-11 VERDICT ask #5) — the full Lee-et-al recipe: the find
+    step (d08 pairs) and the apply step (d09 interval-merge cuts) run
+    between cleaning and packing, so the packer counts tokens on the
+    TEXT THAT WILL ACTUALLY TRAIN, not on bodies that still carry the
+    boilerplate the excision removes. Stages:
+
+    1–4. identical to pl04 (shared _pl04_mixed: d05 survivors →
+         dc01/dc03 decontamination → t25 gate → p14 post-gate mix);
+    5.   EXCISION — each surviving doc's text is replaced by d09's
+         `cleaned` (chars covered by an L-gram owned by a lower doc_id
+         cut out, keep-first at character granularity). Ownership is
+         computed on the RAW corpus — the registry d09 twin verbatim —
+         for the same reason the dc flags are: a run's owner doesn't
+         change because the mix dropped it, so the excision set is
+         deterministic and stage-order-independent (the pl01 rule);
+    6.   PACKING — p19's core over the CLEANED token counts; docs
+         excised to zero tokens contribute no slice (the packer's
+         n_tokens > 0 rule does the dropping).
+
+    Oracle: pl04's composed fragments plus the already-proven _D09_SQL
+    fragment joined at the token-count stage — again composition
+    plumbing, not new semantics.
+
+    Scale: d09 is candidate-bounded (only d08-pair-involved docs
+    shuffle gram streams; the pair set is run-scratch) and the join
+    here is doc_id-only against the mix's id projection — cleaned
+    bodies shuffle once, into the token count, exactly where pl04
+    shuffled raw bodies."""
+    from .relational import pack_sequences
+
+    return pack_sequences(
+        spark, _pl05_packed_in(spark, sf_dir), carry=("lang",)
+    ).orderBy("seq_id", "doc_id")
+
+
+def _pl05_packed_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pl05's pre-packing stage (mixed ⋈ d09 cleaned → token counts);
+    exposed for plan_audit like _pl04_packed_in."""
+    from . import dedupplans
+    from .textplans import BPE_PATTERN
+
+    mixed = _pl04_mixed(spark, sf_dir).select("doc_id", "lang")
+    cleaned = dedupplans.d09_cleaned(spark, sf_dir).select(
+        "doc_id", "cleaned"
     )
     toks = F.size(
         F.regexp_extract_all(
-            F.lower(F.coalesce(F.col("text"), F.lit(""))),
+            F.lower(F.coalesce(F.col("cleaned"), F.lit(""))),
             F.lit(BPE_PATTERN),
             0,
         )
     ).cast("long")
-    packed_in = mixed.select("doc_id", toks.alias("n_tokens"), "lang")
-    return pack_sequences(spark, packed_in, carry=("lang",)).orderBy(
-        "seq_id", "doc_id"
+    return mixed.join(cleaned, "doc_id").select(
+        "doc_id", toks.alias("n_tokens"), "lang"
     )
 
 
-def _pl04_sql() -> str:
+def _recipe_mixed_ctes() -> str:
+    """Stages 1–4 as oracle CTEs (… → mixed), shared verbatim by pl04
+    and pl05 — the SQL twin of _pl04_mixed."""
     from .dedupplans import _D05_SQL, _DC01_SQL, _DC03_SQL, DECON_EVAL_MOD
-    from .relational import PACK_BUDGET
-    from .textplans import BPE_PATTERN, _t25_oracle
+    from .textplans import _t25_oracle
 
-    B = PACK_BUDGET
-    return f"""
-WITH surv AS (SELECT doc_id FROM ({_D05_SQL}) WHERE survivor = 1),
+    return f"""surv AS (SELECT doc_id FROM ({_D05_SQL}) WHERE survivor = 1),
 dcflag AS (
   SELECT doc_id FROM ({_DC01_SQL}) WHERE contaminated
   UNION
@@ -628,14 +702,16 @@ mixed AS (
   FROM clean c JOIN r USING (lang)
   WHERE ('0x' || substr(md5(c.doc_id::VARCHAR), 1, 4))::INT::DOUBLE
         < r.rate * 65536.0
-),
-toks AS (
-  SELECT doc_id, lang,
-         len(regexp_extract_all(lower(coalesce(text, '')),
-             '{BPE_PATTERN}'))::BIGINT AS n_tokens
-  FROM mixed
-),
-cum AS (
+)"""
+
+
+def _pack_sql_tail() -> str:
+    """The p19 packing core as oracle SQL over a `toks` CTE
+    (doc_id, lang, n_tokens) — shared by pl04 and pl05."""
+    from .relational import PACK_BUDGET
+
+    B = PACK_BUDGET
+    return f"""cum AS (
   SELECT doc_id, lang, n_tokens,
          (sum(n_tokens) OVER (ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -656,7 +732,38 @@ SELECT seq_id, doc_id,
         - greatest(tok_start, seq_id * {B}))::BIGINT AS slice_len,
        lang
 FROM spans
-ORDER BY seq_id, doc_id
+ORDER BY seq_id, doc_id"""
+
+
+def _pl04_sql() -> str:
+    from .textplans import BPE_PATTERN
+
+    return f"""
+WITH {_recipe_mixed_ctes()},
+toks AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(coalesce(text, '')),
+             '{BPE_PATTERN}'))::BIGINT AS n_tokens
+  FROM mixed
+),
+{_pack_sql_tail()}
+"""
+
+
+def _pl05_sql() -> str:
+    from .dedupplans import _D09_SQL
+    from .textplans import BPE_PATTERN
+
+    return f"""
+WITH {_recipe_mixed_ctes()},
+excis AS ({_D09_SQL}),
+toks AS (
+  SELECT m.doc_id, m.lang,
+         len(regexp_extract_all(lower(coalesce(x.cleaned, '')),
+             '{BPE_PATTERN}'))::BIGINT AS n_tokens
+  FROM mixed m JOIN excis x USING (doc_id)
+),
+{_pack_sql_tail()}
 """
 
 
@@ -667,4 +774,7 @@ SPECS = [
     ),
     QuerySpec("pl03_retrieval_corpus", pl03_retrieval_corpus, _pl03_sql()),
     QuerySpec("pl04_data_recipe", pl04_data_recipe, _pl04_sql()),
+    QuerySpec(
+        "pl05_data_recipe_excised", pl05_data_recipe_excised, _pl05_sql()
+    ),
 ]

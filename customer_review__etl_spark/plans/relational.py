@@ -558,6 +558,15 @@ def p19_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     (seq_id, doc_id, tok_offset of the slice within the sequence,
     slice_len). Core machinery in pack_sequences (shared with pl04's
     composed recipe) — scale notes there."""
+    return pack_sequences(spark, _p19_packed_in(spark, sf_dir)).orderBy(
+        "seq_id", "doc_id"
+    )
+
+
+def _p19_packed_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p19's pre-packing stage (scan → token counts), exposed so
+    tools/plan_audit.py can audit the upstream subplan that
+    pack_sequences' localCheckpoint hides (round-11 ADVICE #2)."""
     from .textplans import BPE_PATTERN
 
     toks = F.size(
@@ -567,10 +576,9 @@ def p19_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             0,
         )
     ).cast("long")
-    docs = _t(spark, sf_dir, "documents").select(
+    return _t(spark, sf_dir, "documents").select(
         "doc_id", toks.alias("n_tokens")
     )
-    return pack_sequences(spark, docs).orderBy("seq_id", "doc_id")
 
 
 def _p19_oracle() -> str:

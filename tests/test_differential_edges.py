@@ -49,6 +49,22 @@ EDGE_DOCS = [
      "en", "web", 53),
     (22, "y this shared run is exactly 39 chars ok! other padding",
      "en", "web", 55),
+    # pl05 excision-reaches-the-packer pair (round 12): docs 23/24
+    # share a 73-char license run but are NOT near-dups (their
+    # non-shared content dominates the shingle sets), BOTH pass the
+    # t25 gate and the p14 mix, and 24 (the higher id) must reach the
+    # packer with exactly the run cut out — the composed pl05 path is
+    # vacuous on the benign corpora (near-dup removal drops every
+    # substring-sharer first), so THIS corpus is where its oracle
+    # check has teeth. Doc 23 (the owner) must pack at FULL length.
+    (23, "governing preamble for archive copies. standard license text"
+         " which is shared verbatim between corpus documents owner"
+         " clause ends here.", "en", "web", 135),
+    (24, "completely different narrative about training data quality"
+         " and mixing follows now. standard license text which is"
+         " shared verbatim between corpus documents and some other"
+         " closing words appear in this document tail.", "en", "web",
+     218),
 ]
 
 DOCS_ONLY_QUERIES = [
@@ -150,6 +166,10 @@ DOCS_ONLY_QUERIES = [
     # the 39-char share (21/22) is below L=40 and must pass through;
     # NULL/short docs pass through byte-identical
     "d09_substring_excision",
+    # round-12: the excised data recipe — doc 24 must pack at its
+    # CLEANED token count (73-char run owned by doc 23 cut), doc 23 at
+    # full length; every other stage identical to pl04's edge coverage
+    "pl05_data_recipe_excised",
 ]
 
 
@@ -412,6 +432,32 @@ def _compare(spark, sf_dir, name, view):
 @pytest.mark.parametrize("name", DOCS_ONLY_QUERIES)
 def test_edge_corpus_matches_oracle(spark, edge_dir, name):
     _compare(spark, edge_dir, name, "documents")
+
+
+def test_pl05_excision_reaches_the_packer(spark, edge_dir):
+    """Non-vacuousness pin for the composed excision stage: on the
+    benign corpora pl05 ≡ pl04 (d05 drops every substring-sharer
+    before the excision can matter), so the doc-23/24 pair exists to
+    keep the stage LIVE here — doc 24 must pack strictly fewer tokens
+    under pl05, doc 23 (the run's owner) identically many. If this
+    fails with equal outputs, the edge corpus regressed to vacuous and
+    pl05's oracle check no longer exercises the excision join."""
+    qs = all_queries()
+    pl04 = {
+        (r.seq_id, r.doc_id): r.slice_len
+        for r in qs["pl04_data_recipe"].fn(spark, edge_dir).collect()
+    }
+    pl05 = {
+        (r.seq_id, r.doc_id): r.slice_len
+        for r in qs["pl05_data_recipe_excised"].fn(spark, edge_dir).collect()
+    }
+    k23 = [k for k in pl04 if k[1] == 23]
+    k24 = [k for k in pl04 if k[1] == 24]
+    assert k23 and k24, "the engineered pair must survive to packing"
+    assert all(pl04[k] == pl05[k] for k in k23), "owner must keep its run"
+    assert sum(pl05[k] for k in k24 if k in pl05) < sum(
+        pl04[k] for k in k24
+    ), "doc 24 must pack fewer tokens once its run is excised"
 
 
 # ---------------------------------------------------------------------------

@@ -58,7 +58,26 @@ EXPECTED_BNLJ = {
                               # broadcast (vec_id ≠ query anchor non-equi)
     "pl04_data_recipe",  # inherits p14's ONE-row (N, G) totals broadcast
                          # cross onto the ≤#langs mix-rate table
+    "pl05_data_recipe_excised",  # same two p14 totals crosses as pl04
+                                 # (shared _pl04_mixed stage)
 }
+
+
+# Packing queries run pack_sequences, whose localCheckpoint+collect
+# truncates the registered query's explain output to the post-
+# checkpoint tail — the (much larger) upstream subplan would be
+# invisible to this audit (round-11 ADVICE #2: exactly the class of
+# bug the d09 79-exchange catch proved this gate exists for). For
+# each, additionally audit the exposed pre-packing DataFrame and fold
+# its counts into the row's notes.
+def _prepack_builders():
+    from customer_review__etl_spark.plans import pipelineplans, relational
+
+    return {
+        "p19_sequence_pack": relational._p19_packed_in,
+        "pl04_data_recipe": pipelineplans._pl04_packed_in,
+        "pl05_data_recipe_excised": pipelineplans._pl05_packed_in,
+    }
 
 
 def _plan(df) -> str:
@@ -102,6 +121,25 @@ def main() -> int:
                 unexpected_bnlj.append(name)
         if python != "-":
             notes.append("python stage (documented UDF path)")
+        prepack = _prepack_builders().get(name)
+        if prepack is not None:
+            pplan = _plan(prepack(spark, sf_dir))
+            p_ex = len(re.findall(r"\(\d+\) Exchange", pplan))
+            p_bc = pplan.count("BroadcastHashJoin")
+            p_bnlj = pplan.count("BroadcastNestedLoopJoin") + pplan.count(
+                "CartesianProduct"
+            )
+            note = (
+                f"checkpoint-truncated row; prepack subplan: {p_ex} ex, "
+                f"{p_bc} bcast"
+            )
+            if p_bnlj:
+                note += f", BNLJ×{p_bnlj}" + (
+                    " (expected)" if name in EXPECTED_BNLJ else " (UNEXPECTED)"
+                )
+                if name not in EXPECTED_BNLJ:
+                    unexpected_bnlj.append(name + " (prepack)")
+            notes.append(note)
         rows.append((name, str(n_ex), str(n_bc), pushed, "; ".join(notes)))
         spark.catalog.clearCache()
 
@@ -114,6 +152,14 @@ def main() -> int:
             "(includes the final output sort where one exists); bcast = "
             "BroadcastHashJoin count; pushdown = non-empty `PushedFilters` "
             "on a scan.\n\n"
+            "Checkpoint truncation: queries that run pack_sequences "
+            "(p19/pl04/pl05) or an iterative fixpoint (d05/d06/gr05, BPE) "
+            "materialize via localCheckpoint, so their registered row shows "
+            "only the post-checkpoint tail. For the packers the hidden "
+            "upstream is audited separately and reported in notes as the "
+            "`prepack subplan`; the fixpoint ops' per-round subplans are "
+            "bounded by design (scalar-only collects, pointer-jumping)."
+            "\n\n"
             "| query | shuffles | bcast joins | pushdown | notes |\n"
             "|---|---|---|---|---|\n"
         )
