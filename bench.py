@@ -316,14 +316,17 @@ def _canary_probe(spark) -> float:
     engine benchmark (round-11 VERDICT ask #2: the shipped r11 artifact
     was uniformly ~25 % hot from ambient load and nothing in the run
     flagged it). Deliberately independent of the registry and the
-    testdata so engine/plan changes can never move it: 40 M xxhash64
-    rows reduced to one sum, all 32 threads busy, ~1 s on an idle
-    machine. Median of 3 runs."""
+    testdata so engine/plan changes can never move it: 3.2 B xxhash64
+    rows reduced to one sum, all 32 threads busy, ~0.8 s on an idle
+    machine — sized so scheduler jitter stays well under the 1.2×
+    warning threshold (sub-second workloads probed at 1.3–1.5×
+    spreads of pure noise; at this size the idle spread is ~1.08×).
+    Median of 3 runs."""
     from pyspark.sql import functions as F
 
     def one() -> float:
         t0 = time.time()
-        spark.range(0, 40_000_000, 1, 32).select(
+        spark.range(0, 3_200_000_000, 1, 32).select(
             F.sum(F.xxhash64("id") % 1000).alias("s")
         ).collect()
         return time.time() - t0

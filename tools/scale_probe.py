@@ -90,6 +90,9 @@ PROBE_PAIR = [
                                # shuffles; replication makes every doc
                                # involved (true work), organic keeps
                                # involvement within-copy
+    "pl05_data_recipe_excised",  # pl04 + the d09 apply stage: the
+                                 # full excised recipe inherits both
+                                 # pair-growth modes
 ]
 
 # the 9 most frequent English letters — rotating them per copy changes
@@ -185,10 +188,17 @@ def main() -> int:
     spark = get_spark("scale_probe")
     from customer_review__etl_spark.scratch import run_scratch
 
-    dst_repl = run_scratch("scaleprobe_repl_")
+    # SPARK_GRAFT_PROBE_MODES=org skips the replicated corpus entirely
+    # (round-11 VERDICT ask #7: the ≥60× extrapolation runs organic
+    # only — replicated at that multiple is quadratic TRUE output for
+    # the pair families and would dominate the probe's budget without
+    # bounding anything the 30× repl rows haven't already bounded).
+    modes = os.environ.get("SPARK_GRAFT_PROBE_MODES", "both")
+    dst_repl = run_scratch("scaleprobe_repl_") if modes != "org" else None
     dst_org = run_scratch("scaleprobe_org_")
     t0 = time.time()
-    synthesize(spark, src, dst_repl, mult, organic=False)
+    if dst_repl is not None:
+        synthesize(spark, src, dst_repl, mult, organic=False)
     synthesize(spark, src, dst_org, mult, organic=True)
     build_s = round(time.time() - t0, 1)
 
@@ -206,10 +216,12 @@ def main() -> int:
             continue
         fn = qs[name].fn
         row: dict = {"base": _best_of(fn, spark, src)}
-        row["big_repl"] = _best_of(fn, spark, dst_repl)
-        row["ratio_repl"] = (
-            round(row["big_repl"] / row["base"], 2) if row["base"] else None
-        )
+        if dst_repl is not None:
+            row["big_repl"] = _best_of(fn, spark, dst_repl)
+            row["ratio_repl"] = (
+                round(row["big_repl"] / row["base"], 2)
+                if row["base"] else None
+            )
         if name in PROBE_PAIR:
             row["big_org"] = _best_of(fn, spark, dst_org)
             row["ratio_org"] = (
@@ -225,6 +237,8 @@ def main() -> int:
 
             for key, d in (("base", src), ("repl", dst_repl),
                            ("org", dst_org)):
+                if d is None:
+                    continue
                 docs = tables.load_parallel(spark, d, "documents").filter(
                     F.length("text") >= dedupplans.D08_SUBSTR_LEN
                 ).select("doc_id", "text")
