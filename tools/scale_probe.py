@@ -21,10 +21,13 @@ graph families need BOTH measured):
   reported as `ratio_repl`.
 - ORGANIC (the fair mode): each copy k ≥ 1 is content-decorrelated
   while its WITHIN-copy structure is preserved exactly —
-  · documents: translate() rotates the 9 most common letters by k,
-    the same bijection applied to every doc of the copy, so planted
-    near-dup pairs inside a copy survive verbatim while cross-copy
-    shingle/gram overlap collapses;
+  · documents: translate() applies a per-copy deterministic
+    permutation of the full a-z alphabet (see _copy_perm — ≈mult
+    distinct content classes at any multiple; the pre-round-12
+    9-letter rotation cycled after 9 copies and silently replicated
+    content verbatim at larger multiples), the same bijection applied
+    to every doc of the copy, so planted near-dup pairs inside a copy
+    survive verbatim while cross-copy shingle/gram overlap collapses;
   · embeddings: a per-copy deterministic ±1 sign flip per dimension
     (an orthogonal diagonal transform — within-copy cosines are
     EXACTLY preserved, cross-copy cosines decorrelate to ~0);
@@ -95,9 +98,33 @@ PROBE_PAIR = [
                                  # pair-growth modes
 ]
 
-# the 9 most frequent English letters — rotating them per copy changes
-# the vast majority of shingles/grams while staying a bijection
-_ROT = "etaoinshr"
+# Per-copy text decorrelation (round 12 — REPLACES the 9-letter
+# rotation). The old transform rotated "etaoinshr" by k % 9, which has
+# only NINE distinct content classes: at 100× each class held ~11
+# VERBATIM-identical copies (506 cross-copy twin pairs per doc), so
+# "organic" mode was heavily replicated for exact-substring operators
+# — measured: d09 read 152× at 100× before this fix, quadratic true
+# pair work the synthesizer itself planted, not a plan property. Now
+# each copy k applies a deterministic Fisher-Yates permutation of the
+# full a-z alphabet (keyed by a Knuth multiplicative hash of (k, i)),
+# giving ≈mult distinct content classes at any realistic multiple;
+# within-copy structure is still preserved exactly (one bijection per
+# copy), and a 40-char gram collides across copies only if the two
+# permutations agree on every letter it contains. Content-sensitive
+# stages downstream of the dedup ops (t25's stopword rule inside the
+# composed recipes) pass only structurally-English copies — documented
+# in SCALING.md: composed-recipe organic rows measure the pre-gate
+# stages at full multiplicity plus the gate-surviving tail, which is
+# what corpus growth by decorrelated content actually does to them.
+_AZ = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _copy_perm(k: int) -> str:
+    chars = list(_AZ)
+    for i in range(25, 0, -1):
+        j = ((k * 31 + i) * 2654435761 % 4294967296) % (i + 1)
+        chars[i], chars[j] = chars[j], chars[i]
+    return "".join(chars)
 
 
 def synthesize(spark, src: str, dst: str, mult: int,
@@ -112,9 +139,8 @@ def synthesize(spark, src: str, dst: str, mult: int,
             "doc_id", (F.col("doc_id") + F.lit(k * max_doc)).cast("long")
         )
         if organic and k:
-            r = k % len(_ROT)
             part = part.withColumn(
-                "text", F.translate("text", _ROT, _ROT[r:] + _ROT[:r])
+                "text", F.translate("text", _AZ, _copy_perm(k))
             )
         out = part if out is None else out.unionByName(part)
     out.write.mode("overwrite").parquet(f"{dst}/documents.parquet")
