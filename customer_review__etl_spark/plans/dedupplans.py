@@ -1184,9 +1184,17 @@ def dc03_verbatim_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
     )
+    # The BUILD side is pinned: anchors is one row per eval doc (a
+    # benchmark set — small by nature) while train_grams carries the
+    # full normalized text on EVERY gram row, corpus-sized times gram
+    # fan-out. Left to estimates, a composed consumer's column pruning
+    # (pl05) flipped Catalyst's choice to broadcasting train_grams —
+    # 8.2 GiB at the 30× probe, over Spark's broadcast hard limit, and
+    # wrong at any scale. Explicit broadcast(anchors) restores the
+    # documented plan: train grams stream map-side, no shuffle of norm.
     return (
         train_grams.join(
-            anchors, train_grams["g"] == anchors["anchor"]
+            F.broadcast(anchors), train_grams["g"] == anchors["anchor"]
         )
         .filter(F.expr("contains(norm, ev_norm)"))
         .select("train_doc", "eval_doc")
@@ -1542,8 +1550,15 @@ def d09_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos0", "g"),
     ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("i"), "g")
     gmin = grams.groupBy("g").agg(F.min("doc_id").alias("mn"))
+    # The gram-key join is corpus-sized on BOTH sides (every L-gram of
+    # every involved doc), so it must NEVER broadcast — pinned to
+    # sort-merge. Without the hint, downstream column pruning (pl05
+    # consumes only `cleaned`) shrank Catalyst's estimate of gmin
+    # under the broadcast threshold and the runtime table blew Spark's
+    # 8 GiB broadcast hard limit at the 30× probe scale; at 100 TB a
+    # broadcast here is wrong even when it fits.
     starts = (
-        grams.join(gmin, "g")
+        grams.join(gmin.hint("merge"), "g")
         .filter(F.col("mn") < F.col("doc_id"))
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list("i")).alias("starts"))

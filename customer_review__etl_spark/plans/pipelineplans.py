@@ -637,10 +637,11 @@ def pl05_data_recipe_excised(spark: SparkSession, sf_dir: str) -> DataFrame:
     plumbing, not new semantics.
 
     Scale: d09 is candidate-bounded (only d08-pair-involved docs
-    shuffle gram streams; the pair set is run-scratch) and the join
-    here is doc_id-only against the mix's id projection — cleaned
-    bodies shuffle once, into the token count, exactly where pl04
-    shuffled raw bodies."""
+    shuffle gram streams; the pair set is run-scratch) and token
+    counts are computed on the d09 side BEFORE the id join, so the
+    join that meets the mix carries (doc_id, n_tokens) only — cleaned
+    bodies never enter a join (see _pl05_packed_in for the 8 GiB
+    broadcast blowup the body-joining shape produced at 30×)."""
     from .relational import pack_sequences
 
     return pack_sequences(
@@ -649,15 +650,21 @@ def pl05_data_recipe_excised(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pl05_packed_in(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pl05's pre-packing stage (mixed ⋈ d09 cleaned → token counts);
-    exposed for plan_audit like _pl04_packed_in."""
+    """pl05's pre-packing stage; exposed for plan_audit like
+    _pl04_packed_in. Token counts are computed ON THE d09 SIDE before
+    the id join (a narrow map over the cleaned relation), so the join
+    that meets the mix carries only (doc_id, n_tokens) — document
+    bodies never enter a join in this recipe. The first 30× probe run
+    caught the alternative shape red-handed: joining the cleaned TEXT
+    against the mix let Catalyst pick a broadcast for the bodies side
+    off an aggregate-underestimate, and the runtime table blew Spark's
+    8 GiB broadcast hard limit — at 100 TB that shape is wrong even
+    when it runs, because cleaned bodies would shuffle into a join
+    whose output only needs an integer per doc."""
     from . import dedupplans
     from .textplans import BPE_PATTERN
 
     mixed = _pl04_mixed(spark, sf_dir).select("doc_id", "lang")
-    cleaned = dedupplans.d09_cleaned(spark, sf_dir).select(
-        "doc_id", "cleaned"
-    )
     toks = F.size(
         F.regexp_extract_all(
             F.lower(F.coalesce(F.col("cleaned"), F.lit(""))),
@@ -665,8 +672,11 @@ def _pl05_packed_in(spark: SparkSession, sf_dir: str) -> DataFrame:
             0,
         )
     ).cast("long")
-    return mixed.join(cleaned, "doc_id").select(
-        "doc_id", toks.alias("n_tokens"), "lang"
+    cleaned_counts = dedupplans.d09_cleaned(spark, sf_dir).select(
+        "doc_id", toks.alias("n_tokens")
+    )
+    return mixed.join(cleaned_counts, "doc_id").select(
+        "doc_id", "n_tokens", "lang"
     )
 
 
