@@ -1264,9 +1264,15 @@ def dc01_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter("is_eval").select(F.explode("grams").alias("g")).distinct()
     )
     train = base.filter(~F.col("is_eval"))
+    # the docstring's "no broadcast assumption" made physical (round-12
+    # dc03 lesson): eval_grams is a distinct-aggregate whose estimate
+    # undershoots, and a huge benchmark suite would blow an
+    # estimate-flipped broadcast — pinned to the documented gram-key
+    # shuffle. A deployment with a known-small eval set may trade this
+    # pin for broadcast(eval_grams) to keep the train stream map-side.
     hits = (
         train.select("doc_id", F.explode("grams").alias("g"))
-        .join(eval_grams, "g")
+        .join(eval_grams.hint("merge"), "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )

@@ -118,7 +118,9 @@ def pl01_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", T.raw_tokens(F.lower(F.col("text"))).alias("toks")
         )
         .select("doc_id", F.explode(_gram_arr("toks")).alias("g"))
-        .join(eval_grams, "g")
+        # dc01's no-broadcast rule, applied to the inlined twin
+        # (round-12 audit): eval grams may be huge, pin the shuffle
+        .join(eval_grams.hint("merge"), "g")
         .select("doc_id")
         .distinct()
     )

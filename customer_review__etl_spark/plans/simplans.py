@@ -176,9 +176,11 @@ def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("n_bucket"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
+    # the neighbor side carries the full corpus embeddings - never
+    # broadcastable at scale; pinned sort-merge (round-12 audit)
     return (
         q.join(
-            c,
+            c.hint("merge"),
             (F.col("q_bucket") == F.col("n_bucket"))
             & (F.col("q_id") != F.col("n_id")),
         )
@@ -249,9 +251,11 @@ def s03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
+    # exact-verify joins against the corpus embedding table: the
+    # embedding sides must never broadcast (round-12 audit pin)
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
+        cand.join(ea.hint("merge"), "vec_a")
+        .join(eb.hint("merge"), "vec_b")
         .select(
             "vec_a",
             "vec_b",
@@ -659,9 +663,11 @@ def s09_capped_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
+    # exact-verify joins against the corpus embedding table: the
+    # embedding sides must never broadcast (round-12 audit pin)
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
+        cand.join(ea.hint("merge"), "vec_a")
+        .join(eb.hint("merge"), "vec_b")
         .select(
             "vec_a",
             "vec_b",
@@ -971,9 +977,11 @@ def s07_multiprobe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("n_bucket"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
+    # the neighbor side carries the full corpus embeddings - never
+    # broadcastable at scale; pinned sort-merge (round-12 audit)
     return (
         q.join(
-            c,
+            c.hint("merge"),
             (F.col("probe") == F.col("n_bucket"))
             & (F.col("q_id") != F.col("n_id")),
         )
@@ -1135,8 +1143,10 @@ def s10_capped_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lv in range(1, D + 1):
         cond = cond & (F.col(f"p{lv}") == F.col(f"k{lv}_n"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
+    # neighbor side = full corpus embeddings: pinned sort-merge
+    # (round-12 audit; ml09 inherits via the shared generator)
     return (
-        q.join(c, cond)
+        q.join(c.hint("merge"), cond)
         .select(
             "q_id",
             "n_id",

@@ -275,7 +275,11 @@ def t11_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = ch.groupBy("chunk").agg(
         F.countDistinct("doc_id").alias("dfreq")
     )
-    kept = ch.join(freq, "chunk").filter(F.col("dfreq") == 1)
+    # freq is the corpus-sized distinct-chunk aggregate: aggregate
+    # output estimates undershoot, and an estimate-flipped broadcast
+    # of it is unbounded at scale (the round-12 dc03 lesson) - pinned
+    # to the docstring's "shuffle on the chunk key" plan.
+    kept = ch.join(freq.hint("merge"), "chunk").filter(F.col("dfreq") == 1)
     agg = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
@@ -290,7 +294,9 @@ def t11_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select(
             "doc_id", F.size("chunks").cast("long").alias("n_chunks")
         )
-        .join(agg, "doc_id", "left")
+        # agg carries the per-doc REBUILT TEXT - a corpus-sized
+        # aggregate side that must never broadcast (round-12 audit)
+        .join(agg.hint("merge"), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("cleaned", F.lit("")).alias("cleaned"),
@@ -952,7 +958,9 @@ def t20_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
-        grams.join(first, "g")
+        # first-touch table = corpus-sized distinct grams: must never
+        # broadcast (estimate-flip hazard, round-12 dc03 lesson)
+        grams.join(first.hint("merge"), "g")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

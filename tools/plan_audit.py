@@ -80,6 +80,56 @@ def _prepack_builders():
     }
 
 
+# Wide-payload broadcast audit (round 12). The dc03 catch: under a
+# composed consumer's column pruning, Catalyst flipped the build side
+# of dc03's anchor join and broadcast the corpus-sized train-gram
+# stream (full normalized text on every gram row — 8.2 GiB at the 30×
+# probe, over Spark's broadcast hard limit). Estimate-driven build
+# choices are not stable across scales or consumers, so every
+# BroadcastExchange whose payload includes a body/gram/vector column
+# must be either (a) bounded by construction and whitelisted here
+# with the bound, or (b) a bug. Column-name heuristic; suffixes like
+# `#123` and qualifiers are stripped before matching.
+_WIDE_COL = re.compile(
+    r"^(text|norm|ev_norm|cleaned|body|g|gram|grams|anchor_text|shingle|"
+    r"shingles|embedding|emb|emb_a|emb_b|q_emb|n_emb|cent_emb|v|toks|"
+    r"tokens|words|terms|line|lines|chunk|content)$"
+)
+EXPECTED_WIDE_BROADCAST: dict[str, str] = {
+    # query name -> justification (the bound that makes it safe)
+    "s01_cosine_topk": "16-row query-vector side (vec_id < 16)",
+    "s04_ivf_ann": "8-row centroid table / 16-row probe side",
+    "s06_pq_ann": "8-row codebook + 16-row query LUT",
+    "s05_semantic_clusters": "k-row centroid table per round",
+    "ml06_kmeans": "k-row centroid table per round",
+    "s08_rrf_fusion": "ONE anchor embedding row",
+    "pl03_retrieval_corpus": "3-row anchor embedding side",
+    "dc03_verbatim_decontaminate": (
+        "eval anchor table: one row per eval doc of a benchmark set "
+        "(pinned broadcast(anchors) — the round-12 fix)"
+    ),
+    "t12_vocab_coverage": "top-V vocabulary slice (V fixed)",
+    "t24_bm25_topk": "query-term list (fixed, tiny)",
+    "ml07_naive_bayes": "class-stats vectors, ≤ #classes rows",
+    "ml11_confidence_calibration": "inherits ml07's ≤ #classes-row stats",
+}
+
+
+def _wide_broadcasts(plan: str) -> list[str]:
+    hits = []
+    for m in re.finditer(
+        r"\(\d+\) BroadcastExchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan
+    ):
+        cols = [
+            c.strip().split("#")[0].split(".")[-1]
+            for c in m.group(1).split(",")
+        ]
+        wide = [c for c in cols if _WIDE_COL.match(c)]
+        if wide:
+            hits.append("+".join(sorted(set(wide))))
+    return hits
+
+
 def _plan(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
         df.queryExecution() if hasattr(df, "queryExecution") else df._jdf.queryExecution(),
@@ -92,6 +142,7 @@ def main() -> int:
     spark = get_spark("plan-audit")
     rows = []
     unexpected_bnlj = []
+    unexpected_wide = []
     for name, fn in sorted(entrymod.queries().items()):
         if name in (
             "st04_stream_tumbling", "st05_stream_dedup",
@@ -121,6 +172,16 @@ def main() -> int:
                 unexpected_bnlj.append(name)
         if python != "-":
             notes.append("python stage (documented UDF path)")
+        wide = _wide_broadcasts(plan)
+        if wide:
+            if name in EXPECTED_WIDE_BROADCAST:
+                notes.append(
+                    f"wide bcast [{' '.join(wide)}] (expected: "
+                    f"{EXPECTED_WIDE_BROADCAST[name]})"
+                )
+            else:
+                notes.append(f"wide bcast [{' '.join(wide)}] (UNEXPECTED)")
+                unexpected_wide.append(name)
         prepack = _prepack_builders().get(name)
         if prepack is not None:
             pplan = _plan(prepack(spark, sf_dir))
@@ -139,6 +200,21 @@ def main() -> int:
                 )
                 if name not in EXPECTED_BNLJ:
                     unexpected_bnlj.append(name + " (prepack)")
+            pwide = _wide_broadcasts(pplan)
+            if pwide:
+                # composed consumers inherit their fragments' expected
+                # wide broadcasts (pl04/pl05 contain dc03's anchors)
+                inherited = name in EXPECTED_WIDE_BROADCAST or name in (
+                    "pl04_data_recipe",
+                    "pl05_data_recipe_excised",
+                )
+                note += f", wide bcast [{' '.join(pwide)}]" + (
+                    " (expected: inherited fragment bounds)"
+                    if inherited
+                    else " (UNEXPECTED)"
+                )
+                if not inherited:
+                    unexpected_wide.append(name + " (prepack)")
             notes.append(note)
         rows.append((name, str(n_ex), str(n_bc), pushed, "; ".join(notes)))
         spark.catalog.clearCache()
@@ -166,10 +242,14 @@ def main() -> int:
         for r in rows:
             f.write("| " + " | ".join(r) + " |\n")
     print(f"wrote {out} ({len(rows)} queries)")
+    rc = 0
     if unexpected_bnlj:
         print("UNEXPECTED nested-loop joins:", unexpected_bnlj)
-        return 1
-    return 0
+        rc = 1
+    if unexpected_wide:
+        print("UNEXPECTED wide-payload broadcasts:", unexpected_wide)
+        rc = 1
+    return rc
 
 
 if __name__ == "__main__":
