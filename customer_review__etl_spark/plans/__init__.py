@@ -184,64 +184,83 @@ PRIORITY: tuple[str, ...] = (
     #   MUST include it alongside the four rows-only entries — and
     #   f02_array_funcs (oldest unsampled f, last row r9) takes the
     #   slot.
-    # the r8 cohort (staleness 4 once r12 lands → hard at r13),
-    # grouped by family for readability; set == CORRECTNESS_r08 keys
-    # minus everything re-sampled in r9-r11, minus the documented
-    # q15→f02 family swap above
-    "p12_deterministic_sample",
-    "p16_scalable_ordinal",
-    "p19_sequence_pack",
-    "a14_running_distinct",
-    "a15_revenue_concentration",
-    "a16_mad_outliers",
-    "q4_order_priority",
-    "q11_important_stock",
-    "q14_promo_revenue",
-    "q16_parts_supplier",
-    "q18_large_orders",
-    "q20_potential_promotion",
-    "q21_waiting_supplier",
-    "q22_idle_customers",
-    "j13_bloom_semi_join",
-    "w08_rolling_median",
-    "w09_range_frame",
-    "w11_ohlc_bars",
-    "u04_sentence_udtf",
-    "u06_ewma_partitioned",
-    "u07_arrow_batch_clip",
-    "t06_fingerprint",
-    "t07_positional_hash",
-    "t09_pii_scrub",
-    "t10_repetition_score",
-    "t12_vocab_coverage",
-    "t17_reading_ease",
-    "t20_novelty_ratio",
-    "t22_bpe_encode",
-    "d04_ngram_jaccard",
-    "dc03_verbatim_decontaminate",
-    "s07_multiprobe_ann",
-    "st10_keyed_upsert",
-    "st12_stream_quarantine",
-    "ml08_linreg",
-    "ml09_knn_label",
-    "ml10_classifier_gate",
-    "ml12_hashed_features",
-    "mm04_blob_chunks",
-    "io03_jsonl_roundtrip",
-    "io04_orc_roundtrip",
-    "io07_compaction",
-    "io08_dynamic_partition_overwrite",
-    "io12_nested_projection",
-    "io16_quarantine_write",
-    "gr03_khop_reachability",
-    "gr04_item_similarity",
-    "gr05_connected_components",
-    # family top-up the cohort lacks (oldest unsampled f; see the
-    # documented q15→f02 swap in the r12 rotation-log entry above)
-    "f02_array_funcs",
-    # the one oracle-backed query with no driver row (added post-r11
-    # rotation; round-11 ADVICE #3 and VERDICT ask #1)
-    "d09_substring_excision",
+    #   r13 (round-12 VERDICT ask #1): six pinned slots first —
+    #   q15_top_supplier (the documented r12 q15→f02 family swap,
+    #   last sampled r8, hard-stale the moment CORRECTNESS_r13 lands),
+    #   pl05_data_recipe_excised (new round-12 composed operator,
+    #   never driver-sampled), and the FOUR rows-only-by-design
+    #   entries t02_stemmed_chain / ml01_lda_themes /
+    #   ml02_topic_top_words / ml04_classifier_metrics (round-11
+    #   VERDICT ask #4, deferred twice) so the driver's weaker
+    #   rows-only check is on record and never_driver_sampled hits 0 —
+    #   admitting them required relaxing the oracle-only-head gate
+    #   (tests/test_plans.py) to an explicit whitelist of exactly
+    #   these four. Then the r9 cohort (48 queries whose last driver
+    #   row is CORRECTNESS_r09; staleness 4 once r13 lands → hard at
+    #   r14): it has NO f-family entry, so f03_json_map_funcs (oldest-
+    #   sampled f, r10) takes the family-coverage slot, leaving 43
+    #   cohort slots. FIVE cohort entries defer to r14 (hard-stale
+    #   there — the same forcing function as r12's design), chosen for
+    #   maximal shape redundancy inside this head: a04_row_count
+    #   (count-star inside a02/a03/a07), p06_ordinal (ordinal shape
+    #   sampled r12 via p16), j07_right_outer (outer-join shape kept
+    #   by j05_full_outer), set02_intersect + set03_except_all
+    #   (set-op shape kept by set01_union_all; `set` is not a gated
+    #   family). r14 head MUST open with those five.
+    # the six pinned slots (see r13 rotation-log entry above)
+    "q15_top_supplier",
+    "pl05_data_recipe_excised",
+    "t02_stemmed_chain",
+    "ml01_lda_themes",
+    "ml02_topic_top_words",
+    "ml04_classifier_metrics",
+    # family top-up: the r9 cohort has no f query (f03 oldest, r10)
+    "f03_json_map_funcs",
+    # the r9 cohort minus the five documented r14 deferrals,
+    # grouped by family for readability
+    "p02_drop_columns",
+    "p05_lowercase_rename",
+    "p07_filter_nonempty",
+    "p08_filter_eq",
+    "p09_select",
+    "p10_limit_topk",
+    "p11_derived_json",
+    "p13_group_quota_sample",
+    "p14_weighted_mix",
+    "a02_count_distinct",
+    "a03_null_counts",
+    "a05_distinct_sort",
+    "a07_summary_stats",
+    "a09_approx_stats",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q19_disjunctive_pred",
+    "j03_left_semi",
+    "j04_left_anti",
+    "j05_full_outer",
+    "j06_theta_range",
+    "w02_lag_lead",
+    "w04_rank_dense",
+    "w06_moving_avg",
+    "w12_retention_cohorts",
+    "g02_cube",
+    "g03_grouping_sets",
+    "set01_union_all",
+    "u01_grouped_minmax",
+    "t04_quality_scores",
+    "t23_inverted_index",
+    "t24_bm25_topk",
+    "t25_quality_rules",
+    "t26_line_dedup",
+    "d08_repeated_substrings",
+    "s08_rrf_fusion",
+    "st02_sliding_window",
+    "ml03_train_test_split",
+    "mm03_frame_sample",
+    "io02_parquet_roundtrip",
+    "pl03_retrieval_corpus",
 )
 
 

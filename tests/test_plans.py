@@ -44,10 +44,22 @@ def test_registry_head_covers_every_family():
                 "t0", "d0", "s0", "st", "ml", "mm", "io")
     for fam in families:
         assert any(n.startswith(fam) for n in head), f"family {fam} not in head"
-    # the head should be maximally oracle-checked: rows-only entries stay out
+    # the head is maximally oracle-checked: the ONLY rows-only entries
+    # admitted are the four documented non-SQL-expressible ops
+    # (round-11 VERDICT ask #4 / round-12 ask #1 — scheduled into the
+    # r13 head so the driver's weaker rows-only check lands on record
+    # and never_driver_sampled reaches 0). Any OTHER rows-only entry in
+    # the head is a scheduling bug: it would spend an oracle-checkable
+    # slot on a weaker check.
+    rows_only_head_whitelist = {
+        "t02_stemmed_chain",
+        "ml01_lda_themes",
+        "ml02_topic_top_words",
+        "ml04_classifier_metrics",
+    }
     specs = all_queries()
-    rows_only_in_head = [n for n in head if specs[n].oracle is None]
-    assert rows_only_in_head == []
+    rows_only_in_head = {n for n in head if specs[n].oracle is None}
+    assert rows_only_in_head <= rows_only_head_whitelist
 
 
 def test_coverage_tripwire_reports():
