@@ -350,7 +350,14 @@ def _canary_check(spark, out: dict) -> None:
             hist = json.loads(hist_path.read_text())
         except ValueError:
             hist = []
-    prev = sorted(h["sec"] for h in hist)
+    # The baseline is the median of CLEAN history only (round-12
+    # ADVICE #1): samples that were themselves flagged stay in the
+    # file for the record but are excluded from the median, otherwise
+    # a persistently loaded machine ratchets the trailing median up
+    # and the >1.2× warning self-silences after ~10 hot runs.
+    prev = sorted(
+        h["sec"] for h in hist if not h.get("ambient_load_warning")
+    )
     if prev:
         med = prev[len(prev) // 2]
         out["canary_trailing_median"] = med
@@ -362,7 +369,10 @@ def _canary_check(spark, out: dict) -> None:
                 "load, timings in this artifact are inflated",
                 file=sys.stderr,
             )
-    hist.append({"ts": round(time.time(), 1), "sec": sec})
+    entry = {"ts": round(time.time(), 1), "sec": sec}
+    if out.get("ambient_load_warning"):
+        entry["ambient_load_warning"] = True
+    hist.append(entry)
     hist_path.write_text(json.dumps(hist[-20:], indent=1) + "\n")
 
 

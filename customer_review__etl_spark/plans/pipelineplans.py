@@ -582,14 +582,23 @@ def _pl04_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("keep")
         .select("doc_id")
     )
+    # Every join side here grows with the corpus (survivor ids, gate
+    # ids, contamination flags), and the text-carrying stream must
+    # never become a broadcast build side: at sf0.01 Catalyst's
+    # estimates flipped exactly that — the round-13 pinned wide-audit
+    # caught a BroadcastExchange of (doc_id, lang, text) that the
+    # round-12 blanket prepack exemption had hidden (the dc03 class:
+    # estimate-driven build choices are not stable across scales).
+    # hint("merge") on each id side pins every stage-1-4 join to SMJ
+    # on doc_id; only the bounded rates table below is broadcast.
     clean = (
         tables.load(spark, sf_dir, "documents")
         .select("doc_id", "lang", "text")
         .filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
-        .join(surv, "doc_id")
-        .join(gate, "doc_id")
-        .join(dc1, "doc_id", "left_anti")
-        .join(dc3, "doc_id", "left_anti")
+        .join(surv.hint("merge"), "doc_id")
+        .join(gate.hint("merge"), "doc_id")
+        .join(dc1.hint("merge"), "doc_id", "left_anti")
+        .join(dc3.hint("merge"), "doc_id", "left_anti")
     )
     # p14's mix device over the post-gate corpus: uniform-language
     # targets, content-addressed membership (16-bit md5 fraction)

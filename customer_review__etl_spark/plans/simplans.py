@@ -29,6 +29,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 import threading
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -396,7 +397,62 @@ def _cascade_effective_depth(
     return max_depth
 
 
+# Effective-depth memo (round-12 ADVICE #2): the occupancy pre-scan is
+# a full-corpus job, and s09/s10 are built far more often than their
+# corpus changes — every bench rep, every explain-only plan_audit
+# build, every oracle run in a sweep. Memoize per (op, corpus
+# signature); the signature is the embeddings parquet file listing
+# (name, size, mtime_ns), so a probe that overwrites the same path
+# invalidates naturally. Signature failure (remote path, racing
+# writer) falls back to scanning — never to a stale answer.
+_DEPTH_MEMO: dict[tuple, int] = {}
+
+
+def _emb_signature(sf_dir: str) -> tuple | None:
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        if os.path.isdir(path):
+            return tuple(sorted(
+                (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                for e in os.scandir(path)
+            ))
+        st = os.stat(path)
+        return ((path, st.st_size, st.st_mtime_ns),)
+    except OSError:
+        return None
+
+
+def _memo_depth(op: str, sf_dir: str, knobs: tuple, scan) -> int:
+    sig = _emb_signature(sf_dir)
+    if sig is None:
+        return scan()
+    key = (op, sf_dir, knobs, sig)
+    with _CACHE_LOCK:
+        if key in _DEPTH_MEMO:
+            return _DEPTH_MEMO[key]
+    depth = scan()  # outside the lock: a racing double-scan is
+    # harmless and cheaper than serializing concurrent bench builds
+    with _CACHE_LOCK:
+        # one live entry per op: probe scratch dirs are throwaway,
+        # so dropping the previous corpus's entry bounds the memo
+        for k in [k for k in _DEPTH_MEMO if k[0] == op]:
+            del _DEPTH_MEMO[k]
+        _DEPTH_MEMO[key] = depth
+    return depth
+
+
 def _s09_effective_depth(spark: SparkSession, sf_dir: str) -> int:
+    # the cap knobs are part of the key: stress tests monkeypatch them,
+    # and the cascade's answer is a function of (corpus, caps, depth)
+    return _memo_depth(
+        "s09",
+        sf_dir,
+        (S09_BUCKET_CAP, S09_SUBBUCKET_CAP, S09_MAX_DEPTH),
+        lambda: _s09_effective_depth_scan(spark, sf_dir),
+    )
+
+
+def _s09_effective_depth_scan(spark: SparkSession, sf_dir: str) -> int:
     """One-job occupancy pre-scan for s09: fine counts per
     (band, bv, r1..r_{D-1}) — r columns use the same per-band
     disjoint-plane formula as the main plan, so the cascade replayed
@@ -440,6 +496,15 @@ def _s09_effective_depth(spark: SparkSession, sf_dir: str) -> int:
 
 
 def _s10_effective_depth(spark: SparkSession, sf_dir: str) -> int:
+    return _memo_depth(
+        "s10",
+        sf_dir,
+        (S10_BUCKET_CAP, S10_MAX_DEPTH),
+        lambda: _s10_effective_depth_scan(spark, sf_dir),
+    )
+
+
+def _s10_effective_depth_scan(spark: SparkSession, sf_dir: str) -> int:
     """s09's pre-scan on the directed (single 64-way bucket) shape."""
     D = S10_MAX_DEPTH
     if D <= 1:

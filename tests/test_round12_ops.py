@@ -120,3 +120,29 @@ def test_adaptive_depth_honors_stress_caps(spark, monkeypatch):
     )
     orows = set(con.execute(simplans._s09_sql(cap=2, cap2=2)).fetchall())
     assert srows == orows
+
+
+def test_effective_depth_memoized_per_corpus(spark, monkeypatch):
+    """Round-12 ADVICE #2: the occupancy pre-scan must run at most once
+    per (op, corpus signature, caps) — explain-only consumers and bench
+    reps rebuild s09/s10 far more often than the corpus changes."""
+    calls = {"n": 0}
+    real = simplans._s09_effective_depth_scan
+
+    def counting(sp, sf):
+        calls["n"] += 1
+        return real(sp, sf)
+
+    monkeypatch.setattr(simplans, "_s09_effective_depth_scan", counting)
+    with simplans._CACHE_LOCK:
+        simplans._DEPTH_MEMO.clear()
+    d1 = simplans._s09_effective_depth(spark, SF001)
+    d2 = simplans._s09_effective_depth(spark, SF001)
+    assert d1 == d2
+    assert calls["n"] == 1
+    # a knob change is a different question — it must re-scan
+    monkeypatch.setattr(simplans, "S09_BUCKET_CAP", 2)
+    monkeypatch.setattr(simplans, "S09_SUBBUCKET_CAP", 2)
+    assert simplans._s09_effective_depth(spark, SF001) == \
+        simplans.S09_MAX_DEPTH
+    assert calls["n"] == 2

@@ -117,14 +117,34 @@ PROBE_PAIR = [
 # stages at full multiplicity plus the gate-surviving tail, which is
 # what corpus growth by decorrelated content actually does to them.
 _AZ = "abcdefghijklmnopqrstuvwxyz"
+# Round-13 (round-12 ADVICE #4): the bijection now also covers A-Z and
+# 0-9 as two further class-preserving permutations (uppercase stays
+# uppercase, digits stay digits, so token shapes / number heuristics
+# survive). Before this, any ≥40-char run dominated by uppercase or
+# digits (IDs, shouting text, code-like spans) passed through the
+# lowercase-only translate verbatim — a residue of the exact
+# replication bias the round-12 fix targeted for d08/d09. The
+# lowercase leg keeps the exact round-12 formula (salt 0) so 30×/100×
+# rows stay comparable across rounds.
+_SRC = _AZ + _AZ.upper() + "0123456789"
+
+
+def _fy_perm(alphabet: str, k: int, salt: int) -> str:
+    chars = list(alphabet)
+    for i in range(len(chars) - 1, 0, -1):
+        j = (((k * 31 + i) * 2654435761 + salt * 40503) % 4294967296) % (
+            i + 1
+        )
+        chars[i], chars[j] = chars[j], chars[i]
+    return "".join(chars)
 
 
 def _copy_perm(k: int) -> str:
-    chars = list(_AZ)
-    for i in range(25, 0, -1):
-        j = ((k * 31 + i) * 2654435761 % 4294967296) % (i + 1)
-        chars[i], chars[j] = chars[j], chars[i]
-    return "".join(chars)
+    return (
+        _fy_perm(_AZ, k, 0)
+        + _fy_perm(_AZ, k, 1).upper()
+        + _fy_perm("0123456789", k, 2)
+    )
 
 
 def synthesize(spark, src: str, dst: str, mult: int,
@@ -140,7 +160,7 @@ def synthesize(spark, src: str, dst: str, mult: int,
         )
         if organic and k:
             part = part.withColumn(
-                "text", F.translate("text", _AZ, _copy_perm(k))
+                "text", F.translate("text", _SRC, _copy_perm(k))
             )
         out = part if out is None else out.unionByName(part)
     out.write.mode("overwrite").parquet(f"{dst}/documents.parquet")
