@@ -182,6 +182,9 @@ HEADLINE = [
     "d09_substring_excision",
     # round-12 addition: the excised data recipe (pl04 + d09 apply step)
     "pl05_data_recipe_excised",
+    # round-13 addition: the unified-survivor recipe (pl05 with d06's
+    # union-of-evidence dedup as stage 1)
+    "pl06_data_recipe_unified",
 ]
 
 

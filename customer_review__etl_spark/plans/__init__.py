@@ -207,6 +207,10 @@ PRIORITY: tuple[str, ...] = (
     #   by j05_full_outer), set02_intersect + set03_except_all
     #   (set-op shape kept by set01_union_all; `set` is not a gated
     #   family). r14 head MUST open with those five.
+    #   ALSO pinned for r14: pl06_data_recipe_unified (new round-13
+    #   composed operator — pl05 with d06's union-of-evidence survivor
+    #   map as stage 1; oracle-backed, added after this head was
+    #   pinned, never driver-sampled).
     # the six pinned slots (see r13 rotation-log entry above)
     "q15_top_supplier",
     "pl05_data_recipe_excised",

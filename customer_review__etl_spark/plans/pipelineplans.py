@@ -555,15 +555,26 @@ def _pl04_packed_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed.select("doc_id", toks.alias("n_tokens"), "lang")
 
 
-def _pl04_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pl04_mixed(
+    spark: SparkSession, sf_dir: str, unified: bool = False
+) -> DataFrame:
     """Stages 1–4 of the data recipe (survivors → decontam → gate →
     weighted mix), shared verbatim by pl04 and pl05 so the two recipes
-    can only differ in what the packer counts."""
+    can only differ in what the packer counts. `unified=True` (pl06)
+    swaps ONLY the stage-1 survivor source: d06's union-of-evidence
+    (MinHash+SimHash+Jaccard) collapse instead of d05's MinHash-only
+    pairs — every other stage byte-identical, so the three recipes
+    differ in exactly one declared dimension each."""
     from . import dedupplans, textplans
     from .dedupplans import DECON_EVAL_MOD
 
+    surv_src = (
+        dedupplans.d06_unified_clusters
+        if unified
+        else dedupplans.d05_neardup_clusters
+    )
     surv = (
-        dedupplans.d05_neardup_clusters(spark, sf_dir)
+        surv_src(spark, sf_dir)
         .filter(F.col("survivor") == 1)
         .select("doc_id")
     )
@@ -691,13 +702,87 @@ def _pl05_packed_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _recipe_mixed_ctes() -> str:
+def pl06_data_recipe_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pl05 with stage 1 upgraded to the STRONGEST dedup decision the
+    registry ships (round-12 VERDICT ask #7): d06's union-of-evidence
+    survivor map (MinHash ∪ SimHash ∪ char-n-gram-Jaccard edges →
+    one connected-components collapse) instead of d05's MinHash-only
+    clusters, then the identical decontamination → quality gate →
+    weighted mix → d09 excision → packing chain. A cluster chained
+    through mixed signals (a light edit linked to a word-order
+    scramble) now costs the recipe its non-keep-first members, which
+    the MinHash-only recipes would have trained on twice.
+
+    Survivor monotonicity (pinned in tests): d06's edge set is a
+    superset of d05's, so components only merge and a d06 survivor is
+    necessarily the min of its d05 sub-component too —
+    survivors(d06) ⊆ survivors(d05), i.e. pl06's corpus is a subset
+    of pl05's, never a different selection.
+
+    Oracle: _recipe_mixed_ctes(unified=True) — the proven _D06_SQL
+    fragment swapped into the proven recipe CTE chain; composition
+    plumbing only, no new semantics. Scale: inherits pl05's audited
+    shape verbatim (id-only SMJ-pinned joins, token counts on the d09
+    side, bodies never in a join); the three edge pipelines feeding
+    d06 are independent and their union is (long, long) pairs.
+
+    Corpus-sensitivity note (measured r13): on the templated sf0.01
+    synthetic corpus the union of char-gram-Jaccard + SimHash edges
+    transitively chains 433 of 500 docs into ONE component (d06: 47
+    survivors vs d05's 476), so pl06's packed output is far smaller
+    than pl05's there. That is union-of-evidence keep-first doing
+    exactly what it says on template-heavy data — each edge type is
+    individually verified (jaccard ≥ threshold / hamming ≤ 3), but
+    transitivity composes them; a production recipe wanting gentler
+    collapse would raise the per-edge thresholds, not re-plumb this
+    pipeline."""
+    from .relational import pack_sequences
+
+    return pack_sequences(
+        spark, _pl06_packed_in(spark, sf_dir), carry=("lang",)
+    ).orderBy("seq_id", "doc_id")
+
+
+def _pl06_packed_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pl06's pre-packing stage, exposed for plan_audit like its pl04
+    and pl05 siblings; _pl05_packed_in's shape with the unified
+    survivor source."""
+    from . import dedupplans
+    from .textplans import BPE_PATTERN
+
+    mixed = _pl04_mixed(spark, sf_dir, unified=True).select(
+        "doc_id", "lang"
+    )
+    toks = F.size(
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col("cleaned"), F.lit(""))),
+            F.lit(BPE_PATTERN),
+            0,
+        )
+    ).cast("long")
+    cleaned_counts = dedupplans.d09_cleaned(spark, sf_dir).select(
+        "doc_id", toks.alias("n_tokens")
+    )
+    return mixed.join(cleaned_counts, "doc_id").select(
+        "doc_id", "n_tokens", "lang"
+    )
+
+
+def _recipe_mixed_ctes(unified: bool = False) -> str:
     """Stages 1–4 as oracle CTEs (… → mixed), shared verbatim by pl04
-    and pl05 — the SQL twin of _pl04_mixed."""
-    from .dedupplans import _D05_SQL, _DC01_SQL, _DC03_SQL, DECON_EVAL_MOD
+    and pl05 — the SQL twin of _pl04_mixed. `unified=True` swaps the
+    stage-1 fragment for _D06_SQL, mirroring the Spark side exactly."""
+    from .dedupplans import (
+        _D05_SQL,
+        _D06_SQL,
+        _DC01_SQL,
+        _DC03_SQL,
+        DECON_EVAL_MOD,
+    )
     from .textplans import _t25_oracle
 
-    return f"""surv AS (SELECT doc_id FROM ({_D05_SQL}) WHERE survivor = 1),
+    _SURV_SQL = _D06_SQL if unified else _D05_SQL
+    return f"""surv AS (SELECT doc_id FROM ({_SURV_SQL}) WHERE survivor = 1),
 dcflag AS (
   SELECT doc_id FROM ({_DC01_SQL}) WHERE contaminated
   UNION
@@ -771,12 +856,12 @@ toks AS (
 """
 
 
-def _pl05_sql() -> str:
+def _pl05_sql(unified: bool = False) -> str:
     from .dedupplans import _D09_SQL
     from .textplans import BPE_PATTERN
 
     return f"""
-WITH {_recipe_mixed_ctes()},
+WITH {_recipe_mixed_ctes(unified=unified)},
 excis AS ({_D09_SQL}),
 toks AS (
   SELECT m.doc_id, m.lang,
@@ -797,5 +882,10 @@ SPECS = [
     QuerySpec("pl04_data_recipe", pl04_data_recipe, _pl04_sql()),
     QuerySpec(
         "pl05_data_recipe_excised", pl05_data_recipe_excised, _pl05_sql()
+    ),
+    QuerySpec(
+        "pl06_data_recipe_unified",
+        pl06_data_recipe_unified,
+        _pl05_sql(unified=True),
     ),
 ]

@@ -65,6 +65,20 @@ EDGE_DOCS = [
          " shared verbatim between corpus documents and some other"
          " closing words appear in this document tail.", "en", "web",
      218),
+    # pl06 unified-survivor pair (round 13): docs 28/30 carry the SAME
+    # distinct-token set in scrambled order — d03's SimHash (majority
+    # vote over DISTINCT tokens, order-insensitive) gives hamming 0 and
+    # pairs them, while d02's 3-token-shingle MinHash sees near-zero
+    # shingle overlap and does NOT. So d05 keeps both, d06 collapses
+    # them (30 loses to keep-first), and pl06 is the only recipe that
+    # drops 30 — the corpus where the d05→d06 stage swap has teeth.
+    # Ids chosen so BOTH pass the p14 content-addressed mix
+    # (frac16(md5(id)) < 0.4·65536: 28→13287, 30→13335 — e.g. 25/27
+    # would lose the owner at the mix, 26 sits in the eval slice).
+    (28, "the quick brown fox jumps over a lazy dog while training"
+         " corpus mixing helps everyone", "en", "web", 89),
+    (30, "mixing corpus training while dog lazy a over jumps fox brown"
+         " quick the helps everyone", "en", "web", 89),
 ]
 
 DOCS_ONLY_QUERIES = [
@@ -170,6 +184,10 @@ DOCS_ONLY_QUERIES = [
     # CLEANED token count (73-char run owned by doc 23 cut), doc 23 at
     # full length; every other stage identical to pl04's edge coverage
     "pl05_data_recipe_excised",
+    # round-13: the unified-survivor recipe — the scrambled pair 28/30
+    # collapses ONLY under d06 (SimHash edge), so pl06 must drop 30
+    # where pl05 packs it; stages 2-6 identical to pl05's coverage
+    "pl06_data_recipe_unified",
 ]
 
 
@@ -458,6 +476,45 @@ def test_pl05_excision_reaches_the_packer(spark, edge_dir):
     assert sum(pl05[k] for k in k24 if k in pl05) < sum(
         pl04[k] for k in k24
     ), "doc 24 must pack fewer tokens once its run is excised"
+
+
+def test_pl06_unified_survivors_reach_the_packer(spark, edge_dir):
+    """Non-vacuousness pin for the d05→d06 stage swap, plus the
+    survivor-monotonicity invariant that makes pl06 a refinement:
+
+    1. d06's edge set ⊇ d05's, so components only merge and any d06
+       survivor is the min of its d05 sub-component too —
+       survivors(d06) ⊆ survivors(d05), hence pl06's packed doc set
+       ⊆ pl05's (never a different selection);
+    2. the scrambled pair 28/30 (same distinct tokens, SimHash
+       hamming 0, near-zero shingle overlap) is live: 30 packs under
+       pl05 but NOT under pl06, and 28 (keep-first owner) packs under
+       both. If 30 vanishes from pl05 too, the edge corpus regressed
+       to vacuous and pl06's oracle no longer exercises the swap."""
+    qs = all_queries()
+    d05_surv = {
+        r.doc_id
+        for r in qs["d05_neardup_clusters"].fn(spark, edge_dir).collect()
+        if r.survivor == 1
+    }
+    d06_surv = {
+        r.doc_id
+        for r in qs["d06_unified_clusters"].fn(spark, edge_dir).collect()
+        if r.survivor == 1
+    }
+    assert d06_surv <= d05_surv, "unified survivors must be a refinement"
+    pl05_docs = {
+        r.doc_id
+        for r in qs["pl05_data_recipe_excised"].fn(spark, edge_dir).collect()
+    }
+    pl06_docs = {
+        r.doc_id
+        for r in qs["pl06_data_recipe_unified"].fn(spark, edge_dir).collect()
+    }
+    assert pl06_docs <= pl05_docs, "pl06 corpus must be a subset of pl05's"
+    assert 30 in pl05_docs, "scrambled twin must survive the MinHash recipe"
+    assert 30 not in pl06_docs, "unified recipe must drop the SimHash twin"
+    assert 28 in pl06_docs, "keep-first owner must survive both"
 
 
 # ---------------------------------------------------------------------------

@@ -60,6 +60,8 @@ EXPECTED_BNLJ = {
                          # cross onto the ≤#langs mix-rate table
     "pl05_data_recipe_excised",  # same two p14 totals crosses as pl04
                                  # (shared _pl04_mixed stage)
+    "pl06_data_recipe_unified",  # same two p14 totals crosses
+                                 # (shared _pl04_mixed, unified surv)
 }
 
 
@@ -77,6 +79,7 @@ def _prepack_builders():
         "p19_sequence_pack": relational._p19_packed_in,
         "pl04_data_recipe": pipelineplans._pl04_packed_in,
         "pl05_data_recipe_excised": pipelineplans._pl05_packed_in,
+        "pl06_data_recipe_unified": pipelineplans._pl06_packed_in,
     }
 
 
@@ -159,6 +162,12 @@ EXPECTED_WIDE_BROADCAST: dict[str, tuple[frozenset, int, str]] = {
         "same 3 inlined dc03 anchor broadcasts as pl04 "
         "(shared _pl04_mixed stages)"
     ),
+    "pl06_data_recipe_unified (prepack)": (
+        frozenset({"ev_norm"}), 3,
+        "same inlined dc03 anchor broadcasts as pl05 "
+        "(shared _pl04_mixed stages; unified surv reads "
+        "materialized pair scratch, no extra fragment re-plan)"
+    ),
 }
 
 
@@ -213,6 +222,8 @@ PINNED_PLAN: dict[str, str] = {
                         "estimates broadcast the decontaminated "
                         "corpus WITH text (r13 pinned-audit catch)",
     "pl05_data_recipe_excised": "merge-pinned stage-1-4 sides "
+                                "(shared _pl04_mixed; r13 catch)",
+    "pl06_data_recipe_unified": "merge-pinned stage-1-4 sides "
                                 "(shared _pl04_mixed; r13 catch)",
 }
 

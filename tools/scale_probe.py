@@ -257,22 +257,52 @@ def main() -> int:
         "synth_build_sec": build_s,
         "queries": {},
     }
+    # SPARK_GRAFT_PROBE_WALL=0 skips the wall-clock measurements and
+    # records only the instrumentation fields (prescan timings,
+    # candidate-volume counts) — used at 100× where a full s09 run is
+    # ~30 min of wall that bounds nothing the 30× rows haven't, but
+    # the pre-scan cost claim (round-12 VERDICT ask #5) still needs a
+    # measured number at that multiple.
+    walls = os.environ.get("SPARK_GRAFT_PROBE_WALL", "1") != "0"
     for name in PROBE + PROBE_PAIR:
         if only and name not in only:
             continue
         fn = qs[name].fn
-        row: dict = {"base": _best_of(fn, spark, src)}
-        if dst_repl is not None:
-            row["big_repl"] = _best_of(fn, spark, dst_repl)
-            row["ratio_repl"] = (
-                round(row["big_repl"] / row["base"], 2)
-                if row["base"] else None
+        row: dict = {}
+        if walls:
+            row["base"] = _best_of(fn, spark, src)
+            if dst_repl is not None:
+                row["big_repl"] = _best_of(fn, spark, dst_repl)
+                row["ratio_repl"] = (
+                    round(row["big_repl"] / row["base"], 2)
+                    if row["base"] else None
+                )
+            if name in PROBE_PAIR:
+                row["big_org"] = _best_of(fn, spark, dst_org)
+                row["ratio_org"] = (
+                    round(row["big_org"] / row["base"], 2)
+                    if row["base"] else None
+                )
+        if name in ("s09_capped_lsh_neardup", "s10_capped_ann"):
+            # round-12 VERDICT ask #5: the occupancy pre-scan's cost is
+            # claimed O(one partial-agg pass + ≤1 KB collect) — measure
+            # it per corpus (memo bypassed: the _scan fn is called
+            # directly) so the claim is a number, not an argument.
+            from customer_review__etl_spark.plans import simplans
+
+            scan = (
+                simplans._s09_effective_depth_scan
+                if name.startswith("s09")
+                else simplans._s10_effective_depth_scan
             )
-        if name in PROBE_PAIR:
-            row["big_org"] = _best_of(fn, spark, dst_org)
-            row["ratio_org"] = (
-                round(row["big_org"] / row["base"], 2) if row["base"] else None
-            )
+            for key, d in (("base", src), ("repl", dst_repl),
+                           ("org", dst_org)):
+                if d is None:
+                    continue
+                t0 = time.time()
+                depth = scan(spark, d)
+                row[f"prescan_sec_{key}"] = round(time.time() - t0, 3)
+                row[f"depth_{key}"] = depth
         if name == "d08_repeated_substrings":
             # the candidate stage's input size: anchors must grow ~N
             # even when the TRUE pair output grows quadratically
@@ -291,18 +321,66 @@ def main() -> int:
                 row[f"anchors_{key}"] = dedupplans.d08_doc_anchors(
                     docs
                 ).count()
+        if name in ("d09_substring_excision", "pl05_data_recipe_excised"):
+            # round-12 VERDICT ask #6: the excision's candidate volume
+            # as ROW COUNTS, not just wall ratios — d08 true pairs, the
+            # involved-doc set they induce, and the exact size of the
+            # gram stream those docs shuffle into the merge-pinned
+            # gram⋈gmin join (sum over involved docs of len−L+1; no
+            # explode needed to count it). pl05's excision stage
+            # consumes d09_cleaned on the RAW corpus verbatim
+            # (pipelineplans._pl05_packed_in), so the same counts are
+            # recorded on both rows by construction.
+            from pyspark.sql import functions as F
+
+            from customer_review__etl_spark.plans import dedupplans
+            from customer_review__etl_spark.sources import tables
+
+            L = dedupplans.D08_SUBSTR_LEN
+            for key, d in (("base", src), ("org", dst_org)):
+                if d is None:
+                    continue
+                pairs = dedupplans.d08_pairs_m(spark, d)
+                row[f"pairs_{key}"] = pairs.count()
+                involved = (
+                    pairs.select(F.col("doc_a").alias("doc_id"))
+                    .union(pairs.select(F.col("doc_b")))
+                    .distinct()
+                )
+                gram_rows = (
+                    tables.load_parallel(spark, d, "documents")
+                    .filter(F.length("text") >= L)
+                    .join(involved, "doc_id")
+                    .agg(
+                        F.count("*").alias("docs"),
+                        F.coalesce(
+                            F.sum(F.length("text") - F.lit(L - 1)),
+                            F.lit(0),
+                        ).alias("grams"),
+                    )
+                    .collect()[0]
+                )
+                row[f"involved_docs_{key}"] = gram_rows["docs"]
+                row[f"gram_rows_{key}"] = gram_rows["grams"]
         out["queries"][name] = row
         print(f"{name}: {json.dumps(row)}", flush=True)
 
     fname = "SCALE_PROBE.json" if mult == 10 else f"SCALE_PROBE_{mult}x.json"
-    # MERGE into an existing record: a subset re-run must not clobber
-    # rows for queries it did not probe
+    # MERGE into an existing record — FIELD-level (round 13): a
+    # subset or org-only re-run must not clobber the repl fields (or
+    # instrumentation fields) of a row it only partially refreshed.
+    # New fields win; surviving prior fields keep their own session's
+    # ratios (a ratio is always base/big from ONE session — never
+    # recomputed across sessions, where machine state differs).
     path = REPO / fname
     if path.is_file():
         try:
             prior = json.loads(path.read_text())
             merged = dict(prior.get("queries", {}))
-            merged.update(out["queries"])
+            for q, row in out["queries"].items():
+                base_row = dict(merged.get(q, {}))
+                base_row.update(row)
+                merged[q] = base_row
             out["queries"] = merged
         except json.JSONDecodeError:
             pass
