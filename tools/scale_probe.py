@@ -96,6 +96,10 @@ PROBE_PAIR = [
     "pl05_data_recipe_excised",  # pl04 + the d09 apply stage: the
                                  # full excised recipe inherits both
                                  # pair-growth modes
+    "pl06_data_recipe_unified",  # pl05 with d06's union-of-evidence
+                                 # survivors: adds the d03/d04 edge
+                                 # pipelines + the unified CC collapse
+                                 # to the probed chain
 ]
 
 # Per-copy text decorrelation (round 12 — REPLACES the 9-letter
@@ -321,7 +325,8 @@ def main() -> int:
                 row[f"anchors_{key}"] = dedupplans.d08_doc_anchors(
                     docs
                 ).count()
-        if name in ("d09_substring_excision", "pl05_data_recipe_excised"):
+        if name in ("d09_substring_excision", "pl05_data_recipe_excised",
+                    "pl06_data_recipe_unified"):
             # round-12 VERDICT ask #6: the excision's candidate volume
             # as ROW COUNTS, not just wall ratios — d08 true pairs, the
             # involved-doc set they induce, and the exact size of the
