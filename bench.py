@@ -337,6 +337,27 @@ def _canary_probe(spark) -> float:
     return round(sorted(one() for _ in range(3))[1], 3)
 
 
+def _canary_jobs_probe(spark) -> float:
+    """Scheduler-overhead probe — the SECOND environment dimension
+    (round 13): the r13 container ran the throughput canary at its
+    trailing median (0.82 s, per-core speed identical) while every
+    job-count-heavy query (graph fixpoints, streaming micro-batches,
+    Python-worker rows) ran ~2× its r12 wall — driver-side scheduling
+    and process-spawn latency had degraded, and the compute canary is
+    blind to that mode by construction. This probe is the complement:
+    40 back-to-back one-stage jobs of 32 trivial tasks each measure
+    per-job submit→schedule→dispatch→wake overhead with ~zero compute,
+    so it moves ONLY when scheduling latency does. Median of 3."""
+
+    def one() -> float:
+        t0 = time.time()
+        for _ in range(40):
+            spark.range(0, 32, 1, 32).count()
+        return time.time() - t0
+
+    return round(sorted(one() for _ in range(3))[1], 3)
+
+
 def _canary_check(spark, out: dict) -> None:
     """Run the probe, compare to the trailing median of previous runs
     (bench_canary_history.json, kept in-repo), and stamp the result
@@ -345,7 +366,9 @@ def _canary_check(spark, out: dict) -> None:
     artifact's own confession, catching contamination at run time
     instead of judge time."""
     sec = _canary_probe(spark)
+    jobs_sec = _canary_jobs_probe(spark)
     out["canary_sec"] = sec
+    out["canary_jobs_sec"] = jobs_sec
     hist_path = Path(__file__).resolve().parent / "bench_canary_history.json"
     hist: list[dict] = []
     if hist_path.exists():
@@ -372,9 +395,32 @@ def _canary_check(spark, out: dict) -> None:
                 "load, timings in this artifact are inflated",
                 file=sys.stderr,
             )
-    entry = {"ts": round(time.time(), 1), "sec": sec}
+    # Scheduler dimension (round 13): compared to ITS clean history;
+    # a drift here with a clean compute canary means job-count-heavy
+    # rows (graph fixpoints, streaming, Python-worker queries) are
+    # inflated while scan/shuffle-bound rows are fine — the artifact
+    # says WHICH numbers to distrust.
+    prev_j = sorted(
+        h["jobs_sec"] for h in hist
+        if "jobs_sec" in h and not h.get("scheduler_overhead_warning")
+    )
+    if prev_j:
+        med_j = prev_j[len(prev_j) // 2]
+        out["canary_jobs_trailing_median"] = med_j
+        out["scheduler_overhead_warning"] = bool(jobs_sec > 1.2 * med_j)
+        if out["scheduler_overhead_warning"]:
+            print(
+                f"WARNING: jobs canary {jobs_sec:.2f}s is "
+                f"{jobs_sec / med_j:.2f}x its trailing median "
+                f"{med_j:.2f}s - driver-side scheduling is degraded, "
+                "job-count-heavy timings in this artifact are inflated",
+                file=sys.stderr,
+            )
+    entry = {"ts": round(time.time(), 1), "sec": sec, "jobs_sec": jobs_sec}
     if out.get("ambient_load_warning"):
         entry["ambient_load_warning"] = True
+    if out.get("scheduler_overhead_warning"):
+        entry["scheduler_overhead_warning"] = True
     hist.append(entry)
     hist_path.write_text(json.dumps(hist[-20:], indent=1) + "\n")
 
