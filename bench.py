@@ -493,7 +493,9 @@ def main() -> int:
         "n_queries": len(timings),
         "detail": detail_path.name,
     }
-    for k in ("canary_sec", "canary_trailing_median", "ambient_load_warning"):
+    for k in ("canary_sec", "canary_trailing_median", "ambient_load_warning",
+              "canary_jobs_sec", "canary_jobs_trailing_median",
+              "scheduler_overhead_warning"):
         if k in out:
             compact[k] = out[k]
     ratios = out.get("scale_ratio", {})
