@@ -404,18 +404,26 @@ def _canary_check(spark, out: dict) -> None:
         h["jobs_sec"] for h in hist
         if "jobs_sec" in h and not h.get("scheduler_overhead_warning")
     )
+    # Absolute floor alongside the relative check: 40 one-stage no-op
+    # jobs above 2 s (>50 ms per job) is degraded on ANY healthy
+    # local[32] box — healthy local-mode job overhead is ~10–25 ms.
+    # The floor matters most while the jobs-canary history is young
+    # (its first samples were seeded on the degraded r13 container, so
+    # a relative check against them would stay silent there).
+    sched_warn = bool(jobs_sec > 2.0)
     if prev_j:
         med_j = prev_j[len(prev_j) // 2]
         out["canary_jobs_trailing_median"] = med_j
-        out["scheduler_overhead_warning"] = bool(jobs_sec > 1.2 * med_j)
-        if out["scheduler_overhead_warning"]:
-            print(
-                f"WARNING: jobs canary {jobs_sec:.2f}s is "
-                f"{jobs_sec / med_j:.2f}x its trailing median "
-                f"{med_j:.2f}s - driver-side scheduling is degraded, "
-                "job-count-heavy timings in this artifact are inflated",
-                file=sys.stderr,
-            )
+        sched_warn = sched_warn or bool(jobs_sec > 1.2 * med_j)
+    out["scheduler_overhead_warning"] = sched_warn
+    if sched_warn:
+        print(
+            f"WARNING: jobs canary {jobs_sec:.2f}s "
+            f"({jobs_sec / 40 * 1000:.0f} ms/job) exceeds its bound - "
+            "driver-side scheduling is degraded, job-count-heavy "
+            "timings in this artifact are inflated",
+            file=sys.stderr,
+        )
     entry = {"ts": round(time.time(), 1), "sec": sec, "jobs_sec": jobs_sec}
     if out.get("ambient_load_warning"):
         entry["ambient_load_warning"] = True
