@@ -39,7 +39,12 @@ from pyspark.sql.window import Window
 from ..functions import text as T
 from ..sources import tables
 from . import QuerySpec
-from .helpers import shuffle_width, sql_normalize, sql_raw_tokens
+from .helpers import (
+    shuffle_width,
+    sql_cc_min_label,
+    sql_normalize,
+    sql_raw_tokens,
+)
 
 N_HASHES = 16      # minhash signature length
 N_BANDS = 4        # LSH bands (4 rows per band)
@@ -993,26 +998,21 @@ WITH {_D02_CTES}
 ORDER BY doc_a, doc_b
 """
 
-# d05 oracle: min-label transitive closure over the d02 pairs. `reach`
-# enumerates every (node, reachable node) pair over the bidirectional
-# edge set (UNION dedups, so it terminates); the cluster id is the
-# smallest reachable doc_id (or the doc's own, whichever is lower).
+# d05 oracle: min-label CC over the d02 pairs — unrolled label
+# rounds (helpers.sql_cc_min_label), NOT an all-pairs recursive
+# closure; the cluster id is the smallest reachable doc_id (or the
+# doc's own, whichever is lower).
 _D05_SQL = f"""
-WITH RECURSIVE {_D02_CTES},
+WITH {_D02_CTES},
 pairs AS ({_D02_BODY}),
 edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs),
-reach (a, b) AS (
-  SELECT s, d FROM edges
-  UNION
-  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
-),
-cluster AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a)
+{sql_cc_min_label()}
 SELECT doc.doc_id,
        least(doc.doc_id, coalesce(c.mn, doc.doc_id)) AS cluster_id,
        CAST(doc.doc_id = least(doc.doc_id, coalesce(c.mn, doc.doc_id))
             AS INTEGER) AS survivor
-FROM documents doc LEFT JOIN cluster c ON c.doc_id = doc.doc_id
+FROM documents doc LEFT JOIN cluster c ON c.node = doc.doc_id
 ORDER BY doc.doc_id
 """
 
@@ -1090,12 +1090,16 @@ WHERE i.inter::DOUBLE / (na.n + nb.n - i.inter)::DOUBLE >= {NGRAM_JACCARD_MIN}
 
 _D04_SQL = _D04_BODY + "ORDER BY doc_a, doc_b\n"
 
-# d06 oracle: the same recursive min-label closure as d05, but over the
+# d06 oracle: the same unrolled min-label CC as d05, but over the
 # UNION of all three near-dup pair sets (each signal's full pipeline as
 # a parenthesized WITH-subquery — DuckDB scopes the inner CTE names, so
-# the colliding `toks` names don't clash).
+# the colliding `toks` names don't clash). The unrolled form replaced
+# the all-pairs recursive closure in round 13: with the templated
+# corpus chaining most docs into ONE component, `reach` was n² rows
+# and this single oracle (and pl06's embedded copy) ran for 40–65
+# minutes at sf0.1.
 _D06_SQL = f"""
-WITH RECURSIVE pairs AS (
+WITH pairs AS (
   SELECT doc_a, doc_b FROM (WITH {_D02_CTES} {_D02_BODY})
   UNION
   SELECT doc_a, doc_b FROM ({_D03_BODY})
@@ -1104,17 +1108,12 @@ WITH RECURSIVE pairs AS (
 ),
 edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs),
-reach (a, b) AS (
-  SELECT s, d FROM edges
-  UNION
-  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
-),
-cluster AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a)
+{sql_cc_min_label()}
 SELECT doc.doc_id,
        least(doc.doc_id, coalesce(c.mn, doc.doc_id)) AS cluster_id,
        CAST(doc.doc_id = least(doc.doc_id, coalesce(c.mn, doc.doc_id))
             AS INTEGER) AS survivor
-FROM documents doc LEFT JOIN cluster c ON c.doc_id = doc.doc_id
+FROM documents doc LEFT JOIN cluster c ON c.node = doc.doc_id
 ORDER BY doc.doc_id
 """
 

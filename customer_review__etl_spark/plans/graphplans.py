@@ -36,6 +36,7 @@ from pyspark.sql.window import Window
 
 from ..sources import tables
 from . import QuerySpec
+from .helpers import sql_cc_min_label
 
 PR_SCALE = 1_000_000  # fixed-point rank unit
 PR_ITERS = 3          # fixed, unrolled in the oracle
@@ -532,7 +533,7 @@ def gr05_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GR05_SQL = f"""
-WITH RECURSIVE li AS (
+WITH li AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
   WHERE l_partkey IS NOT NULL
 ),
@@ -545,15 +546,10 @@ pairs AS (
 ),
 edges AS (SELECT src AS s, dst AS d FROM pairs
           UNION SELECT dst, src FROM pairs),
-reach (a, b) AS (
-  SELECT s, d FROM edges
-  UNION
-  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
-),
-nodes AS (SELECT DISTINCT s AS part FROM edges),
-comp AS (SELECT a AS part, min(b) AS mn FROM reach GROUP BY a)
+{sql_cc_min_label()},
+nodes AS (SELECT DISTINCT s AS part FROM edges)
 SELECT n.part, least(n.part, coalesce(c.mn, n.part)) AS component
-FROM nodes n LEFT JOIN comp c ON c.part = n.part
+FROM nodes n LEFT JOIN cluster c ON c.node = n.part
 ORDER BY n.part
 """
 

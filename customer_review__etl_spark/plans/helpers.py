@@ -111,3 +111,64 @@ def shuffle_width(spark) -> int:
         return max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
     except Exception:
         return 64
+
+
+def sql_cc_min_label(rounds: int = 18) -> str:
+    """Unrolled min-label + pointer-jump connected components as oracle
+    CTEs (round 13) — the SQL twin of dedupplans.connected_components,
+    replacing the all-pairs recursive `reach` closure the CC oracles
+    (d05/d06/gr05/s05 and the recipe oracles that embed them) carried
+    before.
+
+    Why: `reach` materializes every (node, reachable-node) pair — n²
+    rows inside one big component — which made the d06/pl06 oracles at
+    sf0.1 run for ~40–65 MINUTES each in DuckDB (measured r13; a pure
+    oracle-side cost that was starting to dominate the differential
+    sweep's wall). This form mirrors the Spark side's exact round:
+    edge-propagate + min-aggregate, then pointer jump
+    (least(lbl, lbl(lbl))), so the label table stays at n rows per
+    round and the whole closure is `rounds` cheap hash joins.
+
+    Exactness: labels are monotonically non-increasing and the
+    pointer jump halves label-path depth per round, so `rounds`=18
+    converges for any component a path of length ~2^18 could produce —
+    far beyond every corpus the oracles run on (≤ ~10⁴ nodes). If the
+    margin were ever exceeded the oracle would NOT silently agree: the
+    Spark side iterates to a certified fixpoint, so an unconverged
+    oracle label necessarily mismatches and the differential compare
+    fails loudly.
+
+    Expects an `edges(s, d)` CTE already in scope (bidirectional, as
+    the previous `reach` form also required). Emits CTE text ending in
+    `cluster(node, mn)` — consumers keep their existing
+    least/coalesce(outer-join) final projection, which also covers
+    isolated nodes that never enter `edges`.
+
+    Every emitted CTE (and the `edges_m` snapshot of the caller's
+    edge list) is AS MATERIALIZED: DuckDB 1.0 INLINES CTEs referenced
+    more than once, and each round references its predecessor twice
+    (propagate + jump) and the edge list once — inlined, the plan tree
+    and the parquet file handles under it grow exponentially with
+    `rounds` (measured: 'Too many open files' before any row moved)."""
+    ctes = [
+        "edges_m AS MATERIALIZED (SELECT s, d FROM edges)",
+        "lab0 AS MATERIALIZED "
+        "(SELECT DISTINCT s AS node, s AS lbl FROM edges_m)",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"lab{k}p AS MATERIALIZED "
+            f"(SELECT node, min(lbl) AS lbl FROM ("
+            f"SELECT node, lbl FROM lab{k} UNION ALL "
+            f"SELECT e.d AS node, l.lbl FROM edges_m e "
+            f"JOIN lab{k} l ON l.node = e.s) GROUP BY node)"
+        )
+        ctes.append(
+            f"lab{k + 1} AS MATERIALIZED (SELECT p.node, "
+            f"least(p.lbl, coalesce(q.lbl, p.lbl)) AS lbl "
+            f"FROM lab{k}p p LEFT JOIN lab{k}p q ON q.node = p.lbl)"
+        )
+    ctes.append(
+        f"cluster AS (SELECT node, lbl AS mn FROM lab{rounds})"
+    )
+    return ",\n".join(ctes)

@@ -39,6 +39,7 @@ from pyspark.sql.window import Window
 from ..functions.vectors import cosine_from_norms, l2_norm
 from ..sources import tables
 from . import QuerySpec
+from .helpers import sql_cc_min_label
 
 N_QUERIES = 16   # s01 brute-force query set: vec_id < 16
 TOPK = 5         # s01 neighbors per query
@@ -1328,20 +1329,15 @@ def _s03_pairs_sql() -> str:
 
 
 _S05_SQL = f"""
-WITH RECURSIVE pairs AS ({_s03_pairs_sql()}),
+WITH pairs AS ({_s03_pairs_sql()}),
 edges AS (SELECT vec_a AS s, vec_b AS d FROM pairs
           UNION SELECT vec_b, vec_a FROM pairs),
-reach (a, b) AS (
-  SELECT s, d FROM edges
-  UNION
-  SELECT r.a, e2.d FROM reach r JOIN edges e2 ON r.b = e2.s
-),
-cluster AS (SELECT a AS vec_id, min(b) AS mn FROM reach GROUP BY a)
+{sql_cc_min_label()}
 SELECT emb.vec_id,
        least(emb.vec_id, coalesce(c.mn, emb.vec_id)) AS cluster_id,
        CAST(emb.vec_id = least(emb.vec_id, coalesce(c.mn, emb.vec_id))
             AS INTEGER) AS survivor
-FROM embeddings emb LEFT JOIN cluster c ON c.vec_id = emb.vec_id
+FROM embeddings emb LEFT JOIN cluster c ON c.node = emb.vec_id
 ORDER BY emb.vec_id
 """
 

@@ -191,6 +191,50 @@ def test_connected_components_long_chain(spark):
     assert got == {i: 0 for i in range(n + 1)}
 
 
+def test_sql_cc_min_label_long_chain_and_margin():
+    """The ORACLE-side CC (helpers.sql_cc_min_label, round 13 — the
+    unrolled min-label+jump form that replaced the n² recursive
+    closure) must converge inside its fixed round budget on an
+    adversarial PATH graph far longer than any real near-dup chain:
+    3000 nodes needs ~log2(3000)≈12 doubling rounds, comfortably under
+    the emitted 18 — and the worst-ordered path (labels flowing
+    against the id gradient) must also land exactly. Pure DuckDB, no
+    Spark: this pins the generator itself, independent of any consumer
+    query."""
+    import duckdb
+
+    from customer_review__etl_spark.plans.helpers import sql_cc_min_label
+
+    con = duckdb.connect()
+    n = 3000
+    # path 0-1-2-...-n, plus an isolated 2-cycle component high up
+    sql = f"""
+WITH raw_edges AS (
+  SELECT _u.i::BIGINT AS s, (_u.i + 1)::BIGINT AS d
+  FROM (SELECT unnest(range(0, {n})) AS i) _u(i)
+  UNION ALL SELECT 900001, 900002
+),
+edges AS (SELECT s, d FROM raw_edges UNION SELECT d, s FROM raw_edges),
+{sql_cc_min_label()}
+SELECT node, mn FROM cluster
+"""
+    got = dict(con.execute(sql).fetchall())
+    assert all(got[i] == 0 for i in range(n + 1))
+    assert got[900001] == 900001 and got[900002] == 900001
+    # reversed ids: the min sits at the FAR end of the path
+    sql_rev = f"""
+WITH raw_edges AS (
+  SELECT ({n} - _u.i)::BIGINT AS s, ({n} - _u.i - 1)::BIGINT AS d
+  FROM (SELECT unnest(range(0, {n})) AS i) _u(i)
+),
+edges AS (SELECT s, d FROM raw_edges UNION SELECT d, s FROM raw_edges),
+{sql_cc_min_label()}
+SELECT node, mn FROM cluster
+"""
+    got = dict(con.execute(sql_rev).fetchall())
+    assert all(got[i] == 0 for i in range(n + 1))
+
+
 def test_d05_collapses_neardup_chain(spark, tmp_path):
     """Three docs where doc0~doc1 and doc1~doc2 are near-dup pairs:
     d05 must put all three in cluster 0 with doc0 the only survivor,
