@@ -211,60 +211,87 @@ PRIORITY: tuple[str, ...] = (
     #   composed operator — pl05 with d06's union-of-evidence survivor
     #   map as stage 1; oracle-backed, added after this head was
     #   pinned, never driver-sampled).
-    # the six pinned slots (see r13 rotation-log entry above)
-    "q15_top_supplier",
-    "pl05_data_recipe_excised",
-    "t02_stemmed_chain",
-    "ml01_lda_themes",
-    "ml02_topic_top_words",
-    "ml04_classifier_metrics",
-    # family top-up: the r9 cohort has no f query (f03 oldest, r10)
-    "f03_json_map_funcs",
-    # the r9 cohort minus the five documented r14 deferrals,
+    #   r14 (round-13 VERDICT ask #1): six pinned slots first —
+    #   pl06_data_recipe_unified (the ONLY never-driver-sampled entry,
+    #   added after the r13 head was pinned) and the FIVE documented
+    #   r13 deferrals, all last sampled r9 and hard-stale the moment
+    #   CORRECTNESS_r14 lands: p06_ordinal, a04_row_count,
+    #   j07_right_outer, set02_intersect, set03_except_all. Then the
+    #   r10 cohort (49 queries whose last driver row is
+    #   CORRECTNESS_r10; staleness 4 once r14 lands → hard at r15): it
+    #   has NO f-family entry, so f01_string_date_math (oldest-sampled
+    #   f, r11) takes the family-coverage slot, leaving 43 cohort
+    #   slots. SIX cohort entries defer to r15 (hard-stale there — the
+    #   same forcing function as r12/r13's design), chosen for maximal
+    #   shape redundancy inside this head: a01_group_count (runs as
+    #   the entry() smoke EVERY round, so its driver coverage never
+    #   actually lapses), st01_tumbling_window (batch tumbling shape
+    #   inside st04_stream_tumbling's readStream twin, in head),
+    #   t01_text_chain (normalize chain inside t11_chunk_dedup +
+    #   t13_unigram_surprisal, both in head; t03/t05 keep the t0
+    #   prefix), w01_row_number_topn (row_number shape inside
+    #   w05_ntile_frames, in head, and p10_limit_topk, sampled r13),
+    #   j01_broadcast_theme_label (broadcast-dim shape inside
+    #   j02_inner_equi and q5_local_supplier_volume, both in head,
+    #   both broadcast-asserted in pytest), d01_exact_dedup
+    #   (keep-first exact-dedup shape inside p03_dedup_keep_first, in
+    #   head; d02/d03/d05 keep the d0 family). r15 head MUST open
+    #   with those six, then take the r11 cohort (50 entries —
+    #   overflow of ~6 defers again by the same redundancy rule).
+    # the six pinned slots (see r14 rotation-log entry above)
+    "pl06_data_recipe_unified",
+    "p06_ordinal",
+    "a04_row_count",
+    "j07_right_outer",
+    "set02_intersect",
+    "set03_except_all",
+    # family top-up: the r10 cohort has no f query (f01 oldest, r11)
+    "f01_string_date_math",
+    # the r10 cohort minus the six documented r15 deferrals,
     # grouped by family for readability
-    "p02_drop_columns",
-    "p05_lowercase_rename",
-    "p07_filter_nonempty",
-    "p08_filter_eq",
-    "p09_select",
-    "p10_limit_topk",
-    "p11_derived_json",
-    "p13_group_quota_sample",
-    "p14_weighted_mix",
-    "a02_count_distinct",
-    "a03_null_counts",
-    "a05_distinct_sort",
-    "a07_summary_stats",
-    "a09_approx_stats",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q19_disjunctive_pred",
-    "j03_left_semi",
-    "j04_left_anti",
-    "j05_full_outer",
-    "j06_theta_range",
-    "w02_lag_lead",
-    "w04_rank_dense",
-    "w06_moving_avg",
-    "w12_retention_cohorts",
-    "g02_cube",
-    "g03_grouping_sets",
-    "set01_union_all",
-    "u01_grouped_minmax",
-    "t04_quality_scores",
-    "t23_inverted_index",
-    "t24_bm25_topk",
-    "t25_quality_rules",
-    "t26_line_dedup",
-    "d08_repeated_substrings",
-    "s08_rrf_fusion",
-    "st02_sliding_window",
-    "ml03_train_test_split",
-    "mm03_frame_sample",
-    "io02_parquet_roundtrip",
-    "pl03_retrieval_corpus",
+    "p01_project_sort",
+    "p03_dedup_keep_first",
+    "p04_coerce_cast",
+    "p20_length_curriculum",
+    "a08_median_disc",
+    "a10_funnel_stages",
+    "q5_local_supplier_volume",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "j02_inner_equi",
+    "j08_asof_join",
+    "j09_salted_skew_agg",
+    "w03_running_sum",
+    "w05_ntile_frames",
+    "w13_forward_fill",
+    "g04_pivot",
+    "u02_sequence_pack",
+    "t03_topk_words",
+    "t05_lang_id",
+    "t11_chunk_dedup",
+    "t13_unigram_surprisal",
+    "t14_heavy_hitters",
+    "t27_perplexity_buckets",
+    "d02_minhash_near_dup",
+    "d03_simhash_near_dup",
+    "d05_neardup_clusters",
+    "dc01_decontaminate",
+    "s01_cosine_topk",
+    "s03_embedding_neardup",
+    "s04_ivf_ann",
+    "s09_capped_lsh_neardup",
+    "s10_capped_ann",
+    "st03_session_window",
+    "st04_stream_tumbling",
+    "st05_stream_dedup",
+    "st08_gapfill_resample",
+    "st13_late_data_audit",
+    "ml05_stratified_split",
+    "mm01_binary_meta",
+    "io01_csv_roundtrip",
+    "io06_schema_evolution",
+    "io10_zorder_cluster",
+    "gr06_label_propagation",
 )
 
 

@@ -98,6 +98,41 @@ def test_coverage_tripwire_reports():
     )
 
 
+def test_latest_driver_artifacts_are_git_tracked():
+    """Round-13 VERDICT ask #2: the per-round driver artifacts
+    (CORRECTNESS_r{N}.json / BENCH_r{N}.json and the bench history
+    files they update) were left uncommitted at review time for five
+    rounds running. This makes the round-end checklist executable: if
+    the newest artifact on disk is not known to git, pytest fails
+    loudly until it is committed."""
+    import re
+    import subprocess
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    tracked = set(
+        subprocess.run(
+            ["git", "ls-files"], cwd=root, capture_output=True, text=True
+        ).stdout.split()
+    )
+    if not tracked:  # not a git checkout (e.g. exported tree) — nothing to gate
+        return
+    for pattern in ("CORRECTNESS_r*.json", "BENCH_r*.json"):
+        on_disk = sorted(
+            root.glob(pattern),
+            key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+        )
+        if on_disk:
+            latest = on_disk[-1].name
+            assert latest in tracked, (
+                f"{latest} exists but is not git-tracked — commit the "
+                f"driver artifacts (round-end checklist)"
+            )
+    for hist in ("bench_canary_history.json", "bench_full.json"):
+        if (root / hist).exists():
+            assert hist in tracked, f"{hist} exists but is not git-tracked"
+
+
 def test_dimension_join_is_broadcast(spark):
     plan = _plan(relational.j01_broadcast_theme_label(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
