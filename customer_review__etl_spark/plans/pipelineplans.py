@@ -735,12 +735,90 @@ def pl06_data_recipe_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
     individually verified (jaccard ≥ threshold / hamming ≤ 3), but
     transitivity composes them; a production recipe wanting gentler
     collapse would raise the per-edge thresholds, not re-plumb this
-    pipeline."""
+    pipeline.
+
+    STAGED AUDIT OUTPUT (round-13 VERDICT ask #5): because the
+    template-heavy sf0.01 corpus packs to only 2 rows, a packed-only
+    result is a thin differential oracle for the six-stage chain.
+    The driver-facing result is therefore the recipe's audit surface
+    — three stage-tagged row groups under one schema (stage, doc_id,
+    lang, n_tokens, seq_id, tok_offset, slice_len):
+
+      'survivor' — stage 1: every d06 unified survivor with its lang
+                   (47 rows at sf0.01 — the collapse decision);
+      'prepack'  — stages 2–5: the post-decontam/gate/mix corpus with
+                   its POST-EXCISION token counts (the packer input);
+      'packed'   — stage 6: the packed slices (seq_id/tok_offset/
+                   slice_len; n_tokens NULL).
+
+    Every stage is oracle-expressible (the same CTE chain, three
+    projections), so the driver hash now covers the survivor map, the
+    excised token counts, AND the packing — ~100 rows at sf0.01
+    instead of 2. The packer input is materialized once to
+    run-scratch (the d02_pairs_m pattern) so prepack and packed read
+    one landing rather than re-running stages 1–5 twice."""
+    from . import dedupplans
     from .relational import pack_sequences
 
-    return pack_sequences(
-        spark, _pl06_packed_in(spark, sf_dir), carry=("lang",)
-    ).orderBy("seq_id", "doc_id")
+    nul = F.lit(None).cast("long")
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "lang")
+    surv = (
+        dedupplans.d06_unified_clusters(spark, sf_dir)
+        .filter(F.col("survivor") == 1)
+        .select("doc_id")
+        .join(docs.hint("merge"), "doc_id")
+        .select(
+            F.lit("survivor").alias("stage"),
+            "doc_id",
+            "lang",
+            nul.alias("n_tokens"),
+            nul.alias("seq_id"),
+            nul.alias("tok_offset"),
+            nul.alias("slice_len"),
+        )
+    )
+    pre_in = _pl06_packed_in_m(spark, sf_dir)
+    pre = pre_in.select(
+        F.lit("prepack").alias("stage"),
+        "doc_id",
+        "lang",
+        "n_tokens",
+        nul.alias("seq_id"),
+        nul.alias("tok_offset"),
+        nul.alias("slice_len"),
+    )
+    packed = pack_sequences(spark, pre_in, carry=("lang",)).select(
+        F.lit("packed").alias("stage"),
+        "doc_id",
+        "lang",
+        nul.alias("n_tokens"),
+        "seq_id",
+        "tok_offset",
+        "slice_len",
+    )
+    return (
+        surv.unionByName(pre)
+        .unionByName(packed)
+        .orderBy("stage", "doc_id", "seq_id")
+    )
+
+
+def _pl06_packed_in_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-scratch landing of pl06's packer input (doc_id, n_tokens,
+    lang) — stages 1–5 run ONCE per process per corpus; the staged
+    audit output's prepack and packed branches both read the landing.
+    (doc_id, long, lang) rows are bounded by corpus doc count — tiny
+    relative to the raw corpus, the standard shared-intermediate
+    materialization at cluster scale."""
+    from .dedupplans import materialized_df
+
+    return materialized_df(
+        spark,
+        sf_dir,
+        "pl06_packed_in",
+        _pl06_packed_in,
+        ["doc_id", "n_tokens", "lang"],
+    )
 
 
 def _pl06_packed_in(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -811,13 +889,16 @@ mixed AS (
 )"""
 
 
-def _pack_sql_tail() -> str:
+def _pack_sql_tail(as_cte: str | None = None) -> str:
     """The p19 packing core as oracle SQL over a `toks` CTE
-    (doc_id, lang, n_tokens) — shared by pl04 and pl05."""
+    (doc_id, lang, n_tokens) — shared by pl04 and pl05. With
+    ``as_cte`` set the final SELECT is wrapped as one more CTE of
+    that name (no ORDER BY) so a caller can keep composing — pl06's
+    staged audit union consumes it that way."""
     from .relational import PACK_BUDGET
 
     B = PACK_BUDGET
-    return f"""cum AS (
+    body = f"""cum AS (
   SELECT doc_id, lang, n_tokens,
          (sum(n_tokens) OVER (ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -837,8 +918,11 @@ SELECT seq_id, doc_id,
        (least(tok_start + n_tokens, (seq_id + 1) * {B})
         - greatest(tok_start, seq_id * {B}))::BIGINT AS slice_len,
        lang
-FROM spans
-ORDER BY seq_id, doc_id"""
+FROM spans"""
+    if as_cte is None:
+        return body + "\nORDER BY seq_id, doc_id"
+    head, _, final = body.partition("\nSELECT ")
+    return f"{head},\n{as_cte} AS (\nSELECT {final}\n)"
 
 
 def _pl04_sql() -> str:
@@ -873,6 +957,40 @@ toks AS (
 """
 
 
+def _pl06_sql() -> str:
+    """pl06's staged-audit oracle: the proven unified recipe CTE chain
+    (stages 1–5) + the packing tail as a CTE, projected three ways and
+    unioned under the stage tag — the SQL twin of the Spark staged
+    output, column-for-column."""
+    from .dedupplans import _D09_SQL
+    from .textplans import BPE_PATTERN
+
+    return f"""
+WITH {_recipe_mixed_ctes(unified=True)},
+excis AS ({_D09_SQL}),
+toks AS (
+  SELECT m.doc_id, m.lang,
+         len(regexp_extract_all(lower(coalesce(x.cleaned, '')),
+             '{BPE_PATTERN}'))::BIGINT AS n_tokens
+  FROM mixed m JOIN excis x USING (doc_id)
+),
+{_pack_sql_tail(as_cte="pk")}
+SELECT 'survivor' AS stage, s.doc_id, d.lang,
+       NULL::BIGINT AS n_tokens, NULL::BIGINT AS seq_id,
+       NULL::BIGINT AS tok_offset, NULL::BIGINT AS slice_len
+FROM surv s JOIN documents d USING (doc_id)
+UNION ALL
+SELECT 'prepack', doc_id, lang, n_tokens,
+       NULL::BIGINT, NULL::BIGINT, NULL::BIGINT
+FROM toks
+UNION ALL
+SELECT 'packed', doc_id, lang, NULL::BIGINT,
+       seq_id, tok_offset, slice_len
+FROM pk
+ORDER BY stage, doc_id, seq_id
+"""
+
+
 SPECS = [
     QuerySpec("pl01_training_pipeline", pl01_training_pipeline, _PL01_SQL),
     QuerySpec(
@@ -886,6 +1004,6 @@ SPECS = [
     QuerySpec(
         "pl06_data_recipe_unified",
         pl06_data_recipe_unified,
-        _pl05_sql(unified=True),
+        _pl06_sql(),
     ),
 ]

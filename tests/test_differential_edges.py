@@ -507,9 +507,12 @@ def test_pl06_unified_survivors_reach_the_packer(spark, edge_dir):
         r.doc_id
         for r in qs["pl05_data_recipe_excised"].fn(spark, edge_dir).collect()
     }
+    # pl06's driver-facing result is the staged audit union (round-13
+    # VERDICT ask #5) — the packed corpus is the stage == 'packed' slice
     pl06_docs = {
         r.doc_id
         for r in qs["pl06_data_recipe_unified"].fn(spark, edge_dir).collect()
+        if r.stage == "packed"
     }
     assert pl06_docs <= pl05_docs, "pl06 corpus must be a subset of pl05's"
     assert 30 in pl05_docs, "scrambled twin must survive the MinHash recipe"
