@@ -404,17 +404,48 @@ def _canary_check(spark, out: dict) -> None:
         h["jobs_sec"] for h in hist
         if "jobs_sec" in h and not h.get("scheduler_overhead_warning")
     )
-    # Absolute floor alongside the relative check: 40 one-stage no-op
-    # jobs above 2 s (>50 ms per job) is degraded on ANY healthy
-    # local[32] box — healthy local-mode job overhead is ~10–25 ms.
-    # The floor matters most while the jobs-canary history is young
-    # (its first samples were seeded on the degraded r13 container, so
-    # a relative check against them would stay silent there).
-    sched_warn = bool(jobs_sec > 2.0)
+    sched_warn = False
+    med_j = None
+    basis = None
     if prev_j:
         med_j = prev_j[len(prev_j) // 2]
+        basis = "clean_history"
+    else:
+        # Stable-but-slow host bootstrap (round-13 ADVICE #2 + VERDICT
+        # ask #4): the original absolute floor (2 s / 50 ms-per-job)
+        # assumed bare-metal local-mode overhead (~10–25 ms/job), but
+        # THIS sandboxed container schedules 40 no-op jobs in ~5 s at
+        # idle (measured r14: 4.9–5.0 s with the compute canary at its
+        # clean median) — so every sample tripped the floor, none
+        # entered the clean history, and the relative drift check
+        # could never activate (the warning latched permanently and
+        # lost its detection value). Remedy: if the last few samples
+        # AGREE (≥3 of the trailing 5 within a 1.25× band of their
+        # median), the host has a stable per-job latency — adopt the
+        # agreeing samples' median as the baseline even though each
+        # tripped the bootstrap floor, and record which samples fed it.
+        recent = [h["jobs_sec"] for h in hist if "jobs_sec" in h][-5:]
+        if len(recent) >= 3:
+            rs = sorted(recent)
+            rmed = rs[len(rs) // 2]
+            agree = sorted(
+                x for x in recent if rmed / 1.25 <= x <= rmed * 1.25
+            )
+            if len(agree) >= 3:
+                med_j = agree[len(agree) // 2]
+                basis = "stable_flagged_history"
+                out["canary_jobs_baseline_samples"] = agree
+    if med_j is not None:
         out["canary_jobs_trailing_median"] = med_j
-        sched_warn = sched_warn or bool(jobs_sec > 1.2 * med_j)
+        out["canary_jobs_baseline_basis"] = basis
+        sched_warn = bool(jobs_sec > 1.2 * med_j)
+    else:
+        # Bootstrap-only absolute floor: no baseline of any kind yet.
+        # Strict (40 no-op jobs over 2 s = >50 ms/job, degraded on a
+        # bare-metal local[32] box) — on a sandboxed host whose stable
+        # latency is legitimately above it, the agreement path above
+        # takes over within 3 runs and this floor stops deciding.
+        sched_warn = bool(jobs_sec > 2.0)
     out["scheduler_overhead_warning"] = sched_warn
     if sched_warn:
         print(
@@ -429,6 +460,11 @@ def _canary_check(spark, out: dict) -> None:
         entry["ambient_load_warning"] = True
     if out.get("scheduler_overhead_warning"):
         entry["scheduler_overhead_warning"] = True
+    if basis is not None:
+        # auditability (round-13 VERDICT ask #4): the history records
+        # WHAT the verdict for this sample was judged against
+        entry["jobs_baseline"] = med_j
+        entry["jobs_baseline_basis"] = basis
     hist.append(entry)
     hist_path.write_text(json.dumps(hist[-20:], indent=1) + "\n")
 
@@ -456,6 +492,16 @@ def main() -> int:
 
     out: dict = {"metric": "wall_sec_total", "unit": "sec", "reps": reps}
     _canary_check(spark, out)
+
+    # --canary-only: probe the environment, append to the canary
+    # history, and exit — used to (re)establish the jobs-canary
+    # baseline (round-13 VERDICT ask #4) without paying a full bench.
+    if "--canary-only" in sys.argv[1:]:
+        print(json.dumps({
+            k: v for k, v in out.items() if k.startswith("canary")
+            or k.endswith("warning")
+        }))
+        return 0
 
     if small_dir and os.path.isdir(small_dir) and small_dir != sf_dir:
         small, _, _ = _time_queries(spark, qs, small_dir, reps)
