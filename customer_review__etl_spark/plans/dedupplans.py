@@ -1005,9 +1005,7 @@ ORDER BY doc_a, doc_b
 _D05_SQL = f"""
 WITH {_D02_CTES},
 pairs AS ({_D02_BODY}),
-edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs),
-{sql_cc_min_label()}
+{sql_cc_min_label("pairs", "doc_a", "doc_b")}
 SELECT doc.doc_id,
        least(doc.doc_id, coalesce(c.mn, doc.doc_id)) AS cluster_id,
        CAST(doc.doc_id = least(doc.doc_id, coalesce(c.mn, doc.doc_id))
@@ -1106,9 +1104,7 @@ WITH pairs AS (
   UNION
   SELECT doc_a, doc_b FROM ({_D04_BODY})
 ),
-edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs),
-{sql_cc_min_label()}
+{sql_cc_min_label("pairs", "doc_a", "doc_b")}
 SELECT doc.doc_id,
        least(doc.doc_id, coalesce(c.mn, doc.doc_id)) AS cluster_id,
        CAST(doc.doc_id = least(doc.doc_id, coalesce(c.mn, doc.doc_id))

@@ -544,10 +544,9 @@ pairs AS (
   GROUP BY 1, 2
   HAVING count(1) >= {GR05_MIN_ORDERS}
 ),
-edges AS (SELECT src AS s, dst AS d FROM pairs
-          UNION SELECT dst, src FROM pairs),
-{sql_cc_min_label()},
-nodes AS (SELECT DISTINCT s AS part FROM edges)
+{sql_cc_min_label("pairs", "src", "dst")},
+nodes AS (SELECT src AS part FROM pairs
+          UNION SELECT dst FROM pairs)
 SELECT n.part, least(n.part, coalesce(c.mn, n.part)) AS component
 FROM nodes n LEFT JOIN cluster c ON c.node = n.part
 ORDER BY n.part

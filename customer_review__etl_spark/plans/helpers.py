@@ -113,7 +113,9 @@ def shuffle_width(spark) -> int:
         return 64
 
 
-def sql_cc_min_label(rounds: int = 18) -> str:
+def sql_cc_min_label(
+    pairs: str = "pairs", a: str = "s", b: str = "d", rounds: int = 18
+) -> str:
     """Unrolled min-label + pointer-jump connected components as oracle
     CTEs (round 13) — the SQL twin of dedupplans.connected_components,
     replacing the all-pairs recursive `reach` closure the CC oracles
@@ -138,11 +140,17 @@ def sql_cc_min_label(rounds: int = 18) -> str:
     oracle label necessarily mismatches and the differential compare
     fails loudly.
 
-    Expects an `edges(s, d)` CTE already in scope (bidirectional, as
-    the previous `reach` form also required). Emits CTE text ending in
-    `cluster(node, mn)` — consumers keep their existing
-    least/coalesce(outer-join) final projection, which also covers
-    isolated nodes that never enter `edges`.
+    Expects a `pairs` CTE already in scope holding the raw node pairs
+    in columns `a`/`b`, in ANY orientation — the helper builds the
+    bidirectional edge list itself (round-13 ADVICE #3: the old form
+    required callers to pre-symmetrize AND guarantee every node
+    appears in column s; a future caller passing directed edges got
+    wrong labels that only surfaced as a confusing differential
+    mismatch downstream — both obligations now live here). Emits CTE
+    text ending in `cluster(node, mn)` — consumers keep their
+    existing least/coalesce(outer-join) final projection, which also
+    covers isolated nodes that never enter the pair list. The emitted
+    names edges_m/lab*/cluster must not collide with caller CTEs.
 
     Every emitted CTE (and the `edges_m` snapshot of the caller's
     edge list) is AS MATERIALIZED: DuckDB 1.0 INLINES CTEs referenced
@@ -151,7 +159,8 @@ def sql_cc_min_label(rounds: int = 18) -> str:
     and the parquet file handles under it grow exponentially with
     `rounds` (measured: 'Too many open files' before any row moved)."""
     ctes = [
-        "edges_m AS MATERIALIZED (SELECT s, d FROM edges)",
+        f"edges_m AS MATERIALIZED (SELECT {a} AS s, {b} AS d FROM {pairs} "
+        f"UNION SELECT {b}, {a} FROM {pairs})",
         "lab0 AS MATERIALIZED "
         "(SELECT DISTINCT s AS node, s AS lbl FROM edges_m)",
     ]

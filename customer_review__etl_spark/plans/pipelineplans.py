@@ -555,6 +555,21 @@ def _pl04_packed_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed.select("doc_id", toks.alias("n_tokens"), "lang")
 
 
+def _pin_id(df: DataFrame) -> DataFrame:
+    """The r13 stage-1–4 merge pin (54cca5a), as a measurement valve:
+    SPARK_GRAFT_UNPIN_RECIPE=1 reverts the recipe's id join sides to
+    estimate-driven build choices so the pin's cost can be A/B'd on
+    ONE host (round-13 VERDICT ask #3 — the r13/r12 cross-round delta
+    confounds pin cost with ~1.2× ambient host drift). Never set in
+    normal runs: the pin exists because sf0.01 estimates flipped a
+    corpus-with-text broadcast (the dc03 class)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_UNPIN_RECIPE", "") == "1":
+        return df
+    return df.hint("merge")
+
+
 def _pl04_mixed(
     spark: SparkSession, sf_dir: str, unified: bool = False
 ) -> DataFrame:
@@ -606,10 +621,10 @@ def _pl04_mixed(
         tables.load(spark, sf_dir, "documents")
         .select("doc_id", "lang", "text")
         .filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
-        .join(surv.hint("merge"), "doc_id")
-        .join(gate.hint("merge"), "doc_id")
-        .join(dc1.hint("merge"), "doc_id", "left_anti")
-        .join(dc3.hint("merge"), "doc_id", "left_anti")
+        .join(_pin_id(surv), "doc_id")
+        .join(_pin_id(gate), "doc_id")
+        .join(_pin_id(dc1), "doc_id", "left_anti")
+        .join(_pin_id(dc3), "doc_id", "left_anti")
     )
     # p14's mix device over the post-gate corpus: uniform-language
     # targets, content-addressed membership (16-bit md5 fraction)

@@ -1330,9 +1330,7 @@ def _s03_pairs_sql() -> str:
 
 _S05_SQL = f"""
 WITH pairs AS ({_s03_pairs_sql()}),
-edges AS (SELECT vec_a AS s, vec_b AS d FROM pairs
-          UNION SELECT vec_b, vec_a FROM pairs),
-{sql_cc_min_label()}
+{sql_cc_min_label("pairs", "vec_a", "vec_b")}
 SELECT emb.vec_id,
        least(emb.vec_id, coalesce(c.mn, emb.vec_id)) AS cluster_id,
        CAST(emb.vec_id = least(emb.vec_id, coalesce(c.mn, emb.vec_id))

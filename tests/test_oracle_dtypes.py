@@ -56,3 +56,22 @@ def test_lint_catches_bare_bigint_sum(duck):
         "DESCRIBE SELECT sum(o_orderkey) AS s FROM orders"
     ).fetchall()
     assert any("HUGEINT" in d[1].upper() for d in desc)
+
+
+def test_sql_cc_min_label_symmetrizes_internally():
+    """Round-13 ADVICE #3: the CC helper owns the bidirectionality
+    obligation. A deliberately adversarial orientation — every pair
+    points AT the minimum (2,1),(3,1), so under the old contract node
+    1 never appears in column s and the min label could not propagate
+    without caller-side symmetrization — must still label the chain's
+    nodes with the component minimum, and an isolated second component
+    keeps its own min."""
+    from customer_review__etl_spark.plans.helpers import sql_cc_min_label
+
+    con = duckdb.connect()
+    got = con.execute(
+        "WITH pairs(x, y) AS (VALUES (2, 1), (3, 1), (9, 7)),\n"
+        + sql_cc_min_label("pairs", "x", "y")
+        + "\nSELECT node, mn FROM cluster ORDER BY node"
+    ).fetchall()
+    assert got == [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)]

@@ -220,11 +220,20 @@ PINNED_PLAN: dict[str, str] = {
     "ml09_knn_label": "inherits s10's merge-pinned embedding side",
     "pl04_data_recipe": "merge-pinned stage-1-4 sides: sf0.01 "
                         "estimates broadcast the decontaminated "
-                        "corpus WITH text (r13 pinned-audit catch)",
+                        "corpus WITH text (r13 pinned-audit catch); "
+                        "pin cost A/B'd r14 same-host at sf0.1 "
+                        "(SPARK_GRAFT_UNPIN_RECIPE valve): pinned "
+                        "7.6s vs unpinned 6.9s — inside the ±10% "
+                        "noise band, the r13 bench inflation was "
+                        "ambient",
     "pl05_data_recipe_excised": "merge-pinned stage-1-4 sides "
-                                "(shared _pl04_mixed; r13 catch)",
+                                "(shared _pl04_mixed; r13 catch); "
+                                "r14 A/B: pinned 9.0s vs unpinned "
+                                "9.3s — pin cost ~0 at sf0.1",
     "pl06_data_recipe_unified": "merge-pinned stage-1-4 sides "
-                                "(shared _pl04_mixed; r13 catch)",
+                                "(shared _pl04_mixed; r13 catch); "
+                                "r14 A/B: pinned 9.0s vs unpinned "
+                                "8.8s — pin cost ~0 at sf0.1",
 }
 
 

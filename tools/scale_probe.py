@@ -384,6 +384,19 @@ def main() -> int:
             merged = dict(prior.get("queries", {}))
             for q, row in out["queries"].items():
                 base_row = dict(merged.get(q, {}))
+                # Internal consistency (round-13 ADVICE #1): a ratio is
+                # only meaningful against the 'base' measured in the
+                # SAME session. If this run refreshed 'base' but not a
+                # variant's big/ratio pair (e.g. an org-only re-run),
+                # the surviving prior pair would sit next to a base it
+                # was never measured against — drop the stale pair
+                # rather than store a ratio that no longer equals
+                # big/base of its neighbours.
+                if "base" in row:
+                    for v in ("repl", "org"):
+                        if f"big_{v}" not in row:
+                            base_row.pop(f"big_{v}", None)
+                            base_row.pop(f"ratio_{v}", None)
                 base_row.update(row)
                 merged[q] = base_row
             out["queries"] = merged
