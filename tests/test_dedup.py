@@ -214,8 +214,7 @@ WITH raw_edges AS (
   FROM (SELECT unnest(range(0, {n})) AS i) _u(i)
   UNION ALL SELECT 900001, 900002
 ),
-edges AS (SELECT s, d FROM raw_edges UNION SELECT d, s FROM raw_edges),
-{sql_cc_min_label()}
+{sql_cc_min_label("raw_edges", "s", "d")}
 SELECT node, mn FROM cluster
 """
     got = dict(con.execute(sql).fetchall())
@@ -227,8 +226,7 @@ WITH raw_edges AS (
   SELECT ({n} - _u.i)::BIGINT AS s, ({n} - _u.i - 1)::BIGINT AS d
   FROM (SELECT unnest(range(0, {n})) AS i) _u(i)
 ),
-edges AS (SELECT s, d FROM raw_edges UNION SELECT d, s FROM raw_edges),
-{sql_cc_min_label()}
+{sql_cc_min_label("raw_edges", "s", "d")}
 SELECT node, mn FROM cluster
 """
     got = dict(con.execute(sql_rev).fetchall())
