@@ -549,7 +549,7 @@ def main() -> int:
     }
     for k in ("canary_sec", "canary_trailing_median", "ambient_load_warning",
               "canary_jobs_sec", "canary_jobs_trailing_median",
-              "scheduler_overhead_warning"):
+              "canary_jobs_baseline_basis", "scheduler_overhead_warning"):
         if k in out:
             compact[k] = out[k]
     ratios = out.get("scale_ratio", {})
