@@ -370,3 +370,27 @@ def test_q16_anti_join_and_early_distinct(spark):
     plan = _plan(relational.q16_parts_supplier(spark, SF_DIR))
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rotation_planner_respects_head_gates():
+    """tools/rotation_plan.py proposes next round's head; whatever it
+    proposes must itself satisfy the head gates (slot count, family
+    coverage, rows-only whitelist) — otherwise the tool would plan a
+    head that this file's own tests reject."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import rotation_plan
+
+    from customer_review__etl_spark.plans import all_queries
+
+    specs = all_queries()
+    p = rotation_plan.propose(50)
+    head = p["head"]
+    assert len(head) == 50 and len(set(head)) == 50
+    assert all(n in specs for n in head)
+    for fam in rotation_plan.FAMILIES:
+        assert any(n.startswith(fam) for n in head), f"family {fam} missing"
+    rows_only = {n for n in head if specs[n].oracle is None}
+    assert rows_only <= rotation_plan.ROWS_ONLY_WHITELIST
