@@ -255,6 +255,8 @@ def _time_queries(
     # build, so it should get task slots from second zero ("shingles"
     # starts immediately too — "d02_pairs" blocks on its lock)
     longest_first = (
+        "pl06_packed_in",  # deepest chain: d06_survivors → d02/3/4 + d09
+        "d06_survivors",
         "d04_pairs", "s03_pairs", "shingles", "copurchase",
         "copurchase_thresholded", "d03_pairs", "s10_knn", "d02_pairs",
     )
@@ -424,7 +426,14 @@ def _canary_check(spark, out: dict) -> None:
         # median), the host has a stable per-job latency — adopt the
         # agreeing samples' median as the baseline even though each
         # tripped the bootstrap floor, and record which samples fed it.
-        recent = [h["jobs_sec"] for h in hist if "jobs_sec" in h][-5:]
+        # ambient-flagged samples stay out of the bootstrap too: a
+        # machine under SUSTAINED external load would otherwise ratify
+        # its loaded latency as the "stable host baseline" — exactly
+        # the self-silencing the clean-history rule exists to prevent
+        recent = [
+            h["jobs_sec"] for h in hist
+            if "jobs_sec" in h and not h.get("ambient_load_warning")
+        ][-5:]
         if len(recent) >= 3:
             rs = sorted(recent)
             rmed = rs[len(rs) // 2]

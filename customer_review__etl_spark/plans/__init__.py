@@ -34,6 +34,24 @@ class QuerySpec:
 # must place representatives inside the head.  PRIORITY pins that head
 # explicitly; everything else follows in module order and is covered by the
 # local differential harness (tools/verify_local.py) + pytest.
+
+# Single source of truth for the head-composition gates (r14 review
+# catch: tests/test_plans.py and tools/rotation_plan.py each carried a
+# private copy, so a future edit to one would let the planner propose
+# heads the real gate rejects). The gate test AND the planner import
+# these.
+HEAD_FAMILIES: tuple[str, ...] = (
+    "p", "a", "q", "j", "w", "g", "f", "u",
+    "t0", "d0", "s0", "st", "ml", "mm", "io",
+)
+# rows-only (no-oracle) entries allowed to spend a head slot: exactly
+# the four documented non-SQL-expressible ops (round-11 VERDICT ask #4)
+ROWS_ONLY_HEAD_WHITELIST: frozenset[str] = frozenset({
+    "t02_stemmed_chain",
+    "ml01_lda_themes",
+    "ml02_topic_top_words",
+    "ml04_classifier_metrics",
+})
 PRIORITY: tuple[str, ...] = (
     # ROTATION LOG (cumulative; each round swaps multiply-driver-
     # sampled, shape-covered heads for never-sampled entries so every
@@ -346,8 +364,12 @@ def shared_intermediates() -> dict[str, Callable[[SparkSession, str], DataFrame]
 
     Dependency note: "d02_pairs" consumes "shingles" inside its
     builder, so bench builds "shingles" first and may run the rest
-    concurrently (independent Spark jobs from separate threads)."""
-    from . import dedupplans, graphplans, mlplans, simplans
+    concurrently (independent Spark jobs from separate threads).
+    "d06_survivors" consumes the d02/d03/d04 pair landings and
+    "pl06_packed_in" consumes "d06_survivors" + "d08_pairs" —
+    materialized_df's per-kind locks serialize those chains correctly
+    while unrelated kinds keep building."""
+    from . import dedupplans, graphplans, mlplans, pipelineplans, simplans
 
     return {
         "shingles": dedupplans.shingles_m,            # d02 builder + dc02
@@ -359,6 +381,8 @@ def shared_intermediates() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "s10_knn": mlplans.s10_knn_pairs_m,           # ml09
         "copurchase": graphplans._copurchase_edges,   # gr01, gr02
         "copurchase_thresholded": graphplans._copurchase_thresholded_m,  # gr05
+        "d06_survivors": pipelineplans.d06_survivors_m,   # pl06 (both uses)
+        "pl06_packed_in": pipelineplans._pl06_packed_in_m,  # pl06 branches
     }
 
 

@@ -583,16 +583,17 @@ def _pl04_mixed(
     from . import dedupplans, textplans
     from .dedupplans import DECON_EVAL_MOD
 
-    surv_src = (
-        dedupplans.d06_unified_clusters
-        if unified
-        else dedupplans.d05_neardup_clusters
-    )
-    surv = (
-        surv_src(spark, sf_dir)
-        .filter(F.col("survivor") == 1)
-        .select("doc_id")
-    )
+    if unified:
+        # the unified survivor map runs an eager CC fixpoint — read the
+        # once-per-process landing so the recipe chain, pl06's staged
+        # audit branch, and bench reps all share ONE collapse
+        surv = d06_survivors_m(spark, sf_dir)
+    else:
+        surv = (
+            dedupplans.d05_neardup_clusters(spark, sf_dir)
+            .filter(F.col("survivor") == 1)
+            .select("doc_id")
+        )
     dc1 = (
         dedupplans.dc01_decontaminate(spark, sf_dir)
         .filter("contaminated")
@@ -769,18 +770,16 @@ def pl06_data_recipe_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every stage is oracle-expressible (the same CTE chain, three
     projections), so the driver hash now covers the survivor map, the
     excised token counts, AND the packing — ~100 rows at sf0.01
-    instead of 2. The packer input is materialized once to
-    run-scratch (the d02_pairs_m pattern) so prepack and packed read
-    one landing rather than re-running stages 1–5 twice."""
-    from . import dedupplans
+    instead of 2. Both the packer input and the unified survivor map
+    are materialized once to run-scratch (the d02_pairs_m pattern) so
+    the three branches — and the recipe chain underneath — share one
+    stage-1–5 execution and ONE CC collapse per process."""
     from .relational import pack_sequences
 
     nul = F.lit(None).cast("long")
     docs = tables.load(spark, sf_dir, "documents").select("doc_id", "lang")
     surv = (
-        dedupplans.d06_unified_clusters(spark, sf_dir)
-        .filter(F.col("survivor") == 1)
-        .select("doc_id")
+        d06_survivors_m(spark, sf_dir)
         .join(docs.hint("merge"), "doc_id")
         .select(
             F.lit("survivor").alias("stage"),
@@ -816,6 +815,32 @@ def pl06_data_recipe_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(packed)
         .orderBy("stage", "doc_id", "seq_id")
     )
+
+
+def d06_survivors_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-scratch landing of d06's unified survivor id set. The
+    unified collapse is an eager CC fixpoint (driver-blocking scalar
+    collect per round), so every consumer — _pl04_mixed(unified=True)
+    inside the packer-input landing, pl06's staged 'survivor' branch,
+    and repeated bench reps — must read ONE materialization instead of
+    re-running the fixpoint per call (r14 review catch: the audit
+    branch alone re-ran it once per invocation). d05's survivor filter
+    stays inline by contrast: its CC shares the same bounded-round
+    machinery but pl04/pl05's adjudicated plan rows build it in-plan,
+    and churning those mid-round for ~1 s/rep is not worth re-opening
+    the record."""
+    from .dedupplans import materialized_df
+
+    def _build(s: SparkSession, d: str) -> DataFrame:
+        from . import dedupplans
+
+        return (
+            dedupplans.d06_unified_clusters(s, d)
+            .filter(F.col("survivor") == 1)
+            .select("doc_id")
+        )
+
+    return materialized_df(spark, sf_dir, "d06_survivors", _build, ["doc_id"])
 
 
 def _pl06_packed_in_m(spark: SparkSession, sf_dir: str) -> DataFrame:

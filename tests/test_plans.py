@@ -36,13 +36,15 @@ def test_registry_head_covers_every_family():
     """The external verifier samples only the registry head (~50 entries);
     every query family must keep at least one representative there, or new
     additions silently push a family past the verification horizon."""
-    from customer_review__etl_spark.plans import PRIORITY, all_queries
+    from customer_review__etl_spark.plans import (
+        HEAD_FAMILIES,
+        PRIORITY,
+        all_queries,
+    )
 
     head = list(all_queries())[:50]
     assert head == list(PRIORITY[:50])
-    families = ("p", "a", "q", "j", "w", "g", "f", "u",
-                "t0", "d0", "s0", "st", "ml", "mm", "io")
-    for fam in families:
+    for fam in HEAD_FAMILIES:
         assert any(n.startswith(fam) for n in head), f"family {fam} not in head"
     # the head is maximally oracle-checked: the ONLY rows-only entries
     # admitted are the four documented non-SQL-expressible ops
@@ -51,15 +53,11 @@ def test_registry_head_covers_every_family():
     # and never_driver_sampled reaches 0). Any OTHER rows-only entry in
     # the head is a scheduling bug: it would spend an oracle-checkable
     # slot on a weaker check.
-    rows_only_head_whitelist = {
-        "t02_stemmed_chain",
-        "ml01_lda_themes",
-        "ml02_topic_top_words",
-        "ml04_classifier_metrics",
-    }
+    from customer_review__etl_spark.plans import ROWS_ONLY_HEAD_WHITELIST
+
     specs = all_queries()
     rows_only_in_head = {n for n in head if specs[n].oracle is None}
-    assert rows_only_in_head <= rows_only_head_whitelist
+    assert rows_only_in_head <= ROWS_ONLY_HEAD_WHITELIST
 
 
 def test_coverage_tripwire_reports():
@@ -385,12 +383,20 @@ def test_rotation_planner_respects_head_gates():
 
     from customer_review__etl_spark.plans import all_queries
 
+    from customer_review__etl_spark.plans import (
+        HEAD_FAMILIES,
+        ROWS_ONLY_HEAD_WHITELIST,
+    )
+
     specs = all_queries()
     p = rotation_plan.propose(50)
     head = p["head"]
     assert len(head) == 50 and len(set(head)) == 50
     assert all(n in specs for n in head)
-    for fam in rotation_plan.FAMILIES:
+    for fam in HEAD_FAMILIES:
         assert any(n.startswith(fam) for n in head), f"family {fam} missing"
     rows_only = {n for n in head if specs[n].oracle is None}
-    assert rows_only <= rotation_plan.ROWS_ONLY_WHITELIST
+    assert rows_only <= ROWS_ONLY_HEAD_WHITELIST
+    # the plan must be feasible: nothing already hard-stale at the
+    # proposed round may be left out of its head
+    assert p["infeasible_already_hard"] == []

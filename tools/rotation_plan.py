@@ -19,15 +19,21 @@ Policy encoded (the same one the r8–r14 rotation log applied by hand):
    registry order;
 3. family coverage: if the proposal lacks a gated family, the
    oldest-sampled member of that family displaces the youngest
-   proposal entry whose family keeps another representative;
-4. whatever hits HARD_STALE next round but did not fit is listed as
-   the pinned deferral set the next rotation MUST open with.
+   proposal entry whose letter-prefix family keeps another
+   representative AND whose removal keeps every gated family covered
+   (letter-prefix, not gated-prefix: 'g' must not count gr06 as a
+   second grouping rep — r14 review catch);
+4. whatever becomes HARD_STALE one round after the proposed head (and
+   so MUST open the round after's rotation) is printed as the pinned
+   deferral note; anything already hard-stale at the proposed round
+   but not fitting is a planning failure and prints as an ERROR.
 
 Usage: python tools/rotation_plan.py [--slots 50]
 """
 
 from __future__ import annotations
 
+import re
 import sys
 from pathlib import Path
 
@@ -36,24 +42,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import coverage_report  # noqa: E402
 
-FAMILIES = ("p", "a", "q", "j", "w", "g", "f", "u",
-            "t0", "d0", "s0", "st", "ml", "mm", "io")
-
-# rows-only entries the head gate whitelists (test_plans.py) — every
-# other rows-only entry must not spend a head slot
-ROWS_ONLY_WHITELIST = {
-    "t02_stemmed_chain",
-    "ml01_lda_themes",
-    "ml02_topic_top_words",
-    "ml04_classifier_metrics",
-}
+from customer_review__etl_spark.plans import (  # noqa: E402
+    HEAD_FAMILIES,
+    ROWS_ONLY_HEAD_WHITELIST,
+)
 
 
-def _family_of(name: str) -> str | None:
-    for fam in FAMILIES:
-        if name.startswith(fam):
-            return fam
-    return None
+def _letters(name: str) -> str:
+    """Letter-prefix family for redundancy counting: g04→'g',
+    gr06→'gr', t03/t23→'t', dc01→'dc' — finer than the gated
+    startswith prefixes, so a graph query never masquerades as the
+    grouping family's second representative."""
+    m = re.match(r"[a-z]+", name)
+    return m.group(0) if m else name
 
 
 def propose(slots: int = 50) -> dict:
@@ -66,7 +67,7 @@ def propose(slots: int = 50) -> dict:
     cur = coverage_report.latest_round()
 
     def eligible(n: str) -> bool:
-        return specs[n].oracle is not None or n in ROWS_ONLY_WHITELIST
+        return specs[n].oracle is not None or n in ROWS_ONLY_HEAD_WHITELIST
 
     never = [n for n in names if n not in seen and eligible(n)]
     # oracle-backed never-sampled first, then whitelisted rows-only
@@ -79,40 +80,62 @@ def propose(slots: int = 50) -> dict:
     head = ranked[:slots]
     rest = ranked[slots:]
 
-    # family top-ups: oldest member of a missing family displaces the
-    # youngest head entry whose family keeps >=2 reps (scanned from the
-    # stalest-last end so we evict the least-stale redundancy)
-    for fam in FAMILIES:
+    def _gated_covered(candidate: list[str]) -> bool:
+        return all(
+            any(n.startswith(f) for n in candidate) for f in HEAD_FAMILIES
+        )
+
+    # family top-ups: oldest member of a missing gated family displaces
+    # the youngest head entry whose letter-prefix family keeps >=2 reps
+    # and whose removal keeps every gated family covered
+    for fam in HEAD_FAMILIES:
         if any(n.startswith(fam) for n in head):
             continue
         cand = next((n for n in rest if n.startswith(fam)), None)
         if cand is None:
             continue
-        fam_counts: dict[str | None, int] = {}
-        for n in head:
-            fam_counts[_family_of(n)] = fam_counts.get(_family_of(n), 0) + 1
-        victim = next(
-            (n for n in reversed(head)
-             if n not in never and fam_counts.get(_family_of(n), 0) >= 2),
-            None,
-        )
+        victim = None
+        for n in reversed(head):
+            if n in never:
+                continue
+            if sum(1 for m in head if _letters(m) == _letters(n)) < 2:
+                continue
+            trial = [x for x in head if x != n] + [cand]
+            if _gated_covered(trial):
+                victim = n
+                break
         if victim is None:
             continue
         head[head.index(victim)] = cand
         rest.insert(0, victim)
         rest.remove(cand)
 
-    # deferrals that go HARD next round: last sampled <= (cur+1) - HARD_STALE
-    hard_next = [
+    # Deferral arithmetic (r14 review catch — this was off by one):
+    # the proposed head lands as round cur+1's CORRECTNESS artifact.
+    # - an entry with (cur+1) - last >= HARD_STALE *not in this head*
+    #   fails the pytest gate the moment that artifact lands — if any
+    #   such entry did not fit, the plan itself is infeasible: ERROR.
+    # - an entry with (cur+2) - last >= HARD_STALE goes hard one round
+    #   later — that is the "next head MUST open with these" pin the
+    #   rotation log records.
+    already_hard = [
         n for n in rest
-        if n in seen and (cur + 1) - max(seen[n]) >= coverage_report.HARD_STALE
+        if n in seen
+        and (cur + 1) - max(seen[n]) >= coverage_report.HARD_STALE
+    ]
+    hard_after_next = [
+        n for n in rest
+        if n in seen
+        and (cur + 1) - max(seen[n]) < coverage_report.HARD_STALE
+        and (cur + 2) - max(seen[n]) >= coverage_report.HARD_STALE
     ]
     missed_never = [n for n in names
                     if n not in seen and eligible(n) and n not in head]
     return {
         "next_round": cur + 1,
         "head": head,
-        "hard_next_round_deferrals": hard_next,
+        "infeasible_already_hard": already_hard,
+        "hard_one_round_later": hard_after_next,
         "never_sampled_not_fitting": missed_never,
     }
 
@@ -122,18 +145,23 @@ def main() -> int:
     if "--slots" in sys.argv:
         slots = int(sys.argv[sys.argv.index("--slots") + 1])
     p = propose(slots)
-    print(f"# proposed PRIORITY head for round r{p['next_round']} "
-          f"({len(p['head'])} slots)")
+    nxt = p["next_round"]
+    print(f"# proposed PRIORITY head for round r{nxt} ({len(p['head'])} slots)")
     for n in p["head"]:
         print(f'    "{n}",')
     if p["never_sampled_not_fitting"]:
         print("# WARNING: never-sampled entries that did not fit "
               "(should be slot 1 next round):")
         print("#   " + " ".join(p["never_sampled_not_fitting"]))
-    if p["hard_next_round_deferrals"]:
-        print(f"# deferrals hitting HARD_STALE at r{p['next_round'] + 1} — "
-              f"the r{p['next_round'] + 1} head MUST open with these:")
-        print("#   " + " ".join(p["hard_next_round_deferrals"]))
+    if p["infeasible_already_hard"]:
+        print(f"# ERROR: already hard-stale at r{nxt} but NOT in this head "
+              f"— the pytest gate fails the moment CORRECTNESS_r{nxt} lands:")
+        print("#   " + " ".join(p["infeasible_already_hard"]))
+    if p["hard_one_round_later"]:
+        print(f"# deferrals hitting HARD_STALE at r{nxt + 1} — the "
+              f"r{nxt + 1} head MUST open with these (pin in the "
+              f"rotation log):")
+        print("#   " + " ".join(p["hard_one_round_later"]))
     return 0
 
 
