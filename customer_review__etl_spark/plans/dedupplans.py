@@ -615,8 +615,11 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_b"),
     )
     inter = (
-        cand.join(ga, "doc_a")
-        .join(gb, "doc_b")
+        # gram-array sides are corpus-sized and size-underestimated
+        # (transform() stats inherit scan bytes) — merge-pinned so an
+        # estimate flip can never broadcast them (the r14 d08 catch)
+        cand.join(ga.hint("merge"), "doc_a")
+        .join(gb.hint("merge"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -779,8 +782,11 @@ def d07_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_b"),
     )
     inter = (
-        cand.join(ga, "doc_a")
-        .join(gb, "doc_b")
+        # gram-array sides are corpus-sized and size-underestimated
+        # (transform() stats inherit scan bytes) — merge-pinned so an
+        # estimate flip can never broadcast them (the r14 d08 catch)
+        cand.join(ga.hint("merge"), "doc_a")
+        .join(gb.hint("merge"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -1491,9 +1497,18 @@ def d08_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     bodies_b = base.select(
         F.col("doc_id").alias("doc_b"), F.expr(grams).alias("gb")
     )
+    # The gram-array tables are corpus-sized (each row carries the
+    # doc's FULL L-gram array, ~40× the text bytes — a size Catalyst
+    # UNDERESTIMATES because transform() output stats inherit the scan
+    # bytes), so they must never become a broadcast build side:
+    # measured r14, a borderline estimate flipped exactly that at 30×
+    # under ambient memory pressure and blew the broadcast build
+    # ("Not enough memory to build and broadcast") inside the landing
+    # write. hint("merge") pins both verify joins to SMJ on the pair
+    # ids — bodies shuffle only for candidates, the documented shape.
     return (
-        cand.join(bodies_a, "doc_a")
-        .join(bodies_b, "doc_b")
+        cand.join(bodies_a.hint("merge"), "doc_a")
+        .join(bodies_b.hint("merge"), "doc_b")
         .filter(F.arrays_overlap("ga", "gb"))
         .select("doc_a", "doc_b")
         .orderBy("doc_a", "doc_b")

@@ -96,7 +96,10 @@ def _prepack_builders():
 _WIDE_COL = re.compile(
     r"^(text|norm|ev_norm|cleaned|body|g|gram|grams|anchor_text|shingle|"
     r"shingles|embedding|emb|emb_a|emb_b|q_emb|n_emb|cent_emb|v|toks|"
-    r"tokens|words|terms|line|lines|chunk|content)$"
+    r"tokens|words|terms|line|lines|chunk|content|"
+    # joined/aliased gram-array columns (r14 d08 catch: the broadcast
+    # the audit missed carried the arrays under these names)
+    r"ga|gb|gs_a|gs_b)$"
 )
 # Round-13 (round-12 ADVICE #3): each whitelist entry now PINS the
 # allowed wide-payload colsets and a max hit count. A whitelisted
@@ -207,6 +210,16 @@ PINNED_PLAN: dict[str, str] = {
                                    "at 30× (r12 probe catch)",
     "d09_substring_excision": "merge-pinned gram⋈gmin: both sides "
                               "corpus-sized (r12)",
+    "d04_ngram_jaccard": "merge-pinned gram-array verify sides: "
+                         "corpus-sized, size-underestimated "
+                         "(transform() stats inherit scan bytes; "
+                         "r14 d08 catch)",
+    "d07_containment_pairs": "merge-pinned gram-array verify sides "
+                             "(same class; r14)",
+    "d08_repeated_substrings": "merge-pinned body-gram verify sides: "
+                               "a borderline estimate flipped one to "
+                               "broadcast at 30× and blew the build "
+                               "(measured r14)",
     "s02_ann_lsh": "merge-pinned corpus embedding side "
                           "(wide-audit r12)",
     "s03_embedding_neardup": "merge-pinned corpus embedding side "

@@ -220,12 +220,22 @@ def _materialize(df) -> None:
         df.count()
 
 
-def _best_of(fn, spark, d, reps=2):
+def _best_of(fn, spark, d, reps=2, cold_out=None):
+    """Best-of-n steady-state wall. For queries whose plan consumes a
+    once-per-process run-scratch landing (materialized_df), the FIRST
+    rep pays the landing build and later reps read parquet — so the
+    best-of deliberately measures steady state, and the cold first-rep
+    wall (the one that includes the landing, i.e. the actual stage
+    work) is reported separately via `cold_out[key]` so the probe's
+    scale claim still covers the full chain (r14: pl06's stage-1–5
+    landing would otherwise escape the probed wall entirely)."""
     best = None
-    for _ in range(reps):
+    for i in range(reps):
         t0 = time.time()
         _materialize(fn(spark, d))
         dt = time.time() - t0
+        if i == 0 and cold_out is not None:
+            cold_out.append(round(dt, 3))
         best = dt if best is None else min(best, dt)
         spark.catalog.clearCache()
     return round(best, 3)
@@ -274,19 +284,32 @@ def main() -> int:
         fn = qs[name].fn
         row: dict = {}
         if walls:
-            row["base"] = _best_of(fn, spark, src)
+            cold: list = []
+            row["base"] = _best_of(fn, spark, src, cold_out=cold)
+            row["cold_base"] = cold[-1]
             if dst_repl is not None:
-                row["big_repl"] = _best_of(fn, spark, dst_repl)
+                row["big_repl"] = _best_of(fn, spark, dst_repl,
+                                           cold_out=cold)
+                row["cold_repl"] = cold[-1]
                 row["ratio_repl"] = (
                     round(row["big_repl"] / row["base"], 2)
                     if row["base"] else None
                 )
             if name in PROBE_PAIR:
-                row["big_org"] = _best_of(fn, spark, dst_org)
+                row["big_org"] = _best_of(fn, spark, dst_org,
+                                          cold_out=cold)
+                row["cold_org"] = cold[-1]
                 row["ratio_org"] = (
                     round(row["big_org"] / row["base"], 2)
                     if row["base"] else None
                 )
+                # landing-consuming chains (pl06): the steady-state
+                # ratio excludes the once-per-corpus landing build, so
+                # also record the cold-wall ratio — the full-chain claim
+                if row["cold_base"]:
+                    row["ratio_org_cold"] = round(
+                        row["cold_org"] / row["cold_base"], 2
+                    )
         if name in ("s09_capped_lsh_neardup", "s10_capped_ann"):
             # round-12 VERDICT ask #5: the occupancy pre-scan's cost is
             # claimed O(one partial-agg pass + ≤1 KB collect) — measure
@@ -397,6 +420,8 @@ def main() -> int:
                         if f"big_{v}" not in row:
                             base_row.pop(f"big_{v}", None)
                             base_row.pop(f"ratio_{v}", None)
+                            base_row.pop(f"cold_{v}", None)
+                            base_row.pop(f"ratio_{v}_cold", None)
                 base_row.update(row)
                 merged[q] = base_row
             out["queries"] = merged
