@@ -83,7 +83,10 @@ HEADLINE = [
     "d06_unified_clusters",
     "dc02_neardup_decontaminate",
     "s01_cosine_topk",
-    "s02_ann_lsh",
+    # s02_ann_lsh dropped r15 with its registry demotion to
+    # plans/baselines.py (convicted quadratic; s10 is the registered
+    # twin and keeps the ANN row below) — headline is 125 queries from
+    # r15 on, vs 126 in r12–r14 records.
     "s04_ivf_ann",
     "s05_semantic_clusters",
     "s06_pq_ann",
@@ -257,7 +260,7 @@ def _time_queries(
     longest_first = (
         "pl06_packed_in",  # deepest chain: d06_survivors → d02/3/4 + d09
         "d06_survivors",
-        "d04_pairs", "s03_pairs", "shingles", "copurchase",
+        "d04_pairs", "s09_pairs", "shingles", "copurchase",
         "copurchase_thresholded", "d03_pairs", "s10_knn", "d02_pairs",
     )
     order = [k for k in longest_first if k in warmers] + sorted(
@@ -360,6 +363,68 @@ def _canary_jobs_probe(spark) -> float:
     return round(sorted(one() for _ in range(3))[1], 3)
 
 
+def _jobs_canary_verdict(
+    hist: list, jobs_sec: float, cores: int
+) -> tuple[bool, float | None, str | None, dict]:
+    """Pure decision core of the jobs-canary check (unit-testable —
+    r14 VERDICT ask #6). Returns (warn, baseline_median,
+    baseline_basis, extra_output_fields).
+
+    Baseline precedence:
+    1. clean_history — ≥3 samples that passed their own check (a LONE
+       clean sample is weaker evidence than 3-of-5 agreement, r14
+       ADVICE: it must not displace the agreement path by itself);
+    2. stable_flagged_history — the round-13 stable-but-slow host
+       bootstrap: the original absolute floor assumed bare-metal
+       local-mode overhead (~10–25 ms/job), but a sandboxed container
+       schedules 40 no-op jobs in ~5 s at idle (measured r14), so
+       every sample tripped the floor, none entered the clean history,
+       and the relative drift check could never activate. If ≥3 of
+       the trailing 5 ambient-clean samples agree within a 1.25× band
+       of their median, the host has a stable per-job latency — adopt
+       the agreeing samples' median. Ambient-flagged samples stay out:
+       a machine under SUSTAINED load would otherwise ratify its
+       loaded latency as "stable";
+    3. bootstrap floor — no baseline of any kind yet. 2 s per 40
+       one-wave jobs (>50 ms/job = degraded on a bare-metal local[32]
+       box), scaled by ceil(32/cores) task waves so a smaller host is
+       not condemned for legitimately running more waves per job (r14
+       VERDICT ask #6: "scale by core count")."""
+    extra: dict = {}
+    prev_j = sorted(
+        h["jobs_sec"] for h in hist
+        if "jobs_sec" in h and not h.get("scheduler_overhead_warning")
+    )
+    med_j = None
+    basis = None
+    if len(prev_j) >= 3:
+        med_j = prev_j[len(prev_j) // 2]
+        basis = "clean_history"
+    else:
+        recent = [
+            h["jobs_sec"] for h in hist
+            if "jobs_sec" in h and not h.get("ambient_load_warning")
+        ][-5:]
+        if len(recent) >= 3:
+            rs = sorted(recent)
+            rmed = rs[len(rs) // 2]
+            agree = sorted(
+                x for x in recent if rmed / 1.25 <= x <= rmed * 1.25
+            )
+            if len(agree) >= 3:
+                med_j = agree[len(agree) // 2]
+                basis = "stable_flagged_history"
+                extra["canary_jobs_baseline_samples"] = agree
+    if med_j is not None:
+        warn = bool(jobs_sec > 1.2 * med_j)
+    else:
+        waves = -(-32 // max(1, cores))  # ceil(32 / cores)
+        floor = 2.0 * waves
+        extra["canary_jobs_bootstrap_floor"] = floor
+        warn = bool(jobs_sec > floor)
+    return warn, med_j, basis, extra
+
+
 def _canary_check(spark, out: dict) -> None:
     """Run the probe, compare to the trailing median of previous runs
     (bench_canary_history.json, kept in-repo), and stamp the result
@@ -402,59 +467,14 @@ def _canary_check(spark, out: dict) -> None:
     # rows (graph fixpoints, streaming, Python-worker queries) are
     # inflated while scan/shuffle-bound rows are fine — the artifact
     # says WHICH numbers to distrust.
-    prev_j = sorted(
-        h["jobs_sec"] for h in hist
-        if "jobs_sec" in h and not h.get("scheduler_overhead_warning")
+    cores = max(1, spark.sparkContext.defaultParallelism)
+    sched_warn, med_j, basis, extra = _jobs_canary_verdict(
+        hist, jobs_sec, cores
     )
-    sched_warn = False
-    med_j = None
-    basis = None
-    if prev_j:
-        med_j = prev_j[len(prev_j) // 2]
-        basis = "clean_history"
-    else:
-        # Stable-but-slow host bootstrap (round-13 ADVICE #2 + VERDICT
-        # ask #4): the original absolute floor (2 s / 50 ms-per-job)
-        # assumed bare-metal local-mode overhead (~10–25 ms/job), but
-        # THIS sandboxed container schedules 40 no-op jobs in ~5 s at
-        # idle (measured r14: 4.9–5.0 s with the compute canary at its
-        # clean median) — so every sample tripped the floor, none
-        # entered the clean history, and the relative drift check
-        # could never activate (the warning latched permanently and
-        # lost its detection value). Remedy: if the last few samples
-        # AGREE (≥3 of the trailing 5 within a 1.25× band of their
-        # median), the host has a stable per-job latency — adopt the
-        # agreeing samples' median as the baseline even though each
-        # tripped the bootstrap floor, and record which samples fed it.
-        # ambient-flagged samples stay out of the bootstrap too: a
-        # machine under SUSTAINED external load would otherwise ratify
-        # its loaded latency as the "stable host baseline" — exactly
-        # the self-silencing the clean-history rule exists to prevent
-        recent = [
-            h["jobs_sec"] for h in hist
-            if "jobs_sec" in h and not h.get("ambient_load_warning")
-        ][-5:]
-        if len(recent) >= 3:
-            rs = sorted(recent)
-            rmed = rs[len(rs) // 2]
-            agree = sorted(
-                x for x in recent if rmed / 1.25 <= x <= rmed * 1.25
-            )
-            if len(agree) >= 3:
-                med_j = agree[len(agree) // 2]
-                basis = "stable_flagged_history"
-                out["canary_jobs_baseline_samples"] = agree
+    out.update(extra)
     if med_j is not None:
         out["canary_jobs_trailing_median"] = med_j
         out["canary_jobs_baseline_basis"] = basis
-        sched_warn = bool(jobs_sec > 1.2 * med_j)
-    else:
-        # Bootstrap-only absolute floor: no baseline of any kind yet.
-        # Strict (40 no-op jobs over 2 s = >50 ms/job, degraded on a
-        # bare-metal local[32] box) — on a sandboxed host whose stable
-        # latency is legitimately above it, the agreement path above
-        # takes over within 3 runs and this floor stops deciding.
-        sched_warn = bool(jobs_sec > 2.0)
     out["scheduler_overhead_warning"] = sched_warn
     if sched_warn:
         print(

@@ -256,60 +256,74 @@ PRIORITY: tuple[str, ...] = (
     #   head; d02/d03/d05 keep the d0 family). r15 head MUST open
     #   with those six, then take the r11 cohort (50 entries —
     #   overflow of ~6 defers again by the same redundancy rule).
-    # the six pinned slots (see r14 rotation-log entry above)
-    "pl06_data_recipe_unified",
-    "p06_ordinal",
-    "a04_row_count",
-    "j07_right_outer",
-    "set02_intersect",
-    "set03_except_all",
-    # family top-up: the r10 cohort has no f query (f01 oldest, r11)
-    "f01_string_date_math",
-    # the r10 cohort minus the six documented r15 deferrals,
-    # grouped by family for readability
-    "p01_project_sort",
-    "p03_dedup_keep_first",
-    "p04_coerce_cast",
-    "p20_length_curriculum",
-    "a08_median_disc",
-    "a10_funnel_stages",
-    "q5_local_supplier_volume",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "j02_inner_equi",
-    "j08_asof_join",
-    "j09_salted_skew_agg",
-    "w03_running_sum",
-    "w05_ntile_frames",
-    "w13_forward_fill",
-    "g04_pivot",
-    "u02_sequence_pack",
-    "t03_topk_words",
-    "t05_lang_id",
-    "t11_chunk_dedup",
-    "t13_unigram_surprisal",
-    "t14_heavy_hitters",
-    "t27_perplexity_buckets",
-    "d02_minhash_near_dup",
-    "d03_simhash_near_dup",
-    "d05_neardup_clusters",
-    "dc01_decontaminate",
-    "s01_cosine_topk",
-    "s03_embedding_neardup",
-    "s04_ivf_ann",
-    "s09_capped_lsh_neardup",
-    "s10_capped_ann",
-    "st03_session_window",
-    "st04_stream_tumbling",
-    "st05_stream_dedup",
-    "st08_gapfill_resample",
-    "st13_late_data_audit",
-    "ml05_stratified_split",
-    "mm01_binary_meta",
-    "io01_csv_roundtrip",
-    "io06_schema_evolution",
-    "io10_zorder_cluster",
-    "gr06_label_propagation",
+    #   r15 (round-14 VERDICT ask #1, head taken VERBATIM from
+    #   tools/rotation_plan.py — the mechanical planner the r14 log
+    #   demanded be obeyed, not re-derived): the SIX documented r14
+    #   deferrals first (a01_group_count, j01_broadcast_theme_label,
+    #   w01_row_number_topn, t01_text_chain, d01_exact_dedup,
+    #   st01_tumbling_window — all last sampled r10, hard-stale the
+    #   moment CORRECTNESS_r15 lands), then the r11 cohort
+    #   oldest-first under the family gate. s02_ann_lsh, which the
+    #   pre-demotion planner run had slotted, left the registry this
+    #   round (demoted to plans/baselines.py with s03, r14 VERDICT
+    #   ask #4 — convicted quadratics; s09/s10 are the registered
+    #   twins and s05 now rides s09's pair miner), so its slot fell
+    #   to gr01_pagerank by the planner's own oldest-first rule.
+    #   FIVE r11-cohort entries defer to r16 (hard-stale there — the
+    #   planner prints them and the r16 head MUST open with them):
+    #   io13_partition_pruned_read, gr02_triangle_count,
+    #   pl01_training_pipeline, pl02_incremental_refresh,
+    #   pl04_data_recipe.
+    "a01_group_count",
+    "j01_broadcast_theme_label",
+    "w01_row_number_topn",
+    "t01_text_chain",
+    "d01_exact_dedup",
+    "st01_tumbling_window",
+    "p17_oversample_mix",
+    "p18_temperature_mix",
+    "a11_scalable_median",
+    "a13_grouped_quantiles",
+    "a12_observed_metrics",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q17_small_qty_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "j12_interval_overlap",
+    "j10_bucketed_range",
+    "j11_fuzzy_blocked_join",
+    "g01_rollup",
+    "w10_sessionize",
+    "w07_scd2_intervals",
+    "u03_ewma_smooth",
+    "u05_grouped_agg_udf",
+    "t08_bpe_token_count",
+    "t15_bigram_surprisal",
+    "t16_tfidf_terms",
+    "t18_sliding_chunks",
+    "t19_cdc_chunks",
+    "t21_bpe_merges",
+    "d07_containment_pairs",
+    "d06_unified_clusters",
+    "dc02_neardup_decontaminate",
+    "s05_semantic_clusters",
+    "s06_pq_ann",
+    "st06_stateful_stats",
+    "st07_stream_static_join",
+    "st09_stream_stream_join",
+    "st11_incremental_resume",
+    "ml06_kmeans",
+    "ml07_naive_bayes",
+    "ml11_confidence_calibration",
+    "mm02_decode_features",
+    "io05_bucketed_join",
+    "io09_table_diff",
+    "io11_python_datasource",
+    "io14_merge_upsert",
+    "io15_snapshot_read",
+    "f02_array_funcs",
+    "gr01_pagerank",
 )
 
 
@@ -377,7 +391,7 @@ def shared_intermediates() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "d03_pairs": dedupplans.d03_pairs_m,          # d06
         "d04_pairs": dedupplans.d04_pairs_m,          # d06
         "d08_pairs": dedupplans.d08_pairs_m,          # d09
-        "s03_pairs": simplans.s03_pairs_m,            # s05
+        "s09_pairs": simplans.s09_pairs_m,            # s05
         "s10_knn": mlplans.s10_knn_pairs_m,           # ml09
         "copurchase": graphplans._copurchase_edges,   # gr01, gr02
         "copurchase_thresholded": graphplans._copurchase_thresholded_m,  # gr05

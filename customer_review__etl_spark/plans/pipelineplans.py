@@ -938,7 +938,10 @@ def _pack_sql_tail(as_cte: str | None = None) -> str:
     from .relational import PACK_BUDGET
 
     B = PACK_BUDGET
-    body = f"""cum AS (
+    # ctes and the final SELECT are kept as two explicit parts (r14
+    # ADVICE: partitioning the assembled text on "\nSELECT " silently
+    # mis-wrapped if any CTE's indentation ever drifted)
+    ctes = f"""cum AS (
   SELECT doc_id, lang, n_tokens,
          (sum(n_tokens) OVER (ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -951,8 +954,8 @@ spans AS (
            AS seq_id,
          doc_id, lang, n_tokens, tok_start
   FROM cum
-)
-SELECT seq_id, doc_id,
+)"""
+    final_select = f"""SELECT seq_id, doc_id,
        (greatest(tok_start, seq_id * {B}) - seq_id * {B})::BIGINT
          AS tok_offset,
        (least(tok_start + n_tokens, (seq_id + 1) * {B})
@@ -960,9 +963,8 @@ SELECT seq_id, doc_id,
        lang
 FROM spans"""
     if as_cte is None:
-        return body + "\nORDER BY seq_id, doc_id"
-    head, _, final = body.partition("\nSELECT ")
-    return f"{head},\n{as_cte} AS (\nSELECT {final}\n)"
+        return f"{ctes}\n{final_select}\nORDER BY seq_id, doc_id"
+    return f"{ctes},\n{as_cte} AS (\n{final_select}\n)"
 
 
 def _pl04_sql() -> str:

@@ -751,12 +751,17 @@ def _s09_sql(
     cap: int | None = None,
     cap2: int | None = None,
     depth: int | None = None,
+    order: bool = True,
 ) -> str:
     """Oracle twin of s09, generated by the SAME per-level loop as the
     Spark plan; caps parameterized (round-9 ADVICE #4) so edge tests
     can differentially exercise the refined + multiprobe paths at
     every level under small caps, and `depth` parameterized so tests
-    can pin that a deeper level only PRUNES its parent's candidates."""
+    can pin that a deeper level only PRUNES its parent's candidates.
+    `order=False` yields the pair set without the final ORDER BY —
+    shared verbatim by the s09 spec and s05's recursive closure so the
+    two oracles can never drift (round-15: s05 migrated off the
+    demoted s03 miner)."""
     if cap is None:
         cap = S09_BUCKET_CAP
     if cap2 is None:
@@ -834,28 +839,32 @@ def _s09_sql(
         "  GROUP BY 1, 2\n)"
     )
     body = ",\n".join(ctes)
+    tail = "ORDER BY vec_a, vec_b\n" if order else ""
     return f"""
 WITH {body}
 SELECT c.vec_a, c.vec_b, {_cos('ea.v', 'eb.v')} AS cos
 FROM cand c JOIN e ea ON ea.vec_id = c.vec_a
             JOIN e eb ON eb.vec_id = c.vec_b
 WHERE {_cos('ea.v', 'eb.v')} >= {NEAR_COS}
-ORDER BY vec_a, vec_b
-"""
+{tail}"""
 
 
-def s03_pairs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialized s03 embedding near-dup pair set — one banded-LSH
-    mining pass per process per corpus (consumer: s05 + its reps)."""
+def s09_pairs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized s09 capped-LSH near-dup pair set — one occupancy-
+    adaptive mining pass per process per corpus (consumer: s05 + its
+    reps). Round-15: replaces the retired s03_pairs_m — s03's
+    fixed-plane miner (convicted quadratic, SCALING.md) is demoted to
+    plans/baselines.py and s05 rides the scale-safe generator."""
     from .dedupplans import materialized_df
 
     return materialized_df(
-        spark, sf_dir, "s03", s03_embedding_neardup, ["vec_a", "vec_b"]
+        spark, sf_dir, "s09_pairs", s09_capped_lsh_neardup,
+        ["vec_a", "vec_b"],
     )
 
 
 def s05_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style SEMANTIC dedup decision: collapse the s03
+    """SemDeDup-style SEMANTIC dedup decision: collapse the s09
     embedding near-dup pairs into connected components and keep the
     lowest-vec_id representative per cluster — the embedding-space
     twin of d05 (text-space), turning ANN pair mining into an actual
@@ -863,13 +872,20 @@ def s05_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearby (translations, paraphrases) collapse here, which no
     fingerprint/shingle signal can do.
 
+    Pair source (round-15): s09's occupancy-adaptive capped LSH — the
+    scale-safe miner — not the demoted fixed-plane s03 (see
+    plans/baselines.py). Below the caps s09's candidate set is
+    bit-identical to s03's, so fixture-scale clusters are unchanged;
+    at crowded-bucket scales s05 inherits s09's bounded fan-out
+    instead of s03's quadratic.
+
     Scale: identical shape to d05 — edges are (long, long) pairs from
-    the banded-LSH candidate join, components via min-label
+    the capped-LSH candidate join, components via min-label
     propagation with pointer jumping (O(log diameter) rounds), output
     is a left join of the full collection against the label map."""
     from .dedupplans import connected_components
 
-    pairs = s03_pairs_m(spark, sf_dir).select(
+    pairs = s09_pairs_m(spark, sf_dir).select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
     )
     labels = connected_components(pairs)
@@ -1329,7 +1345,7 @@ def _s03_pairs_sql() -> str:
 
 
 _S05_SQL = f"""
-WITH pairs AS ({_s03_pairs_sql()}),
+WITH pairs AS ({_s09_sql(order=False)}),
 {sql_cc_min_label("pairs", "vec_a", "vec_b")}
 SELECT emb.vec_id,
        least(emb.vec_id, coalesce(c.mn, emb.vec_id)) AS cluster_id,
@@ -1472,16 +1488,12 @@ SPECS = [
         FROM ranked WHERE rn <= {TOPK}
         """,
     ),
-    QuerySpec(
-        "s02_ann_lsh",
-        s02_ann_lsh,
-        _s02_sql(),
-    ),
-    QuerySpec(
-        "s03_embedding_neardup",
-        s03_embedding_neardup,
-        _s03_pairs_sql() + "ORDER BY vec_a, vec_b\n",
-    ),
+    # s02_ann_lsh / s03_embedding_neardup — the fixed-plane sign-LSH
+    # baselines — were demoted to plans/baselines.py in round 15 (r14
+    # VERDICT ask #4): both are convicted quadratics (s02: 472× wall at
+    # 30× data, SCALING.md) whose scale-safe twins s09/s10 are
+    # registered below. pytest keeps the oracle-matched baseline
+    # comparison via baselines.BASELINE_SPECS.
     QuerySpec(
         "s04_ivf_ann",
         s04_ivf_ann,

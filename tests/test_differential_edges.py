@@ -415,7 +415,11 @@ def edge_hybrid_dir(spark, tmp_path_factory):
 
 
 def _compare(spark, sf_dir, name, view):
-    spec = all_queries()[name]
+    # demoted baselines (s02/s03, plans/baselines.py) keep their edge
+    # differential coverage even though they left the registry (r15)
+    from customer_review__etl_spark.plans.baselines import baseline_queries
+
+    spec = {**all_queries(), **baseline_queries()}[name]
     sdf = spec.fn(spark, sf_dir)
     scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
 

@@ -102,7 +102,14 @@ def test_latest_driver_artifacts_are_git_tracked():
     files they update) were left uncommitted at review time for five
     rounds running. This makes the round-end checklist executable: if
     the newest artifact on disk is not known to git, pytest fails
-    loudly until it is committed."""
+    loudly until it is committed.
+
+    Round-14 VERDICT timing fix: the driver writes the NEW round's
+    artifacts AFTER the builder's last commit, so those files cannot
+    possibly be tracked at judge time. Exempt any artifact whose
+    mtime is newer than HEAD's commit timestamp — the gate then
+    enforces exactly what it can: every artifact that existed before
+    the last commit must be in git."""
     import re
     import subprocess
     from pathlib import Path
@@ -115,19 +122,30 @@ def test_latest_driver_artifacts_are_git_tracked():
     )
     if not tracked:  # not a git checkout (e.g. exported tree) — nothing to gate
         return
+    head_ts_raw = subprocess.run(
+        ["git", "log", "-1", "--format=%ct"],
+        cwd=root, capture_output=True, text=True,
+    ).stdout.strip()
+    head_ts = int(head_ts_raw) if head_ts_raw.isdigit() else 0
+
+    def written_after_head(p):
+        return head_ts and p.stat().st_mtime > head_ts
+
     for pattern in ("CORRECTNESS_r*.json", "BENCH_r*.json"):
         on_disk = sorted(
             root.glob(pattern),
             key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
         )
-        if on_disk:
-            latest = on_disk[-1].name
-            assert latest in tracked, (
-                f"{latest} exists but is not git-tracked — commit the "
-                f"driver artifacts (round-end checklist)"
+        for p in on_disk:
+            if p.name in tracked or written_after_head(p):
+                continue
+            raise AssertionError(
+                f"{p.name} exists, predates HEAD, and is not git-tracked — "
+                f"commit the driver artifacts (round-end checklist)"
             )
     for hist in ("bench_canary_history.json", "bench_full.json"):
-        if (root / hist).exists():
+        hp = root / hist
+        if hp.exists() and not written_after_head(hp):
             assert hist in tracked, f"{hist} exists but is not git-tracked"
 
 
@@ -400,3 +418,100 @@ def test_rotation_planner_respects_head_gates():
     # the plan must be feasible: nothing already hard-stale at the
     # proposed round may be left out of its head
     assert p["infeasible_already_hard"] == []
+    # and it must not silently return a head the family gate rejects
+    # (r14 ADVICE #4: uncovered families are surfaced, not swallowed)
+    assert p["uncovered_families"] == []
+
+
+def test_jobs_canary_verdict_rules():
+    """The pure decision core of the jobs canary (r14 VERDICT ask #6 +
+    r14 ADVICE #3): (a) a LONE clean sample must not become the
+    baseline — the 3-of-5 agreement path keeps deciding until the
+    clean history holds ≥3 samples; (b) the bootstrap absolute floor
+    scales by ceil(32/cores) task waves so a smaller host can still
+    arm the relative check."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench import _jobs_canary_verdict
+
+    # (a) one clean sample + four stable flagged samples: the
+    # agreement median (5.0) must be the basis, not the lone 3.0
+    hist = (
+        [{"jobs_sec": 3.0}]
+        + [{"jobs_sec": 5.0 + i / 10, "scheduler_overhead_warning": True}
+           for i in range(4)]
+    )
+    warn, med, basis, _ = _jobs_canary_verdict(hist, 5.2, cores=32)
+    assert basis == "stable_flagged_history"
+    assert med is not None and 5.0 <= med <= 5.3
+    assert not warn
+    # with the lone 3.0 as baseline the same 5.2 s reading would have
+    # warned (5.2 > 1.2*3.0) — the agreement rule is what clears it
+    warn_lone, med_lone, basis_lone, _ = _jobs_canary_verdict(
+        [{"jobs_sec": 3.0}], 5.2, cores=32
+    )
+    assert basis_lone is None  # 1 clean sample < 3 → no clean basis
+
+    # ≥3 clean samples: clean history takes over
+    hist3 = [{"jobs_sec": s} for s in (4.8, 5.0, 5.1)]
+    warn, med, basis, _ = _jobs_canary_verdict(hist3, 5.0, cores=32)
+    assert basis == "clean_history" and med == 5.0 and not warn
+    warn, _, _, _ = _jobs_canary_verdict(hist3, 6.5, cores=32)
+    assert warn  # 6.5 > 1.2 * 5.0
+
+    # (b) empty history → bootstrap floor, scaled by task waves:
+    # 32 cores → 1 wave → 2 s floor; 8 cores → 4 waves → 8 s floor
+    warn32, _, basis32, extra32 = _jobs_canary_verdict([], 5.0, cores=32)
+    assert basis32 is None and warn32
+    assert extra32["canary_jobs_bootstrap_floor"] == 2.0
+    warn8, _, _, extra8 = _jobs_canary_verdict([], 5.0, cores=8)
+    assert extra8["canary_jobs_bootstrap_floor"] == 8.0
+    assert not warn8  # the same 5 s reading is legitimate on 8 cores
+
+
+def test_scale_probe_merge_keeps_rows_co_measured():
+    """merge_probe_queries (r13 ADVICE #1, unit-tested per r14 VERDICT
+    ask #6): when a session refreshes 'base' but not a variant's
+    big/ratio pair, the stale pair is dropped — a surviving ratio must
+    always equal big/base of the same row; fields the session did not
+    touch (instrumentation, the other variant measured in-session)
+    survive."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent
+                           / "tools"))
+    from scale_probe import merge_probe_queries
+
+    prior = {
+        "q": {
+            "base": 1.0, "cold_base": 2.0,
+            "big_repl": 3.0, "ratio_repl": 3.0, "cold_repl": 4.0,
+            "big_org": 2.0, "ratio_org": 2.0, "cold_org": 3.0,
+            "ratio_org_cold": 1.5, "anchors_base": 100,
+        },
+        "untouched": {"base": 9.0, "big_org": 18.0, "ratio_org": 2.0},
+    }
+    # org-only re-run: fresh base + org pair, no repl measurements
+    fresh = {"q": {"base": 1.5, "cold_base": 2.5,
+                   "big_org": 3.3, "ratio_org": 2.2, "cold_org": 3.5,
+                   "ratio_org_cold": 1.4}}
+    m = merge_probe_queries(prior, fresh)
+    row = m["q"]
+    # repl pair measured against the OLD base is gone entirely
+    for k in ("big_repl", "ratio_repl", "cold_repl"):
+        assert k not in row, k
+    # fresh org pair is internally co-measured with the fresh base
+    assert row["base"] == 1.5 and row["ratio_org"] == 2.2
+    assert abs(row["big_org"] / row["base"] - row["ratio_org"]) < 1e-9
+    # instrumentation fields the session did not touch survive
+    assert row["anchors_base"] == 100
+    # rows the session did not visit are untouched
+    assert m["untouched"] == prior["untouched"]
+    # instrumentation-only refresh (walls off → no 'base' in fresh):
+    # prior pairs survive, still co-measured among themselves
+    m2 = merge_probe_queries(prior, {"q": {"anchors_base": 120}})
+    assert m2["q"]["ratio_repl"] == 3.0 and m2["q"]["base"] == 1.0
+    assert m2["q"]["anchors_base"] == 120

@@ -220,10 +220,13 @@ PINNED_PLAN: dict[str, str] = {
                                "a borderline estimate flipped one to "
                                "broadcast at 30× and blew the build "
                                "(measured r14)",
+    # s02/s03 demoted to plans/baselines.py r15 — they no longer
+    # appear in queries(), but keep the rationale rows so auditing the
+    # baseline specs (scale_probe still runs them) stays documented
     "s02_ann_lsh": "merge-pinned corpus embedding side "
-                          "(wide-audit r12)",
+                          "(wide-audit r12; baseline, demoted r15)",
     "s03_embedding_neardup": "merge-pinned corpus embedding side "
-                       "(wide-audit r12)",
+                       "(wide-audit r12; baseline, demoted r15)",
     "s07_multiprobe_ann": "merge-pinned corpus embedding side "
                           "(wide-audit r12; local 2.8× cost accepted)",
     "s09_capped_lsh_neardup": "merge-pinned corpus embedding side "

@@ -88,11 +88,16 @@ def propose(slots: int = 50) -> dict:
     # family top-ups: oldest member of a missing gated family displaces
     # the youngest head entry whose letter-prefix family keeps >=2 reps
     # and whose removal keeps every gated family covered
+    # families the top-up loop could not cover are surfaced to the
+    # caller instead of silently returning a head the pytest family
+    # gate will reject (r14 ADVICE #4)
+    uncovered: list[str] = []
     for fam in HEAD_FAMILIES:
         if any(n.startswith(fam) for n in head):
             continue
         cand = next((n for n in rest if n.startswith(fam)), None)
         if cand is None:
+            uncovered.append(fam)
             continue
         victim = None
         for n in reversed(head):
@@ -105,6 +110,7 @@ def propose(slots: int = 50) -> dict:
                 victim = n
                 break
         if victim is None:
+            uncovered.append(fam)
             continue
         head[head.index(victim)] = cand
         rest.insert(0, victim)
@@ -137,6 +143,7 @@ def propose(slots: int = 50) -> dict:
         "infeasible_already_hard": already_hard,
         "hard_one_round_later": hard_after_next,
         "never_sampled_not_fitting": missed_never,
+        "uncovered_families": uncovered,
     }
 
 
@@ -153,6 +160,10 @@ def main() -> int:
         print("# WARNING: never-sampled entries that did not fit "
               "(should be slot 1 next round):")
         print("#   " + " ".join(p["never_sampled_not_fitting"]))
+    if p["uncovered_families"]:
+        print("# ERROR: gated families left uncovered — the pytest "
+              "head-coverage gate WILL reject this head as-is:")
+        print("#   " + " ".join(p["uncovered_families"]))
     if p["infeasible_already_hard"]:
         print(f"# ERROR: already hard-stale at r{nxt} but NOT in this head "
               f"— the pytest gate fails the moment CORRECTNESS_r{nxt} lands:")

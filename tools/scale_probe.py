@@ -241,6 +241,37 @@ def _best_of(fn, spark, d, reps=2, cold_out=None):
     return round(best, 3)
 
 
+def merge_probe_queries(prior: dict, fresh: dict) -> dict:
+    """FIELD-level merge of a probe session's per-query rows into the
+    existing record (round 13): a subset or org-only re-run must not
+    clobber the repl fields (or instrumentation fields) of a row it
+    only partially refreshed. New fields win; surviving prior fields
+    keep their own session's ratios (a ratio is always base/big from
+    ONE session — never recomputed across sessions, where machine
+    state differs).
+
+    Internal consistency (round-13 ADVICE #1, unit-tested r15): a
+    ratio is only meaningful against the 'base' measured in the SAME
+    session. If this run refreshed 'base' but not a variant's
+    big/ratio pair (e.g. an org-only re-run), the surviving prior pair
+    would sit next to a base it was never measured against — drop the
+    stale pair rather than store a ratio that no longer equals
+    big/base of its neighbours."""
+    merged = dict(prior)
+    for q, row in fresh.items():
+        base_row = dict(merged.get(q, {}))
+        if "base" in row:
+            for v in ("repl", "org"):
+                if f"big_{v}" not in row:
+                    base_row.pop(f"big_{v}", None)
+                    base_row.pop(f"ratio_{v}", None)
+                    base_row.pop(f"cold_{v}", None)
+                    base_row.pop(f"ratio_{v}_cold", None)
+        base_row.update(row)
+        merged[q] = base_row
+    return merged
+
+
 def main() -> int:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = set(sys.argv[2:])  # optional subset of probe names
@@ -263,8 +294,11 @@ def main() -> int:
     build_s = round(time.time() - t0, 1)
 
     from customer_review__etl_spark.plans import all_queries
+    from customer_review__etl_spark.plans.baselines import baseline_queries
 
-    qs = all_queries()
+    # demoted baselines (s02/s03) stay probe-able so their quadratic
+    # convictions remain measured numbers, not repo lore (r15)
+    qs = {**all_queries(), **baseline_queries()}
     out: dict = {
         "mult": mult,
         "base_sf_dir": src,
@@ -404,27 +438,9 @@ def main() -> int:
     if path.is_file():
         try:
             prior = json.loads(path.read_text())
-            merged = dict(prior.get("queries", {}))
-            for q, row in out["queries"].items():
-                base_row = dict(merged.get(q, {}))
-                # Internal consistency (round-13 ADVICE #1): a ratio is
-                # only meaningful against the 'base' measured in the
-                # SAME session. If this run refreshed 'base' but not a
-                # variant's big/ratio pair (e.g. an org-only re-run),
-                # the surviving prior pair would sit next to a base it
-                # was never measured against — drop the stale pair
-                # rather than store a ratio that no longer equals
-                # big/base of its neighbours.
-                if "base" in row:
-                    for v in ("repl", "org"):
-                        if f"big_{v}" not in row:
-                            base_row.pop(f"big_{v}", None)
-                            base_row.pop(f"ratio_{v}", None)
-                            base_row.pop(f"cold_{v}", None)
-                            base_row.pop(f"ratio_{v}_cold", None)
-                base_row.update(row)
-                merged[q] = base_row
-            out["queries"] = merged
+            out["queries"] = merge_probe_queries(
+                prior.get("queries", {}), out["queries"]
+            )
         except json.JSONDecodeError:
             pass
     path.write_text(json.dumps(out, indent=1) + "\n")
