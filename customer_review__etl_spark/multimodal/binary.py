@@ -82,19 +82,134 @@ def _decode_ppm(blob: bytes) -> tuple[int, int, int, float]:
     return w, h, 3, lum_num / (1000.0 * 255.0 * w * h)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type: gray, RGB, palette, gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> bytearray:
+    """Invert the per-scanline PNG filters (spec §9: None/Sub/Up/
+    Average/Paeth) over the zlib-inflated stream. Pure integer
+    byte arithmetic — bit-exact by construction."""
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG payload size mismatch")
+    out = bytearray(stride * h)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        o = y * stride
+        if f == 0:  # None
+            out[o : o + stride] = line
+        elif f == 1:  # Sub
+            for x in range(stride):
+                a = out[o + x - ch] if x >= ch else 0
+                out[o + x] = (line[x] + a) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                b = out[o - stride + x] if y else 0
+                out[o + x] = (line[x] + b) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = out[o + x - ch] if x >= ch else 0
+                b = out[o - stride + x] if y else 0
+                out[o + x] = (line[x] + (a + b) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = out[o + x - ch] if x >= ch else 0
+                b = out[o - stride + x] if y else 0
+                c = out[o - stride + x - ch] if (y and x >= ch) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                out[o + x] = (line[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+    return out
+
+
+def _decode_png(blob: bytes) -> tuple[int, int, int, float]:
+    """Native PNG decode for the non-interlaced 8-bit subset — pure
+    stdlib (`zlib` inflate + the filter inversion above), no Pillow
+    (round-15, r14 VERDICT optional ask #7). Handles color types
+    0/2/3/4/6 (gray, RGB, palette via PLTE, gray+alpha, RGBA);
+    16-bit and Adam7-interlaced images stay behind the honest
+    NotImplementedError guard. Luminance is the same integer-exact
+    Rec.601 sum as the PPM path (alpha ignored; palette indices are
+    resolved to their PLTE RGB first); gray uses the gray byte
+    directly."""
+    import zlib
+
+    pos = 8
+    w = h = None
+    bit_depth = color_type = interlace = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(blob):
+        ln = int.from_bytes(blob[pos : pos + 4], "big")
+        typ = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type, _comp, _filt, interlace = data[8:13]
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    if bit_depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit non-interlaced PNG decodes natively"
+        )
+    ch = _PNG_CHANNELS.get(color_type)
+    if ch is None:
+        raise ValueError(f"bad PNG color type {color_type}")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE chunk")
+    px = _png_unfilter(zlib.decompress(bytes(idat)), w, h, ch)
+    if color_type == 3:
+        lum_num = sum(
+            299 * plte[3 * i] + 587 * plte[3 * i + 1] + 114 * plte[3 * i + 2]
+            for i in px
+        )
+        n_ch = 3  # the decoded pixels are RGB
+    elif ch == 1:
+        lum_num, n_ch = 1000 * sum(px), 1
+    elif ch == 2:  # gray+alpha: luminance is the gray channel
+        lum_num, n_ch = 1000 * sum(px[0::2]), 2
+    else:  # RGB / RGBA
+        lum_num = sum(
+            299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
+            for i in range(0, len(px), ch)
+        )
+        n_ch = ch
+    return w, h, n_ch, lum_num / (1000.0 * 255.0 * w * h)
+
+
 def decode_image(blob: bytes) -> tuple[int, int, int, float]:
     """REAL image decode. Uncompressed binary PPM (P6) decodes with
-    the dependency-free parser above — a real bytes→pixels path that
-    runs in this environment. Compressed formats (PNG/JPEG) route to
-    Pillow when installed; the guard below remains for deployments
-    without it."""
+    the dependency-free parser above, and non-interlaced 8-bit PNG
+    decodes natively via stdlib zlib (round 15) — real bytes→pixels
+    paths that run in this environment. JPEG (and the 16-bit /
+    Adam7-interlaced PNG corners) route to Pillow when installed;
+    the guard below remains for deployments without it."""
     if blob is None:
         return 0, 0, 0, 0.0
     if blob[:2] == b"P6":
         return _decode_ppm(blob)
+    if blob[:8] == _PNG_SIG:
+        return _decode_png(blob)
     raise NotImplementedError(
-        "compressed-format decoding requires Pillow; PPM(P6) decodes "
-        "natively, fake_decode covers arbitrary bytes in tests"
+        "JPEG decoding requires Pillow; PPM(P6) and 8-bit "
+        "non-interlaced PNG decode natively, fake_decode covers "
+        "arbitrary bytes in tests"
     )
 
 

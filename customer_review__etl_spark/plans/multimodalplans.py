@@ -8,9 +8,11 @@ Arrow round-trip, not just row counts. (A REAL decoder would drop mm02
 back to rows-only — the oracle checks the stub's contract, which is
 exactly the Spark-side plumbing under test. A real bytes→pixels
 decoder DOES exist and is tested through the same mapInPandas path:
-binary.decode_image parses uncompressed PPM(P6) natively, no
-libraries — tests/test_multimodal.py; only compressed formats still
-need Pillow.)"""
+binary.decode_image parses uncompressed PPM(P6) natively and — since
+round 15 — 8-bit non-interlaced PNG via stdlib zlib (all five scanline
+filters, color types 0/2/3/4/6), no libraries —
+tests/test_multimodal.py; only JPEG and the 16-bit/interlaced PNG
+corners still need Pillow.)"""
 
 from __future__ import annotations
 
