@@ -254,6 +254,17 @@ def _time_queries(
         detail[kind] = round(time.time() - t, 3)
 
     warmers = shared_intermediates()
+    # Measurement valve (r15, pl05-drift A/B): exclude named kinds
+    # from the up-front warm set so their landing cost falls back on
+    # the first consumer's first rep — reverts a shared-scratch
+    # arrangement for one run without touching the plans.
+    skip_kinds = {
+        k for k in os.environ.get(
+            "SPARK_GRAFT_SKIP_WARM_KINDS", ""
+        ).split(",") if k
+    }
+    if skip_kinds:
+        warmers = {k: f for k, f in warmers.items() if k not in skip_kinds}
     # longest-first submission: the wall is bounded by the slowest
     # build, so it should get task slots from second zero ("shingles"
     # starts immediately too — "d02_pairs" blocks on its lock)
@@ -273,9 +284,15 @@ def _time_queries(
     build = round(time.time() - t0, 3)
     timings["scratch_build"] = build
     all_reps["scratch_build"] = [build]
+    # Measurement valve (r15): SPARK_GRAFT_ONLY=q1,q2 restricts the
+    # timed set for targeted A/B reps (the warm set above still builds
+    # in full unless SPARK_GRAFT_SKIP_WARM_KINDS also narrows it).
+    only = {
+        q for q in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if q
+    }
     for name in HEADLINE:
         fn = qs.get(name)
-        if fn is None:
+        if fn is None or (only and name not in only):
             continue
         if name == "io05_bucketed_join":
             # The one-time bucketed CTAS is io05's SETUP, not its query:

@@ -47,6 +47,18 @@ def main() -> int:
         spark.range(100000).groupBy(F.pmod("id", F.lit(7)).alias("g")).count()
     )
 
+    # Environment canaries (r14 VERDICT ask #3: the full-registry
+    # sweep must carry the same contamination confession as the
+    # headline bench — an un-stamped sweep can't be trusted across
+    # rounds). Reuses bench.py's probe + history machinery verbatim.
+    out_canary: dict = {}
+    try:
+        from bench import _canary_check
+
+        _canary_check(spark, out_canary)
+    except Exception as e:  # canary failure must not kill the sweep
+        out_canary["canary_error"] = f"{type(e).__name__}: {e}"[:200]
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     specs = all_queries()
@@ -73,6 +85,7 @@ def main() -> int:
         "sf": sf_dir,
         "reps": 1,
         "n_queries": len(timings),
+        **out_canary,
         "queries": timings,
         "errors": errors,
     }
