@@ -281,6 +281,17 @@ def _time_queries(
     with ThreadPoolExecutor(max_workers=len(order)) as pool:
         list(pool.map(_build_kind, [(k, warmers[k]) for k in order]))
     spark.catalog.clearCache()
+    # The warm builds (notably the d06 CC fixpoint's per-round local
+    # checkpoints and the pl06 chain's shuffles) leave dead blocks and
+    # shuffle files that Spark's ContextCleaner only reclaims after a
+    # DRIVER GC — measured r15: with the two pl06 landings in the warm
+    # set, pl04/pl05's steady-state reps read +2.9 s/+0.8 s until the
+    # residue was collected (the r14 "pl05 +1.0 s drift"). One explicit
+    # GC after the warm phase hands the reps a clean block manager.
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
     build = round(time.time() - t0, 3)
     timings["scratch_build"] = build
     all_reps["scratch_build"] = [build]

@@ -726,6 +726,52 @@ def connected_components(edges: DataFrame) -> DataFrame:
 D07_CONT_MIN = 0.8  # keep pairs where |A∩B| / min(|A|,|B|) ≥ this
 
 
+def _d07_candidates(arrays: DataFrame) -> DataFrame:
+    """d07's blocked candidate pair set: (lang, rare gram) groups —
+    NO length bucket, containment must cross them — expanded to
+    C(n,2) ordered pairs JVM-side, capped at NGRAM_DF_CAP docs per
+    gram. Split out (r15) so the scale probe can count candidate
+    volumes for the merge-pinned verify shape directly."""
+    grams = arrays.select("doc_id", "lang", F.explode("grams").alias("g"))
+    groups = grams.groupBy("lang", "g").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
+    sized = groups.filter(
+        (F.size("ds") >= 2) & (F.size("ds") <= NGRAM_DF_CAP)
+    )
+    return (
+        sized.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(ds) - 2), "
+                    "i -> transform(sequence(i + 1, size(ds) - 1), "
+                    "j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
+def d04_candidates_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe instrumentation (r15, r14 VERDICT ask #8): d04's banded
+    candidate pair set BEFORE verify — the row count that must stay
+    ~linear in the corpus for the merge-pinned gram-array verify join
+    to stay shuffle-bounded."""
+    arrays = _d04_gram_arrays(spark, sf_dir)
+    grams = arrays.select(
+        "doc_id", "lang", "lbucket", F.explode("grams").alias("g")
+    )
+    return _d04_candidates(grams, NGRAM_DF_CAP)
+
+
+def d07_candidates_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe instrumentation (r15): d07's blocked candidate pair set
+    BEFORE verify (see d04_candidates_df)."""
+    return _d07_candidates(_d04_gram_arrays(spark, sf_dir))
+
+
 def d07_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric CONTAINMENT dedup — |A∩B| / min(|A|, |B|): catches a
     short document quoted inside a long one, which symmetric Jaccard
@@ -750,26 +796,8 @@ def d07_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     `_pd_barrier` keeps Catalyst from double-evaluating the
     containment filter inside the join."""
     arrays = _d04_gram_arrays(spark, sf_dir).cache()
-    grams = arrays.select("doc_id", "lang", F.explode("grams").alias("g"))
-    groups = grams.groupBy("lang", "g").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("ds")
-    )
-    sized = groups.filter(
-        (F.size("ds") >= 2) & (F.size("ds") <= NGRAM_DF_CAP)
-    )
-    cand = (
-        sized.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(0, size(ds) - 2), "
-                    "i -> transform(sequence(i + 1, size(ds) - 1), "
-                    "j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-        .repartition(shuffle_width(spark), "doc_a")
+    cand = _d07_candidates(arrays).repartition(
+        shuffle_width(spark), "doc_a"
     )
     ga = arrays.select(
         F.col("doc_id").alias("doc_a"),

@@ -69,13 +69,16 @@ PROBE = [
     "t19_cdc_chunks",
     "s02_ann_lsh",
     "ml12_hashed_features",
-    "d04_ngram_jaccard",
 ]
 # Pair-emitting / graph set: probed on BOTH corpora. Replicated
 # ratios are upper bounds (cross-copy twins / densified graphs do
 # genuinely more semantic work); organic ratios are the linear claim.
 PROBE_PAIR = [
     "d02_minhash_near_dup",
+    "d04_ngram_jaccard",   # moved from PROBE r15: it IS pair-emitting,
+                           # and the r14 merge-pin evidence wants its
+                           # ORGANIC wall + candidate volumes, not just
+                           # the cap-self-limiting replicated bound
     "d07_containment_pairs",
     "dc03_verbatim_decontaminate",
     "gr02_triangle_count",
@@ -364,6 +367,23 @@ def main() -> int:
                 depth = scan(spark, d)
                 row[f"prescan_sec_{key}"] = round(time.time() - t0, 3)
                 row[f"depth_{key}"] = depth
+        if name in ("d04_ngram_jaccard", "d07_containment_pairs"):
+            # r14 VERDICT ask #8: the d04/d07 verify joins carry the
+            # same merge pin the d08 blowup forced — record candidate
+            # VOLUMES so the pin's premise (candidates ~linear in the
+            # corpus, bounded by the DF cap) is counted, not argued.
+            from customer_review__etl_spark.plans import dedupplans
+
+            cand_fn = (
+                dedupplans.d04_candidates_df
+                if name.startswith("d04")
+                else dedupplans.d07_candidates_df
+            )
+            for key, d in (("base", src), ("repl", dst_repl),
+                           ("org", dst_org)):
+                if d is None:
+                    continue
+                row[f"cands_{key}"] = cand_fn(spark, d).count()
         if name == "d08_repeated_substrings":
             # the candidate stage's input size: anchors must grow ~N
             # even when the TRUE pair output grows quadratically
