@@ -281,18 +281,21 @@ def _time_queries(
     with ThreadPoolExecutor(max_workers=len(order)) as pool:
         list(pool.map(_build_kind, [(k, warmers[k]) for k in order]))
     spark.catalog.clearCache()
+    build = round(time.time() - t0, 3)
     # The warm builds (notably the d06 CC fixpoint's per-round local
     # checkpoints and the pl06 chain's shuffles) leave dead blocks and
     # shuffle files that Spark's ContextCleaner only reclaims after a
     # DRIVER GC — measured r15: with the two pl06 landings in the warm
     # set, pl04/pl05's steady-state reps read +2.9 s/+0.8 s until the
     # residue was collected (the r14 "pl05 +1.0 s drift"). One explicit
-    # GC after the warm phase hands the reps a clean block manager.
+    # GC after the warm phase hands the reps a clean block manager;
+    # its pause is timed as its own row, not charged to scratch_build.
+    t0 = time.time()
     try:
         spark.sparkContext._jvm.System.gc()
     except Exception:
         pass
-    build = round(time.time() - t0, 3)
+    detail["post_warm_gc"] = round(time.time() - t0, 3)
     timings["scratch_build"] = build
     all_reps["scratch_build"] = [build]
     # Measurement valve (r15): SPARK_GRAFT_ONLY=q1,q2 restricts the
@@ -592,7 +595,13 @@ def main() -> int:
         }
 
     # Full detail survives in-repo regardless of stdout truncation.
-    detail_path = Path(__file__).resolve().parent / "bench_full.json"
+    # Subset A/B runs (SPARK_GRAFT_ONLY) write their own file so they
+    # can never clobber the committed full-headline record (r15).
+    subset_run = bool(os.environ.get("SPARK_GRAFT_ONLY", "").strip(","))
+    detail_name = (
+        "bench_full_subset.json" if subset_run else "bench_full.json"
+    )
+    detail_path = Path(__file__).resolve().parent / detail_name
     detail_path.write_text(json.dumps(out, indent=1) + "\n")
 
     compact = {
