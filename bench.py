@@ -79,6 +79,9 @@ HEADLINE = [
     "d02_minhash_near_dup",
     "d03_simhash_near_dup",
     "d04_ngram_jaccard",
+    # round-15 addition: occupancy-adaptive blocking-key length (the
+    # engineered answer to the measured 3-gram-space saturation)
+    "d10_adaptive_block_jaccard",
     "d05_neardup_clusters",
     "d06_unified_clusters",
     "dc02_neardup_decontaminate",

@@ -273,7 +273,11 @@ PRIORITY: tuple[str, ...] = (
     #   planner prints them and the r16 head MUST open with them):
     #   io13_partition_pruned_read, gr02_triangle_count,
     #   pl01_training_pipeline, pl02_incremental_refresh,
-    #   pl04_data_recipe.
+    #   pl04_data_recipe. ALSO pinned for r16:
+    #   d10_adaptive_block_jaccard (new round-15 operator — d04 with
+    #   occupancy-adaptive blocking-key length; oracle-backed, added
+    #   after this head was pinned, never driver-sampled — the
+    #   planner's never-sampled-first rule slots it automatically).
     "a01_group_count",
     "j01_broadcast_theme_label",
     "w01_row_number_topn",

@@ -647,6 +647,158 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+D10_L2_LEN = 6  # level-2 blocking-gram length (2× the level-1 3-gram)
+
+
+def d10_adaptive_block_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d04 with OCCUPANCY-ADAPTIVE blocking-key LENGTH — the s09 depth
+    idea applied to gram blocking, built as the engineered answer to a
+    measured failure mode (round 15): the 3-gram key space (~36³)
+    SATURATES as a corpus grows — the 100× organic probe counted d07's
+    candidates falling BELOW base and 30× replication at sf0.1 pushing
+    every gram past the DF cap (candidates = 0), i.e. past saturation
+    a fixed-length blocking key silently loses ALL recall while the
+    wall stays flat.
+
+    Rule (mirrored exactly in the oracle): level 1 is d04 verbatim —
+    (lang, lbucket, 3-gram) groups with df ∈ [2, cap] emit candidate
+    pairs. A doc is COVERED iff ≥1 of its grams sits in such an
+    eligible group; every other doc lost its entire candidate
+    potential to the cap (all shared grams crowded) or has none
+    (all grams unique). UNCOVERED docs are re-keyed on 6-grams —
+    doubling the key length squares the key space, so what was too
+    common to block on becomes blockable — and level-2 groups
+    (lang, lbucket, 6-gram) with df ∈ [2, cap] over the uncovered
+    stream emit recovery candidates. Verification is d04's exact
+    3-gram-set Jaccard on the union of both candidate sets, so the
+    OUTPUT contract is d04's (pairs at jaccard ≥ 0.4); only candidate
+    completeness changes.
+
+    Recall contract: level 2 recovers uncovered↔uncovered pairs; an
+    uncovered↔covered pair stays missed (the covered side had its
+    chance at level 1) — documented, like d04's cap trade. Further
+    decades stack the same move (12-gram level 3) exactly as s09
+    stacks refinement levels.
+
+    Scale: the level-2 stream is built ONLY from uncovered docs (a
+    corpus far from saturation pays one cheap anti-join and nothing
+    else: at sf0.01/sf0.1 the uncovered set is a few short docs), and
+    its per-group fan-out is capped by the same C(cap, 2) bound as
+    level 1. Level-2 keys are the raw 6-char substrings (DuckDB-exact;
+    no 126-bit pack exists for 6 codepoints and hashing would make
+    candidates engine-dependent); the stream they key is
+    |uncovered| × doc-length, not corpus-sized. The verify join reads
+    the same merge-pinned gram-array sides as d04 (r14 d08 catch)."""
+    arrays = _d04_gram_arrays(spark, sf_dir).cache()
+    g1 = arrays.select(
+        "doc_id", "lang", "lbucket", F.explode("grams").alias("g")
+    )
+    groups1 = g1.groupBy("lang", "lbucket", "g").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
+    elig1 = groups1.filter(
+        (F.size("ds") >= 2) & (F.size("ds") <= NGRAM_DF_CAP)
+    ).cache()
+    cand1 = elig1.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(ds) - 2), "
+                "i -> transform(sequence(i + 1, size(ds) - 1), "
+                "j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    covered = elig1.select(F.explode("ds").alias("doc_id")).distinct()
+    L = D10_L2_LEN
+    uncovered = (
+        _docs_par(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            T.normalize_text(F.col("text")).alias("norm"),
+        )
+        .withColumn("lbucket", F.floor(F.length("norm") / 100))
+        .filter(F.length("norm") >= L)
+        .join(covered, "doc_id", "left_anti")
+    )
+    g2 = uncovered.select(
+        "doc_id",
+        "lang",
+        "lbucket",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length(norm) - {L - 1}), "
+                    f"i -> substring(norm, i, {L}))"
+                )
+            )
+        ).alias("g"),
+    )
+    groups2 = g2.groupBy("lang", "lbucket", "g").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
+    cand2 = (
+        groups2.filter(
+            (F.size("ds") >= 2) & (F.size("ds") <= NGRAM_DF_CAP)
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(ds) - 2), "
+                    "i -> transform(sequence(i + 1, size(ds) - 1), "
+                    "j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+    )
+    cand = (
+        cand1.union(cand2)
+        .distinct()
+        .repartition(shuffle_width(spark), "doc_a")
+    )
+    ga = arrays.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("grams").alias("gs_a"),
+        F.col("n").alias("n_a"),
+    )
+    gb = arrays.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("grams").alias("gs_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = (
+        cand.join(ga.hint("merge"), "doc_a")
+        .join(gb.hint("merge"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("gs_a", "gs_b")).cast("long").alias(
+                "inter"
+            ),
+            "n_a",
+            "n_b",
+            F.monotonically_increasing_id().alias("_pd_barrier"),
+        )
+    )
+    return (
+        inter.select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+            "_pd_barrier",
+        )
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_MIN)
+        .drop("_pd_barrier")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # --------------------------------------------------------------------------
 # d05: near-dup cluster collapse (connected components + keep-first)
 # --------------------------------------------------------------------------
@@ -1121,6 +1273,73 @@ WHERE i.inter::DOUBLE / (na.n + nb.n - i.inter)::DOUBLE >= {NGRAM_JACCARD_MIN}
 """
 
 _D04_SQL = _D04_BODY + "ORDER BY doc_a, doc_b\n"
+
+# d10 oracle: d04's level-1 candidates + the 6-gram recovery pass over
+# docs with no [2, cap]-df gram, same exact-Jaccard verify (string
+# grams; the Spark side's integer pack is injective so DF groups and
+# intersection counts are identical)
+_D10_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, {sql_normalize('text')} AS norm FROM documents
+),
+g AS (
+  SELECT doc_id, lang, CAST(floor(length(norm) / 100) AS BIGINT) AS lbucket,
+         _u.g
+  FROM (SELECT doc_id, lang, norm,
+               list_distinct(list_transform(range(1, length(norm) - 1),
+                 i -> substr(norm, i, 3))) AS grams
+        FROM base WHERE length(norm) >= 3),
+       UNNEST(grams) AS _u(g)
+),
+gdf AS (SELECT lang, lbucket, g, count(*) AS df FROM g GROUP BY 1, 2, 3),
+elig AS (SELECT g.doc_id, g.lang, g.lbucket, g.g
+         FROM g JOIN gdf ON g.lang = gdf.lang AND g.lbucket = gdf.lbucket
+                        AND g.g = gdf.g
+         WHERE gdf.df >= 2 AND gdf.df <= {NGRAM_DF_CAP}),
+cand1 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM elig a JOIN elig b
+            ON a.g = b.g AND a.lang = b.lang AND a.lbucket = b.lbucket
+           AND a.doc_id < b.doc_id),
+covered AS (SELECT DISTINCT doc_id FROM elig),
+unc AS (SELECT doc_id, lang,
+               CAST(floor(length(norm) / 100) AS BIGINT) AS lbucket, norm
+        FROM base
+        WHERE length(norm) >= {D10_L2_LEN}
+          AND doc_id NOT IN (SELECT doc_id FROM covered)),
+g2 AS (
+  SELECT doc_id, lang, lbucket, _u2.g
+  FROM (SELECT doc_id, lang, lbucket,
+               list_distinct(list_transform(
+                 range(1, length(norm) - {D10_L2_LEN - 2}),
+                 i -> substr(norm, i, {D10_L2_LEN}))) AS grams
+        FROM unc),
+       UNNEST(grams) AS _u2(g)
+),
+g2df AS (SELECT lang, lbucket, g, count(*) AS df FROM g2 GROUP BY 1, 2, 3),
+cand2 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM g2 a JOIN g2 b
+            ON a.g = b.g AND a.lang = b.lang AND a.lbucket = b.lbucket
+           AND a.doc_id < b.doc_id
+          JOIN g2df d ON d.lang = a.lang AND d.lbucket = a.lbucket
+                     AND d.g = a.g
+          WHERE d.df <= {NGRAM_DF_CAP}),
+cand AS (SELECT doc_a, doc_b FROM cand1
+         UNION
+         SELECT doc_a, doc_b FROM cand2),
+n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+          FROM cand c
+          JOIN g ga ON ga.doc_id = c.doc_a
+          JOIN g gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+          GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       i.inter::DOUBLE / (na.n + nb.n - i.inter)::DOUBLE AS jaccard
+FROM inter i
+JOIN n na ON na.doc_id = i.doc_a
+JOIN n nb ON nb.doc_id = i.doc_b
+WHERE i.inter::DOUBLE / (na.n + nb.n - i.inter)::DOUBLE >= {NGRAM_JACCARD_MIN}
+ORDER BY doc_a, doc_b
+"""
 
 # d06 oracle: the same unrolled min-label CC as d05, but over the
 # UNION of all three near-dup pair sets (each signal's full pipeline as
@@ -1733,6 +1952,9 @@ SPECS = [
     QuerySpec("d02_minhash_near_dup", d02_minhash_near_dup, _D02_SQL),
     QuerySpec("d03_simhash_near_dup", d03_simhash_near_dup, _D03_SQL),
     QuerySpec("d04_ngram_jaccard", d04_ngram_jaccard, _D04_SQL),
+    QuerySpec(
+        "d10_adaptive_block_jaccard", d10_adaptive_block_jaccard, _D10_SQL
+    ),
     QuerySpec("d07_containment_pairs", d07_containment_pairs, _D07_SQL),
     QuerySpec("d08_repeated_substrings", d08_repeated_substrings, _D08_SQL),
     QuerySpec("d09_substring_excision", d09_substring_excision, _D09_SQL),

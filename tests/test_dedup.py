@@ -324,3 +324,88 @@ def test_dc01_flags_planted_contamination(spark, tmp_path):
     assert rows[1]["contaminated"] and rows[1]["n_overlap"] == 1
     assert not rows[2]["contaminated"] and rows[2]["n_overlap"] == 0
     assert rows[3]["n_grams"] == 0 and not rows[3]["contaminated"]
+
+
+def _de_bruijn_k4_n3() -> str:
+    """Linear De Bruijn sequence over {a,b,c,d}, order 3 (length 66):
+    contains every possible 3-gram of the 4-letter alphabet."""
+    k, n, alphabet = 4, 3, "abcd"
+    a = [0] * k * n
+    seq = []
+
+    def db(t, p):
+        if t > n:
+            if n % p == 0:
+                seq.extend(a[1 : p + 1])
+        else:
+            a[t] = a[t - p]
+            db(t + 1, p)
+            for j in range(a[t - p] + 1, k):
+                a[t] = j
+                db(t + 1, t)
+
+    db(1, 1)
+    cyc = "".join(alphabet[i] for i in seq)
+    return cyc + cyc[: n - 1]
+
+
+def test_d10_recovers_pairs_past_gram_saturation(spark, tmp_path):
+    """The r15 probe measured d04's recall collapsing once every
+    3-gram is commoner than the DF cap (cands_repl = 0 at 30x).
+    d10's level-2 6-gram re-keying is the engineered answer: on a
+    corpus where EVERY 3-gram is crowded by construction (every doc
+    embeds a full order-3 De Bruijn prefix; 100 docs > cap 64), d04
+    finds NOTHING while d10 recovers the planted near-dup pair via
+    rare 6-grams — and the boilerplate prefix's own 6-grams stay
+    crowded, so the recovery does not explode on shared boilerplate."""
+    prefix = _de_bruijn_k4_n3()
+    assert len(prefix) == 66
+    assert len({prefix[i : i + 3] for i in range(64)}) == 64
+
+    def tail(i):
+        return "".join(
+            "abcd"[(i * 7 + j * 13 + i * j) % 4] for j in range(54)
+        )
+
+    rows = []
+    for i in range(100):
+        t = tail(0) if i == 1 else tail(i)
+        if i == 1:
+            t = t[:-1] + ("a" if t[-1] != "a" else "b")  # near, not exact
+        body = prefix + t
+        rows.append((i, body, "en", "s", len(body)))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING,"
+        " n_chars BIGINT",
+    )
+    d = str(tmp_path / "saturated")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    # level 1 alone (d04): every 3-gram has df = 100 > cap -> zero
+    # candidates, zero output — the measured saturation failure mode
+    assert D.d04_ngram_jaccard(spark, d).count() == 0
+
+    out = D.d10_adaptive_block_jaccard(spark, d).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (0, 1) in pairs, "planted near-dup must be recovered"
+    # every doc's 3-gram SET is the full De Bruijn universe, so any
+    # verified pair reads jaccard exactly 1.0
+    assert all(abs(r["jaccard"] - 1.0) < 1e-12 for r in out)
+
+    # differential: the DuckDB oracle agrees on the ACTIVE level-2
+    # path, not just on corpora where it is dormant
+    import duckdb
+
+    from customer_review__etl_spark.plans import all_queries
+
+    spec = all_queries()["d10_adaptive_block_jaccard"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    orows = con.execute(spec.oracle).fetchall()
+    assert sorted((r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+                  for r in out) == sorted(
+        (a, b, round(j, 9)) for a, b, j in orows
+    )

@@ -87,6 +87,7 @@ DOCS_ONLY_QUERIES = [
     "t08_bpe_token_count", "t09_pii_scrub", "t10_repetition_score",
     "d01_exact_dedup", "d02_minhash_near_dup", "d03_simhash_near_dup",
     "d04_ngram_jaccard", "d05_neardup_clusters", "d06_unified_clusters",
+    "d10_adaptive_block_jaccard",
     "dc01_decontaminate", "dc02_neardup_decontaminate",
     "t11_chunk_dedup", "p14_weighted_mix",
     "u02_sequence_pack", "t12_vocab_coverage", "t13_unigram_surprisal",

@@ -216,6 +216,8 @@ PINNED_PLAN: dict[str, str] = {
                          "r14 d08 catch)",
     "d07_containment_pairs": "merge-pinned gram-array verify sides "
                              "(same class; r14)",
+    "d10_adaptive_block_jaccard": "merge-pinned gram-array verify sides "
+                                  "(d04's verify shape verbatim; r15)",
     "d08_repeated_substrings": "merge-pinned body-gram verify sides: "
                                "a borderline estimate flipped one to "
                                "broadcast at 30× and blew the build "
@@ -245,7 +247,18 @@ PINNED_PLAN: dict[str, str] = {
     "pl05_data_recipe_excised": "merge-pinned stage-1-4 sides "
                                 "(shared _pl04_mixed; r13 catch); "
                                 "r14 A/B: pinned 9.0s vs unpinned "
-                                "9.3s — pin cost ~0 at sf0.1",
+                                "9.3s — pin cost ~0 at sf0.1; "
+                                "r15 A/B (the r14 +1.0s clean drift, "
+                                "VERDICT ask #5): subset bench ×3 reps "
+                                "canary-green — WITH the r14 shared-"
+                                "scratch warm set pl05 9.21s/pl04 "
+                                "10.38s, with d06_survivors+"
+                                "pl06_packed_in excluded (r13 shape) "
+                                "8.38s/7.44s. Cause: warm-phase JVM "
+                                "residue (CC-fixpoint checkpoints + "
+                                "chain shuffles pending the async "
+                                "ContextCleaner), not pl05's plan; "
+                                "bench now GCs once post-warm",
     "pl06_data_recipe_unified": "merge-pinned stage-1-4 sides "
                                 "(shared _pl04_mixed; r13 catch); "
                                 "r14 A/B: pinned 9.0s vs unpinned "

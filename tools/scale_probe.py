@@ -80,6 +80,9 @@ PROBE_PAIR = [
                            # ORGANIC wall + candidate volumes, not just
                            # the cap-self-limiting replicated bound
     "d07_containment_pairs",
+    "d10_adaptive_block_jaccard",  # r15: d04 + the 6-gram recovery pass —
+                                   # its saturation behavior IS the scale
+                                   # story, so probe both decades
     "dc03_verbatim_decontaminate",
     "gr02_triangle_count",
     "gr03_khop_reachability",
