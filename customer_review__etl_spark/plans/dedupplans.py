@@ -650,6 +650,96 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 D10_L2_LEN = 6  # level-2 blocking-gram length (2× the level-1 3-gram)
 
 
+def _d10_level1(spark, sf_dir, arrays):
+    """d10's level-1 stage: (cand1, uncovered) — d04's candidate pairs
+    plus the docs with NO [2, cap]-df gram (their whole candidate
+    potential was lost to the cap), re-derivable for the probe's
+    instrumentation counts as well as the plan itself."""
+    g1 = arrays.select(
+        "doc_id", "lang", "lbucket", F.explode("grams").alias("g")
+    )
+    groups1 = g1.groupBy("lang", "lbucket", "g").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
+    elig1 = groups1.filter(
+        (F.size("ds") >= 2) & (F.size("ds") <= NGRAM_DF_CAP)
+    ).cache()
+    cand1 = elig1.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(ds) - 2), "
+                "i -> transform(sequence(i + 1, size(ds) - 1), "
+                "j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    covered = elig1.select(F.explode("ds").alias("doc_id")).distinct()
+    L = D10_L2_LEN
+    uncovered = (
+        _docs_par(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            T.normalize_text(F.col("text")).alias("norm"),
+        )
+        .withColumn("lbucket", F.floor(F.length("norm") / 100))
+        .filter(F.length("norm") >= L)
+        .join(covered, "doc_id", "left_anti")
+    )
+    return cand1, uncovered
+
+
+def _d10_cand2(uncovered):
+    """d10's level-2 recovery candidates: (lang, lbucket, 6-gram)
+    groups over the uncovered stream under the same DF cap."""
+    L = D10_L2_LEN
+    g2 = uncovered.select(
+        "doc_id",
+        "lang",
+        "lbucket",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length(norm) - {L - 1}), "
+                    f"i -> substring(norm, i, {L}))"
+                )
+            )
+        ).alias("g"),
+    )
+    groups2 = g2.groupBy("lang", "lbucket", "g").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
+    return (
+        groups2.filter(
+            (F.size("ds") >= 2) & (F.size("ds") <= NGRAM_DF_CAP)
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(ds) - 2), "
+                    "i -> transform(sequence(i + 1, size(ds) - 1), "
+                    "j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+    )
+
+
+def d10_level2_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """Probe instrumentation (r15): how much of the corpus fell
+    through to d10's recovery pass, and how many candidates it emitted
+    — the counts behind d10's wall ratio (the level-2 stream grows
+    with SATURATION, not with corpus size per se)."""
+    arrays = _d04_gram_arrays(spark, sf_dir).cache()
+    cand1, uncovered = _d10_level1(spark, sf_dir, arrays)
+    return {
+        "uncovered_docs": uncovered.count(),
+        "cands_l1": cand1.distinct().count(),
+        "cands_l2": _d10_cand2(uncovered).distinct().count(),
+    }
+
+
 def d10_adaptive_block_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d04 with OCCUPANCY-ADAPTIVE blocking-key LENGTH — the s09 depth
     idea applied to gram blocking, built as the engineered answer to a
@@ -690,70 +780,9 @@ def d10_adaptive_block_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     |uncovered| × doc-length, not corpus-sized. The verify join reads
     the same merge-pinned gram-array sides as d04 (r14 d08 catch)."""
     arrays = _d04_gram_arrays(spark, sf_dir).cache()
-    g1 = arrays.select(
-        "doc_id", "lang", "lbucket", F.explode("grams").alias("g")
-    )
-    groups1 = g1.groupBy("lang", "lbucket", "g").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("ds")
-    )
-    elig1 = groups1.filter(
-        (F.size("ds") >= 2) & (F.size("ds") <= NGRAM_DF_CAP)
-    ).cache()
-    cand1 = elig1.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(0, size(ds) - 2), "
-                "i -> transform(sequence(i + 1, size(ds) - 1), "
-                "j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))"
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
-    covered = elig1.select(F.explode("ds").alias("doc_id")).distinct()
-    L = D10_L2_LEN
-    uncovered = (
-        _docs_par(spark, sf_dir)
-        .select(
-            "doc_id",
-            "lang",
-            T.normalize_text(F.col("text")).alias("norm"),
-        )
-        .withColumn("lbucket", F.floor(F.length("norm") / 100))
-        .filter(F.length("norm") >= L)
-        .join(covered, "doc_id", "left_anti")
-    )
-    g2 = uncovered.select(
-        "doc_id",
-        "lang",
-        "lbucket",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, length(norm) - {L - 1}), "
-                    f"i -> substring(norm, i, {L}))"
-                )
-            )
-        ).alias("g"),
-    )
-    groups2 = g2.groupBy("lang", "lbucket", "g").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("ds")
-    )
-    cand2 = (
-        groups2.filter(
-            (F.size("ds") >= 2) & (F.size("ds") <= NGRAM_DF_CAP)
-        )
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(0, size(ds) - 2), "
-                    "i -> transform(sequence(i + 1, size(ds) - 1), "
-                    "j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
-    )
+    cand1, uncovered = _d10_level1(spark, sf_dir, arrays)
     cand = (
-        cand1.union(cand2)
+        cand1.union(_d10_cand2(uncovered))
         .distinct()
         .repartition(shuffle_width(spark), "doc_a")
     )

@@ -387,6 +387,19 @@ def main() -> int:
                 if d is None:
                     continue
                 row[f"cands_{key}"] = cand_fn(spark, d).count()
+        if name == "d10_adaptive_block_jaccard":
+            # r15: the level-2 recovery stream grows with SATURATION —
+            # count uncovered docs and per-level candidates so the
+            # wall ratio has its mechanism on record
+            from customer_review__etl_spark.plans import dedupplans
+
+            for key, d in (("base", src), ("repl", dst_repl),
+                           ("org", dst_org)):
+                if d is None:
+                    continue
+                st = dedupplans.d10_level2_stats(spark, d)
+                for k, v in st.items():
+                    row[f"{k}_{key}"] = v
         if name == "d08_repeated_substrings":
             # the candidate stage's input size: anchors must grow ~N
             # even when the TRUE pair output grows quadratically
