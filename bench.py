@@ -288,11 +288,11 @@ def _time_queries(
     # The warm builds (notably the d06 CC fixpoint's per-round local
     # checkpoints and the pl06 chain's shuffles) leave dead blocks and
     # shuffle files that Spark's ContextCleaner only reclaims after a
-    # DRIVER GC — measured r15: with the two pl06 landings in the warm
-    # set, pl04/pl05's steady-state reps read +2.9 s/+0.8 s until the
-    # residue was collected (the r14 "pl05 +1.0 s drift"). One explicit
-    # GC after the warm phase hands the reps a clean block manager;
-    # its pause is timed as its own row, not charged to scratch_build.
+    # DRIVER GC. One explicit GC after the warm phase hands the reps a
+    # clean block manager; its pause is timed as its own row (~0.2 s),
+    # not charged to scratch_build. Cheap hygiene, not a measured
+    # speedup: the r15 A/B that motivated it turned out to be
+    # dominated by host disk-throughput variance (see the IO canary).
     t0 = time.time()
     try:
         spark.sparkContext._jvm.System.gc()
@@ -459,6 +459,41 @@ def _jobs_canary_verdict(
     return warn, med_j, basis, extra
 
 
+def _canary_io_probe() -> float:
+    """Filesystem-throughput probe — the THIRD environment dimension
+    (round 15): a subset A/B rep read pl05 at 12.1 s on a run whose
+    compute AND jobs canaries were both green, while the `shingles`
+    landing build read 8.0 s vs 0.8 s for identical code on the same
+    day — the container's disk bandwidth had degraded ~10× invisibly
+    to both existing canaries (one is pure CPU, the other pure
+    scheduling). This probe writes 64 MiB to the run-scratch
+    filesystem (the same one every materialized landing and shuffle
+    spill uses), fsyncs, and reads it back with the page cache dropped
+    per-file via a fresh read fd — it moves ONLY when disk throughput
+    does. Median of 3."""
+    from customer_review__etl_spark.scratch import run_scratch
+
+    d = Path(run_scratch("iocanary_"))
+    block = os.urandom(1 << 20)  # 1 MiB of incompressible bytes
+
+    def one(i: int) -> float:
+        p = d / f"probe_{i}.bin"
+        t0 = time.time()
+        with open(p, "wb") as f:
+            for _ in range(64):
+                f.write(block)
+            f.flush()
+            os.fsync(f.fileno())
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+        sec = time.time() - t0
+        p.unlink()
+        return sec
+
+    return round(sorted(one(i) for i in range(3))[1], 3)
+
+
 def _canary_check(spark, out: dict) -> None:
     """Run the probe, compare to the trailing median of previous runs
     (bench_canary_history.json, kept in-repo), and stamp the result
@@ -518,7 +553,37 @@ def _canary_check(spark, out: dict) -> None:
             "timings in this artifact are inflated",
             file=sys.stderr,
         )
-    entry = {"ts": round(time.time(), 1), "sec": sec, "jobs_sec": jobs_sec}
+    # Disk-throughput dimension (round 15): compared to ITS clean
+    # history. A drift here with the other two canaries green means
+    # landing builds, shuffle spills, and scratch-consuming reps are
+    # inflated while pure-compute rows are fine. Threshold 1.5× (disk
+    # is noisier than CPU); no bootstrap floor — the first sample
+    # seeds the history.
+    io_sec = _canary_io_probe()
+    out["canary_io_sec"] = io_sec
+    io_warn = False
+    prev_io = sorted(
+        h["io_sec"] for h in hist
+        if "io_sec" in h and not h.get("io_throughput_warning")
+    )
+    if prev_io:
+        med_io = prev_io[len(prev_io) // 2]
+        out["canary_io_trailing_median"] = med_io
+        io_warn = bool(io_sec > 1.5 * med_io)
+    out["io_throughput_warning"] = io_warn
+    if io_warn:
+        print(
+            f"WARNING: io canary {io_sec:.2f}s is "
+            f"{io_sec / med_io:.2f}x its trailing median {med_io:.2f}s "
+            "- scratch-filesystem throughput is degraded, landing "
+            "builds and spill-heavy timings in this artifact are "
+            "inflated",
+            file=sys.stderr,
+        )
+    entry = {"ts": round(time.time(), 1), "sec": sec, "jobs_sec": jobs_sec,
+             "io_sec": io_sec}
+    if out.get("io_throughput_warning"):
+        entry["io_throughput_warning"] = True
     if out.get("ambient_load_warning"):
         entry["ambient_load_warning"] = True
     if out.get("scheduler_overhead_warning"):

@@ -248,17 +248,24 @@ PINNED_PLAN: dict[str, str] = {
                                 "(shared _pl04_mixed; r13 catch); "
                                 "r14 A/B: pinned 9.0s vs unpinned "
                                 "9.3s — pin cost ~0 at sf0.1; "
-                                "r15 A/B (the r14 +1.0s clean drift, "
-                                "VERDICT ask #5): subset bench ×3 reps "
-                                "canary-green — WITH the r14 shared-"
-                                "scratch warm set pl05 9.21s/pl04 "
-                                "10.38s, with d06_survivors+"
-                                "pl06_packed_in excluded (r13 shape) "
-                                "8.38s/7.44s. Cause: warm-phase JVM "
-                                "residue (CC-fixpoint checkpoints + "
-                                "chain shuffles pending the async "
-                                "ContextCleaner), not pl05's plan; "
-                                "bench now GCs once post-warm",
+                                "r15 (the r14 +1.0s clean drift, "
+                                "VERDICT ask #5): three subset runs "
+                                "×3 reps, ALL with green CPU+jobs "
+                                "canaries, read pl05 9.21s (r14 warm "
+                                "shape) / 8.38s (r13 shape) / 12.07s "
+                                "(r14 shape again) — and the shingles "
+                                "landing build varied 0.8s→8.0s for "
+                                "identical code. The drift is HOST "
+                                "DISK-THROUGHPUT variance, invisible "
+                                "to the CPU and scheduler canaries; "
+                                "r15 adds a third IO canary "
+                                "(64 MiB write+fsync+read on the "
+                                "scratch filesystem, "
+                                "io_throughput_warning) so artifacts "
+                                "confess this dimension. pl05's plan "
+                                "is unchanged and not the cause; the "
+                                "post-warm GC stays as cheap hygiene "
+                                "(0.19s pause, effect within noise)",
     "pl06_data_recipe_unified": "merge-pinned stage-1-4 sides "
                                 "(shared _pl04_mixed; r13 catch); "
                                 "r14 A/B: pinned 9.0s vs unpinned "
