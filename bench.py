@@ -459,6 +459,25 @@ def _jobs_canary_verdict(
     return warn, med_j, basis, extra
 
 
+def _io_canary_verdict(
+    hist: list, io_sec: float
+) -> tuple[bool, float | None]:
+    """Pure decision core of the IO canary (unit-testable, mirroring
+    _jobs_canary_verdict): compare against the clean-history median
+    (samples that were themselves io-flagged stay recorded but never
+    feed the baseline — the same anti-ratchet rule as the other two
+    canaries). Threshold 1.5× (disk is noisier than CPU); no bootstrap
+    floor — the first sample seeds the history unflagged."""
+    prev_io = sorted(
+        h["io_sec"] for h in hist
+        if "io_sec" in h and not h.get("io_throughput_warning")
+    )
+    if not prev_io:
+        return False, None
+    med_io = prev_io[len(prev_io) // 2]
+    return bool(io_sec > 1.5 * med_io), med_io
+
+
 def _canary_io_probe() -> float:
     """Filesystem-throughput probe — the THIRD environment dimension
     (round 15): a subset A/B rep read pl05 at 12.1 s on a run whose
@@ -561,15 +580,9 @@ def _canary_check(spark, out: dict) -> None:
     # seeds the history.
     io_sec = _canary_io_probe()
     out["canary_io_sec"] = io_sec
-    io_warn = False
-    prev_io = sorted(
-        h["io_sec"] for h in hist
-        if "io_sec" in h and not h.get("io_throughput_warning")
-    )
-    if prev_io:
-        med_io = prev_io[len(prev_io) // 2]
+    io_warn, med_io = _io_canary_verdict(hist, io_sec)
+    if med_io is not None:
         out["canary_io_trailing_median"] = med_io
-        io_warn = bool(io_sec > 1.5 * med_io)
     out["io_throughput_warning"] = io_warn
     if io_warn:
         print(

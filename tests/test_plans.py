@@ -471,6 +471,26 @@ def test_jobs_canary_verdict_rules():
     assert not warn8  # the same 5 s reading is legitimate on 8 cores
 
 
+def test_io_canary_verdict_rules():
+    """The IO canary's decision core (r15): clean-history median only
+    (flagged samples never ratchet the baseline), 1.5× threshold, no
+    bootstrap floor (first sample seeds unflagged)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench import _io_canary_verdict
+
+    warn, med = _io_canary_verdict([], 5.0)
+    assert not warn and med is None  # first sample seeds, never flags
+    hist = [{"io_sec": 0.3}, {"io_sec": 0.25}, {"io_sec": 0.35},
+            {"io_sec": 3.0, "io_throughput_warning": True}]
+    warn, med = _io_canary_verdict(hist, 0.4)
+    assert med == 0.3 and not warn  # flagged 3.0 excluded from median
+    warn, med = _io_canary_verdict(hist, 0.46)
+    assert warn  # 0.46 > 1.5 * 0.3
+
+
 def test_scale_probe_merge_keeps_rows_co_measured():
     """merge_probe_queries (r13 ADVICE #1, unit-tested per r14 VERDICT
     ask #6): when a session refreshes 'base' but not a variant's
