@@ -278,56 +278,72 @@ PRIORITY: tuple[str, ...] = (
     #   occupancy-adaptive blocking-key length; oracle-backed, added
     #   after this head was pinned, never driver-sampled — the
     #   planner's never-sampled-first rule slots it automatically).
-    "a01_group_count",
-    "j01_broadcast_theme_label",
-    "w01_row_number_topn",
-    "t01_text_chain",
-    "d01_exact_dedup",
-    "st01_tumbling_window",
-    "p17_oversample_mix",
-    "p18_temperature_mix",
-    "a11_scalable_median",
-    "a13_grouped_quantiles",
-    "a12_observed_metrics",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q17_small_qty_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "j12_interval_overlap",
-    "j10_bucketed_range",
-    "j11_fuzzy_blocked_join",
-    "g01_rollup",
-    "w10_sessionize",
-    "w07_scd2_intervals",
-    "u03_ewma_smooth",
-    "u05_grouped_agg_udf",
-    "t08_bpe_token_count",
-    "t15_bigram_surprisal",
-    "t16_tfidf_terms",
-    "t18_sliding_chunks",
-    "t19_cdc_chunks",
-    "t21_bpe_merges",
-    "d07_containment_pairs",
-    "d06_unified_clusters",
-    "dc02_neardup_decontaminate",
-    "s05_semantic_clusters",
-    "s06_pq_ann",
-    "st06_stateful_stats",
-    "st07_stream_static_join",
-    "st09_stream_stream_join",
-    "st11_incremental_resume",
-    "ml06_kmeans",
-    "ml07_naive_bayes",
-    "ml11_confidence_calibration",
-    "mm02_decode_features",
-    "io05_bucketed_join",
-    "io09_table_diff",
-    "io11_python_datasource",
-    "io14_merge_upsert",
-    "io15_snapshot_read",
-    "f02_array_funcs",
-    "gr01_pagerank",
+    #   r16 (round-15 VERDICT ask #4, head taken VERBATIM from
+    #   tools/rotation_plan.py): d10_adaptive_block_jaccard first (the
+    #   one never-driver-sampled registry entry, added after the r15
+    #   head was pinned), then the FIVE documented r15 deferrals
+    #   (io13/gr02/pl01/pl02/pl04 — all last sampled r11, hard-stale
+    #   the moment CORRECTNESS_r16 lands), then the r11/r12 cohort
+    #   oldest-first under the family gate. SIX entries defer to r17
+    #   (hard-stale there — the planner prints them and the r17 head
+    #   MUST open with them): io08_dynamic_partition_overwrite,
+    #   io12_nested_projection, io16_quarantine_write,
+    #   gr05_connected_components, gr03_khop_reachability,
+    #   gr04_item_similarity. ALSO pinned for r17:
+    #   d11_adaptive_containment (new round-16 operator — d07 with
+    #   occupancy-adaptive anchor-gram re-keying; oracle-backed, added
+    #   after this head was pinned, never driver-sampled — the
+    #   planner's never-sampled-first rule slots it automatically).
+    "d10_adaptive_block_jaccard",
+    "io13_partition_pruned_read",
+    "gr02_triangle_count",
+    "pl01_training_pipeline",
+    "pl02_incremental_refresh",
+    "pl04_data_recipe",
+    "p16_scalable_ordinal",
+    "p12_deterministic_sample",
+    "p19_sequence_pack",
+    "a14_running_distinct",
+    "a15_revenue_concentration",
+    "a16_mad_outliers",
+    "u07_arrow_batch_clip",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
+    "q11_important_stock",
+    "q16_parts_supplier",
+    "q20_potential_promotion",
+    "j13_bloom_semi_join",
+    "w09_range_frame",
+    "w11_ohlc_bars",
+    "w08_rolling_median",
+    "u06_ewma_partitioned",
+    "u04_sentence_udtf",
+    "q4_order_priority",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "t06_fingerprint",
+    "t07_positional_hash",
+    "t09_pii_scrub",
+    "t10_repetition_score",
+    "t12_vocab_coverage",
+    "t17_reading_ease",
+    "t20_novelty_ratio",
+    "t22_bpe_encode",
+    "d04_ngram_jaccard",
+    "d09_substring_excision",
+    "dc03_verbatim_decontaminate",
+    "s07_multiprobe_ann",
+    "st12_stream_quarantine",
+    "st10_keyed_upsert",
+    "ml12_hashed_features",
+    "ml08_linreg",
+    "ml09_knn_label",
+    "ml10_classifier_gate",
+    "mm04_blob_chunks",
+    "io03_jsonl_roundtrip",
+    "io04_orc_roundtrip",
+    "io07_compaction",
+    "f03_json_map_funcs",
 )
 
 
