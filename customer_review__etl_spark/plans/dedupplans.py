@@ -515,29 +515,50 @@ def _d04_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _d04_candidates(grams: DataFrame, df_cap: int | None) -> DataFrame:
-    """Candidate pairs: docs sharing ≥1 RARE gram within a block.
-
-    ONE shuffle: group the gram stream by (lang, lbucket, g), keep
-    groups of 2..df_cap docs, and expand each group's C(n,2) ordered
-    pairs JVM-side from the sorted doc list. The df_cap ≤ filter is
-    the rare-gram prefilter — high-DF grams (`the`, `ing`) otherwise
-    make per-block candidates quadratic in block size (the round-2
-    scale-killer); the shrink is deterministic (a pure predicate on
-    gram doc-frequency), mirrored exactly in the oracle SQL, and the
-    per-group expansion is bounded by C(df_cap, 2). (The previous
-    form — DF aggregate + join back + self-equi-join — shuffled the
-    gram stream three times for the same pair set.)
-    Recall trade (documented): a pair sharing ONLY common grams is not
-    found — near-dups at jaccard ≥ 0.4 share many grams, so in
-    practice some rare gram survives (pinned by the edge test)."""
-    groups = grams.groupBy("lang", "lbucket", "g").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("ds")
+def _capped_gram_groups(grams: DataFrame, df_cap: int | None) -> DataFrame:
+    """Eligible (lang, lbucket, g) groups — doc frequency in
+    [2, df_cap] — as sorted doc-id arrays, built TWO-PASS (round-15
+    VERDICT ask #1): pass 1 aggregates only a COUNT per gram group and
+    the [2, cap] eligibility filter runs on that count; pass 2
+    semi-joins the gram stream against the surviving keys and
+    collect_lists doc-ids ONLY for eligible grams. The aggregation
+    buffer is therefore bounded by cap × id-width (~512 B at cap=64)
+    per group. The previous one-pass form (collect_list THEN filter
+    size ≤ cap) materialized every group's FULL doc-id array before
+    discarding it — and at saturation (the r15 30×-replication probe:
+    EVERY gram over-cap) that collects the entire corpus-sized gram
+    stream into aggregation buffers only to throw it away, a
+    straggler/spill hazard exactly where the corpus is biggest. The
+    extra shuffle of the gram stream is the price of the bound; the
+    count pass itself is a cheap partial-aggregating count.
+    df_cap=None keeps the single-pass shape (no cap → no filter to
+    hoist; callers use it only on bounded fixtures)."""
+    keys = ["lang", "lbucket", "g"]
+    if df_cap is None:
+        return (
+            grams.groupBy(*keys)
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+            .filter(F.size("ds") >= 2)
+        )
+    # grams carry one row per (doc, distinct gram) — upstream
+    # array_distinct — so count(*) == the group's doc frequency
+    elig = (
+        grams.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
+        .select(*keys)
     )
-    sized = groups.filter(F.size("ds") >= 2)
-    if df_cap is not None:
-        sized = sized.filter(F.size("ds") <= df_cap)
-    pairs = sized.select(
+    return (
+        grams.join(elig, keys, "left_semi")
+        .groupBy(*keys)
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+    )
+
+
+def _expand_group_pairs(groups: DataFrame) -> DataFrame:
+    """C(n,2) ordered candidate pairs from each group's sorted doc-id
+    array, JVM-side — bounded by C(df_cap, 2) per group."""
+    return groups.select(
         F.explode(
             F.expr(
                 "flatten(transform(sequence(0, size(ds) - 2), "
@@ -545,8 +566,24 @@ def _d04_candidates(grams: DataFrame, df_cap: int | None) -> DataFrame:
                 "j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))"
             )
         ).alias("p")
-    )
-    return pairs.select("p.doc_a", "p.doc_b").distinct()
+    ).select("p.doc_a", "p.doc_b")
+
+
+def _d04_candidates(grams: DataFrame, df_cap: int | None) -> DataFrame:
+    """Candidate pairs: docs sharing ≥1 RARE gram within a block.
+
+    The df ∈ [2, cap] eligibility filter is the rare-gram prefilter —
+    high-DF grams (`the`, `ing`) otherwise make per-block candidates
+    quadratic in block size (the round-2 scale-killer); the shrink is
+    deterministic (a pure predicate on gram doc-frequency), mirrored
+    exactly in the oracle SQL, and the per-group expansion is bounded
+    by C(df_cap, 2). Built via the two-pass count→filter→semi-join→
+    collect_list shape (see _capped_gram_groups) so no over-cap group
+    ever materializes its doc-id array.
+    Recall trade (documented): a pair sharing ONLY common grams is not
+    found — near-dups at jaccard ≥ 0.4 share many grams, so in
+    practice some rare gram survives (pinned by the edge test)."""
+    return _expand_group_pairs(_capped_gram_groups(grams, df_cap)).distinct()
 
 
 def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -651,28 +688,18 @@ D10_L2_LEN = 6  # level-2 blocking-gram length (2× the level-1 3-gram)
 
 
 def _d10_level1(spark, sf_dir, arrays):
-    """d10's level-1 stage: (cand1, uncovered) — d04's candidate pairs
-    plus the docs with NO [2, cap]-df gram (their whole candidate
+    """d10's level-1 stage: (cand1, uncovered, elig1) — d04's candidate
+    pairs plus the docs with NO [2, cap]-df gram (their whole candidate
     potential was lost to the cap), re-derivable for the probe's
-    instrumentation counts as well as the plan itself."""
+    instrumentation counts as well as the plan itself. elig1 (the
+    cached eligible-group arrays, buffer-bounded via the two-pass
+    _capped_gram_groups) is returned so callers that finish with it —
+    d10_level2_stats — can unpersist it (r15 ADVICE #4)."""
     g1 = arrays.select(
         "doc_id", "lang", "lbucket", F.explode("grams").alias("g")
     )
-    groups1 = g1.groupBy("lang", "lbucket", "g").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("ds")
-    )
-    elig1 = groups1.filter(
-        (F.size("ds") >= 2) & (F.size("ds") <= NGRAM_DF_CAP)
-    ).cache()
-    cand1 = elig1.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(0, size(ds) - 2), "
-                "i -> transform(sequence(i + 1, size(ds) - 1), "
-                "j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))"
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
+    elig1 = _capped_gram_groups(g1, NGRAM_DF_CAP).cache()
+    cand1 = _expand_group_pairs(elig1)
     covered = elig1.select(F.explode("ds").alias("doc_id")).distinct()
     L = D10_L2_LEN
     uncovered = (
@@ -686,7 +713,7 @@ def _d10_level1(spark, sf_dir, arrays):
         .filter(F.length("norm") >= L)
         .join(covered, "doc_id", "left_anti")
     )
-    return cand1, uncovered
+    return cand1, uncovered, elig1
 
 
 def _d10_cand2(uncovered):
@@ -706,24 +733,7 @@ def _d10_cand2(uncovered):
             )
         ).alias("g"),
     )
-    groups2 = g2.groupBy("lang", "lbucket", "g").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("ds")
-    )
-    return (
-        groups2.filter(
-            (F.size("ds") >= 2) & (F.size("ds") <= NGRAM_DF_CAP)
-        )
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(0, size(ds) - 2), "
-                    "i -> transform(sequence(i + 1, size(ds) - 1), "
-                    "j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
-    )
+    return _expand_group_pairs(_capped_gram_groups(g2, NGRAM_DF_CAP))
 
 
 def d10_level2_stats(spark: SparkSession, sf_dir: str) -> dict:
@@ -732,12 +742,20 @@ def d10_level2_stats(spark: SparkSession, sf_dir: str) -> dict:
     — the counts behind d10's wall ratio (the level-2 stream grows
     with SATURATION, not with corpus size per se)."""
     arrays = _d04_gram_arrays(spark, sf_dir).cache()
-    cand1, uncovered = _d10_level1(spark, sf_dir, arrays)
-    return {
-        "uncovered_docs": uncovered.count(),
-        "cands_l1": cand1.distinct().count(),
-        "cands_l2": _d10_cand2(uncovered).distinct().count(),
-    }
+    cand1, uncovered, elig1 = _d10_level1(spark, sf_dir, arrays)
+    try:
+        return {
+            "uncovered_docs": uncovered.count(),
+            "cands_l1": cand1.distinct().count(),
+            "cands_l2": _d10_cand2(uncovered).distinct().count(),
+        }
+    finally:
+        # probe sessions run this helper over base+repl+org corpora
+        # back-to-back — without the unpersist each run would pin its
+        # own copy of the gram arrays in executor storage for the rest
+        # of the process (r15 ADVICE #4)
+        elig1.unpersist()
+        arrays.unpersist()
 
 
 def d10_adaptive_block_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -780,7 +798,7 @@ def d10_adaptive_block_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     |uncovered| × doc-length, not corpus-sized. The verify join reads
     the same merge-pinned gram-array sides as d04 (r14 d08 catch)."""
     arrays = _d04_gram_arrays(spark, sf_dir).cache()
-    cand1, uncovered = _d10_level1(spark, sf_dir, arrays)
+    cand1, uncovered, _elig1 = _d10_level1(spark, sf_dir, arrays)
     cand = (
         cand1.union(_d10_cand2(uncovered))
         .distinct()

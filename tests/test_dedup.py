@@ -349,6 +349,46 @@ def _de_bruijn_k4_n3() -> str:
     return cyc + cyc[: n - 1]
 
 
+def test_capped_gram_groups_two_pass_bounds_buffer(spark):
+    """r15 VERDICT #1: the capped-gram generator must NEVER materialize
+    an over-cap group's doc-id array — on a crowded corpus (every gram
+    in one over-cap group) the one-pass collect-then-filter shape
+    collects the whole stream before discarding it. Pins (a) the
+    two-pass physical shape: a LeftSemi join between the count-filter
+    pass and the collect_list pass, with the count pass free of any
+    collect_list; and (b) semantics on a mixed corpus: over-cap grams
+    contribute nothing, eligible grams exactly their sorted doc set."""
+    prefix = _de_bruijn_k4_n3()
+    crowded = spark.createDataFrame(
+        [(i, "en", 0, g) for i in range(10)
+         for g in {prefix[j : j + 3] for j in range(64)}],
+        "doc_id BIGINT, lang STRING, lbucket BIGINT, g STRING",
+    )
+    capped = D._capped_gram_groups(crowded, 5)
+    plan = capped._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan, "two-pass shape lost: no semi-join"
+    # the eligibility pass aggregates a count, never a doc-id array:
+    # exactly one collect_list in the whole logical plan (the
+    # post-filter pass; the physical plan legitimately splits it into
+    # partial+final phases, so assert on the optimized logical plan)
+    assert plan.count("collect_list") == 1, plan
+    assert capped.count() == 0  # every gram df=10 > cap=5 -> no group
+
+    mixed = crowded.union(
+        spark.createDataFrame(
+            [(100, "en", 0, "xyz"), (101, "en", 0, "xyz"),
+             (102, "en", 0, "solo")],
+            "doc_id BIGINT, lang STRING, lbucket BIGINT, g STRING",
+        )
+    )
+    rows = D._capped_gram_groups(mixed, 5).collect()
+    assert [(r["g"], list(r["ds"])) for r in rows] == [("xyz", [100, 101])]
+    # candidate wrapper: same pair set as the uncapped form filtered
+    # to rare grams — the planted rare-gram pair survives, nothing else
+    pairs = D._d04_candidates(mixed, 5).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(100, 101)]
+
+
 def test_d10_recovers_pairs_past_gram_saturation(spark, tmp_path):
     """The r15 probe measured d04's recall collapsing once every
     3-gram is commoner than the DF cap (cands_repl = 0 at 30x).
