@@ -515,7 +515,11 @@ def _d04_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _capped_gram_groups(grams: DataFrame, df_cap: int | None) -> DataFrame:
+def _capped_gram_groups(
+    grams: DataFrame,
+    df_cap: int | None,
+    keys: tuple[str, ...] = ("lang", "lbucket", "g"),
+) -> DataFrame:
     """Eligible (lang, lbucket, g) groups — doc frequency in
     [2, df_cap] — as sorted doc-id arrays, built TWO-PASS (round-15
     VERDICT ask #1): pass 1 aggregates only a COUNT per gram group and
@@ -532,8 +536,10 @@ def _capped_gram_groups(grams: DataFrame, df_cap: int | None) -> DataFrame:
     extra shuffle of the gram stream is the price of the bound; the
     count pass itself is a cheap partial-aggregating count.
     df_cap=None keeps the single-pass shape (no cap → no filter to
-    hoist; callers use it only on bounded fixtures)."""
-    keys = ["lang", "lbucket", "g"]
+    hoist; callers use it only on bounded fixtures). `keys` is the
+    blocking key set — d04/d10 block on (lang, lbucket, g), d07/d11 on
+    (lang, g) because containment must cross length classes."""
+    keys = list(keys)
     if df_cap is None:
         return (
             grams.groupBy(*keys)
@@ -586,6 +592,49 @@ def _d04_candidates(grams: DataFrame, df_cap: int | None) -> DataFrame:
     return _expand_group_pairs(_capped_gram_groups(grams, df_cap)).distinct()
 
 
+def _pair_gram_intersections(spark, arrays: DataFrame, cand: DataFrame) -> DataFrame:
+    """Shared exact-verify join for the gram-blocked dedup family
+    (d04/d07/d10/d11): candidate pairs joined to the per-doc gram
+    ARRAYS, intersection sized JVM-side — one array_intersect per
+    pair, no exploded pair-stream shuffle, no giant groupBy. Returns
+    (doc_a, doc_b, inter, n_a, n_b, _pd_barrier).
+
+    - explicit repartition on doc_a: the pair set is tiny on disk, so
+      AQE would coalesce it to 1-2 partitions and run ALL the
+      array_intersect CPU in straggler tasks (round-7 lesson);
+    - gram-array sides merge-pinned: they are corpus-sized and
+      size-underestimated (transform() stats inherit scan bytes), so
+      an estimate flip must never broadcast them (the r14 d08 catch);
+    - `_pd_barrier` (nondeterministic) blocks Catalyst from pushing
+      the downstream score filter into the join condition, which would
+      evaluate array_intersect twice per pair."""
+    cand = cand.repartition(shuffle_width(spark), "doc_a")
+    ga = arrays.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("grams").alias("gs_a"),
+        F.col("n").alias("n_a"),
+    )
+    gb = arrays.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("grams").alias("gs_b"),
+        F.col("n").alias("n_b"),
+    )
+    return (
+        cand.join(ga.hint("merge"), "doc_a")
+        .join(gb.hint("merge"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("gs_a", "gs_b")).cast("long").alias(
+                "inter"
+            ),
+            "n_a",
+            "n_b",
+            F.monotonically_increasing_id().alias("_pd_barrier"),
+        )
+    )
+
+
 def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-3-gram Jaccard pairs, blocked by (lang, length/100
     bucket): candidates come from a RARE-gram equi-join inside each
@@ -629,9 +678,6 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = arrays.select(
         "doc_id", "lang", "lbucket", F.explode("grams").alias("g")
     )
-    cand = _d04_candidates(grams, NGRAM_DF_CAP).repartition(
-        shuffle_width(spark), "doc_a"
-    )
     # Exact-verify against per-doc gram ARRAYS, not the exploded gram
     # stream: the candidate⋈gram⋈gram form shuffles |cand|·|grams per
     # doc| rows (~65M at sf0.1) into a pair-count aggregate, which was
@@ -641,32 +687,8 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exploded shuffle, no giant groupBy. Array payloads are bounded by
     # doc length (distinct 3-grams ≤ chars), so candidate rows stay
     # small at any corpus scale.
-    ga = arrays.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("grams").alias("gs_a"),
-        F.col("n").alias("n_a"),
-    )
-    gb = arrays.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("grams").alias("gs_b"),
-        F.col("n").alias("n_b"),
-    )
-    inter = (
-        # gram-array sides are corpus-sized and size-underestimated
-        # (transform() stats inherit scan bytes) — merge-pinned so an
-        # estimate flip can never broadcast them (the r14 d08 catch)
-        cand.join(ga.hint("merge"), "doc_a")
-        .join(gb.hint("merge"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("gs_a", "gs_b")).cast("long").alias(
-                "inter"
-            ),
-            "n_a",
-            "n_b",
-            F.monotonically_increasing_id().alias("_pd_barrier"),
-        )
+    inter = _pair_gram_intersections(
+        spark, arrays, _d04_candidates(grams, NGRAM_DF_CAP)
     )
     return (
         inter.select(
@@ -799,34 +821,8 @@ def d10_adaptive_block_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same merge-pinned gram-array sides as d04 (r14 d08 catch)."""
     arrays = _d04_gram_arrays(spark, sf_dir).cache()
     cand1, uncovered, _elig1 = _d10_level1(spark, sf_dir, arrays)
-    cand = (
-        cand1.union(_d10_cand2(uncovered))
-        .distinct()
-        .repartition(shuffle_width(spark), "doc_a")
-    )
-    ga = arrays.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("grams").alias("gs_a"),
-        F.col("n").alias("n_a"),
-    )
-    gb = arrays.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("grams").alias("gs_b"),
-        F.col("n").alias("n_b"),
-    )
-    inter = (
-        cand.join(ga.hint("merge"), "doc_a")
-        .join(gb.hint("merge"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("gs_a", "gs_b")).cast("long").alias(
-                "inter"
-            ),
-            "n_a",
-            "n_b",
-            F.monotonically_increasing_id().alias("_pd_barrier"),
-        )
+    inter = _pair_gram_intersections(
+        spark, arrays, cand1.union(_d10_cand2(uncovered)).distinct()
     )
     return (
         inter.select(
@@ -925,32 +921,21 @@ def connected_components(edges: DataFrame) -> DataFrame:
 D07_CONT_MIN = 0.8  # keep pairs where |A∩B| / min(|A|,|B|) ≥ this
 
 
-def _d07_candidates(arrays: DataFrame) -> DataFrame:
-    """d07's blocked candidate pair set: (lang, rare gram) groups —
-    NO length bucket, containment must cross them — expanded to
-    C(n,2) ordered pairs JVM-side, capped at NGRAM_DF_CAP docs per
-    gram. Split out (r15) so the scale probe can count candidate
-    volumes for the merge-pinned verify shape directly."""
+def _d07_elig_groups(arrays: DataFrame) -> DataFrame:
+    """d07/d11's eligible (lang, rare gram) groups — NO length bucket,
+    containment must cross them — built via the buffer-bounded
+    two-pass _capped_gram_groups (r15 VERDICT ask #1: d07's generator
+    had the same collect-then-filter hazard as d04's)."""
     grams = arrays.select("doc_id", "lang", F.explode("grams").alias("g"))
-    groups = grams.groupBy("lang", "g").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("ds")
-    )
-    sized = groups.filter(
-        (F.size("ds") >= 2) & (F.size("ds") <= NGRAM_DF_CAP)
-    )
-    return (
-        sized.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(0, size(ds) - 2), "
-                    "i -> transform(sequence(i + 1, size(ds) - 1), "
-                    "j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    return _capped_gram_groups(grams, NGRAM_DF_CAP, keys=("lang", "g"))
+
+
+def _d07_candidates(arrays: DataFrame) -> DataFrame:
+    """d07's blocked candidate pair set: (lang, rare gram) groups
+    expanded to C(n,2) ordered pairs JVM-side, capped at NGRAM_DF_CAP
+    docs per gram. Split out (r15) so the scale probe can count
+    candidate volumes for the merge-pinned verify shape directly."""
+    return _expand_group_pairs(_d07_elig_groups(arrays)).distinct()
 
 
 def d04_candidates_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -995,36 +980,7 @@ def d07_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     `_pd_barrier` keeps Catalyst from double-evaluating the
     containment filter inside the join."""
     arrays = _d04_gram_arrays(spark, sf_dir).cache()
-    cand = _d07_candidates(arrays).repartition(
-        shuffle_width(spark), "doc_a"
-    )
-    ga = arrays.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("grams").alias("gs_a"),
-        F.col("n").alias("n_a"),
-    )
-    gb = arrays.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("grams").alias("gs_b"),
-        F.col("n").alias("n_b"),
-    )
-    inter = (
-        # gram-array sides are corpus-sized and size-underestimated
-        # (transform() stats inherit scan bytes) — merge-pinned so an
-        # estimate flip can never broadcast them (the r14 d08 catch)
-        cand.join(ga.hint("merge"), "doc_a")
-        .join(gb.hint("merge"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("gs_a", "gs_b")).cast("long").alias(
-                "inter"
-            ),
-            "n_a",
-            "n_b",
-            F.monotonically_increasing_id().alias("_pd_barrier"),
-        )
-    )
+    inter = _pair_gram_intersections(spark, arrays, _d07_candidates(arrays))
     return (
         inter.select(
             "doc_a",
@@ -1060,6 +1016,182 @@ rare AS (SELECT g.doc_id, g.lang, g.g
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM rare a JOIN rare b
            ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id),
+n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+          FROM cand c
+          JOIN g ga ON ga.doc_id = c.doc_a
+          JOIN g gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+          GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       i.inter::DOUBLE / least(na.n, nb.n)::DOUBLE AS containment
+FROM inter i
+JOIN n na ON na.doc_id = i.doc_a
+JOIN n nb ON nb.doc_id = i.doc_b
+WHERE i.inter::DOUBLE / least(na.n, nb.n)::DOUBLE >= {D07_CONT_MIN}
+ORDER BY doc_a, doc_b
+"""
+
+
+def _d11_level1(spark, sf_dir, arrays):
+    """d11's level-1 stage: (cand1, uncovered, elig1) — d07's
+    candidate pairs plus the docs with NO [2, cap]-df (lang, 3-gram)
+    group membership, i.e. the docs whose whole containment-candidate
+    potential was lost to the DF cap. elig1 (cached, buffer-bounded
+    via the two-pass _capped_gram_groups) is returned so callers that
+    finish with it — d11_level2_stats — can unpersist it."""
+    elig1 = _d07_elig_groups(arrays).cache()
+    cand1 = _expand_group_pairs(elig1)
+    covered = elig1.select(F.explode("ds").alias("doc_id")).distinct()
+    uncovered = (
+        _docs_par(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            T.normalize_text(F.col("text")).alias("norm"),
+        )
+        .filter(F.length("norm") >= D10_L2_LEN)
+        .join(covered, "doc_id", "left_anti")
+    )
+    return cand1, uncovered, elig1
+
+
+def _d11_cand2(uncovered):
+    """d11's level-2 recovery candidates: (lang, 6-gram) groups over
+    the uncovered stream under the same DF cap — still NO length
+    bucket, the recovered pairs must cross length classes exactly as
+    d07's level-1 pairs do."""
+    L = D10_L2_LEN
+    g2 = uncovered.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length(norm) - {L - 1}), "
+                    f"i -> substring(norm, i, {L}))"
+                )
+            )
+        ).alias("g"),
+    )
+    return _expand_group_pairs(
+        _capped_gram_groups(g2, NGRAM_DF_CAP, keys=("lang", "g"))
+    )
+
+
+def d11_level2_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """Probe instrumentation (r16): how much of the corpus fell
+    through to d11's containment recovery pass and how many candidates
+    it emitted — the counts behind the saturation transition (the
+    level-2 stream grows with SATURATION, not corpus size per se)."""
+    arrays = _d04_gram_arrays(spark, sf_dir).cache()
+    cand1, uncovered, elig1 = _d11_level1(spark, sf_dir, arrays)
+    try:
+        return {
+            "uncovered_docs": uncovered.count(),
+            "cands_l1": cand1.distinct().count(),
+            "cands_l2": _d11_cand2(uncovered).distinct().count(),
+        }
+    finally:
+        elig1.unpersist()
+        arrays.unpersist()
+
+
+def d11_adaptive_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d07 with OCCUPANCY-ADAPTIVE blocking-key LENGTH — d10's move
+    applied to the containment operator, closing the round-15 probe
+    finding that convicted d07 at scale: its organic 100× candidates
+    fell BELOW base (163,054 → 135,720, SCALING.md r15) because the
+    (lang, 3-gram) key space saturates — past saturation the fixed-
+    length key silently loses recall while wall-clock stays flat.
+
+    Rule (mirrored exactly in the oracle): level 1 is d07 verbatim —
+    (lang, 3-gram) groups with df ∈ [2, cap], no length bucket
+    (containment must cross length classes) — and a doc is COVERED iff
+    ≥1 of its grams sits in an eligible group. UNCOVERED docs are
+    re-keyed on 6-grams, squaring the key space so what was too common
+    to block on becomes blockable; level-2 (lang, 6-gram) groups with
+    df ∈ [2, cap] over the uncovered stream emit recovery candidates.
+    Verification is d07's exact 3-gram-set containment
+    |A∩B| / min(|A|, |B|) on the union of both candidate sets, keep
+    ≥ 0.8 — the OUTPUT contract is d07's; only candidate completeness
+    changes. A contained short doc inside a crowded corpus is exactly
+    the doc this recovers: its rare 6-grams are present verbatim in
+    its container, and 6-gram blocking preserves the cross-length
+    property because there is still no length bucket in the key.
+
+    Recall contract: level 2 recovers uncovered↔uncovered pairs; an
+    uncovered↔covered pair stays missed (the covered side had its
+    chance at level 1) — documented, like d04/d07's cap trade.
+    Further decades stack the same move (12-gram level 3).
+
+    Scale: the level-2 stream is built ONLY from uncovered docs (far
+    from saturation it is a cheap anti-join and nothing else); both
+    levels' group buffers are bounded by the two-pass
+    count→filter→semi-join→collect_list shape; per-group fan-out is
+    capped at C(cap, 2); the verify join is the shared merge-pinned
+    gram-array shape (_pair_gram_intersections)."""
+    arrays = _d04_gram_arrays(spark, sf_dir).cache()
+    cand1, uncovered, _elig1 = _d11_level1(spark, sf_dir, arrays)
+    inter = _pair_gram_intersections(
+        spark, arrays, cand1.union(_d11_cand2(uncovered)).distinct()
+    )
+    return (
+        inter.select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+            "_pd_barrier",
+        )
+        .filter(F.col("containment") >= D07_CONT_MIN)
+        .drop("_pd_barrier")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_D11_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, {sql_normalize('text')} AS norm FROM documents
+),
+g AS (
+  SELECT doc_id, lang, _u.g
+  FROM (SELECT doc_id, lang, norm,
+               list_distinct(list_transform(range(1, length(norm) - 1),
+                 i -> substr(norm, i, 3))) AS grams
+        FROM base WHERE length(norm) >= 3),
+       UNNEST(grams) AS _u(g)
+),
+gdf AS (SELECT lang, g, count(*) AS df FROM g GROUP BY 1, 2),
+elig AS (SELECT g.doc_id, g.lang, g.g
+         FROM g JOIN gdf ON g.lang = gdf.lang AND g.g = gdf.g
+         WHERE gdf.df >= 2 AND gdf.df <= {NGRAM_DF_CAP}),
+cand1 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM elig a JOIN elig b
+            ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id),
+covered AS (SELECT DISTINCT doc_id FROM elig),
+unc AS (SELECT doc_id, lang, norm FROM base
+        WHERE length(norm) >= {D10_L2_LEN}
+          AND doc_id NOT IN (SELECT doc_id FROM covered)),
+g2 AS (
+  SELECT doc_id, lang, _u2.g
+  FROM (SELECT doc_id, lang,
+               list_distinct(list_transform(
+                 range(1, length(norm) - {D10_L2_LEN - 2}),
+                 i -> substr(norm, i, {D10_L2_LEN}))) AS grams
+        FROM unc),
+       UNNEST(grams) AS _u2(g)
+),
+g2df AS (SELECT lang, g, count(*) AS df FROM g2 GROUP BY 1, 2),
+cand2 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM g2 a JOIN g2 b
+            ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+          JOIN g2df d ON d.lang = a.lang AND d.g = a.g
+          WHERE d.df <= {NGRAM_DF_CAP}),
+cand AS (SELECT doc_a, doc_b FROM cand1
+         UNION
+         SELECT doc_a, doc_b FROM cand2),
 n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
 inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
           FROM cand c
@@ -2003,6 +2135,9 @@ SPECS = [
         "d10_adaptive_block_jaccard", d10_adaptive_block_jaccard, _D10_SQL
     ),
     QuerySpec("d07_containment_pairs", d07_containment_pairs, _D07_SQL),
+    QuerySpec(
+        "d11_adaptive_containment", d11_adaptive_containment, _D11_SQL
+    ),
     QuerySpec("d08_repeated_substrings", d08_repeated_substrings, _D08_SQL),
     QuerySpec("d09_substring_excision", d09_substring_excision, _D09_SQL),
     QuerySpec("d05_neardup_clusters", d05_neardup_clusters, _D05_SQL),

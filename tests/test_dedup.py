@@ -449,3 +449,63 @@ def test_d10_recovers_pairs_past_gram_saturation(spark, tmp_path):
                   for r in out) == sorted(
         (a, b, round(j, 9)) for a, b, j in orows
     )
+
+
+def test_d11_recovers_containment_past_gram_saturation(spark, tmp_path):
+    """The r15 100× organic probe measured d07's candidates falling
+    BELOW base — the (lang, 3-gram) key space saturating. d11's
+    occupancy-adaptive 6-gram re-keying is the engineered answer: on a
+    corpus where EVERY 3-gram is crowded by construction (every doc
+    embeds a full order-3 De Bruijn prefix; 100 docs > cap 64), d07
+    finds NOTHING while d11 recovers a planted CONTAINMENT pair — a
+    short doc whose tail is a verbatim prefix of a long doc's tail —
+    via rare 6-grams, cross-length (no lbucket in either level's key).
+    The DuckDB oracle must agree on the ACTIVE level-2 path."""
+    prefix = _de_bruijn_k4_n3()
+
+    def tail(i):
+        return "".join(
+            "abcd"[(i * 7 + j * 13 + i * j) % 4] for j in range(54)
+        )
+
+    rows = []
+    for i in range(100):
+        # doc 1 is the planted contained doc: the first 30 chars of
+        # doc 0's tail — every one of its tail 6-grams appears
+        # verbatim in doc 0, at a different total length
+        t = tail(0)[:30] if i == 1 else tail(i)
+        body = prefix + t
+        rows.append((i, body, "en", "s", len(body)))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING,"
+        " n_chars BIGINT",
+    )
+    d = str(tmp_path / "saturated_cont")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    # level 1 alone (d07): every 3-gram has df = 100 > cap -> zero
+    # candidates — the measured saturation failure mode
+    assert D.d07_containment_pairs(spark, d).count() == 0
+
+    out = D.d11_adaptive_containment(spark, d).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (0, 1) in pairs, "planted containment pair must be recovered"
+    # every doc's 3-gram SET is the full De Bruijn universe, so any
+    # verified pair reads containment exactly 1.0
+    assert all(abs(r["containment"] - 1.0) < 1e-12 for r in out)
+
+    import duckdb
+
+    from customer_review__etl_spark.plans import all_queries
+
+    spec = all_queries()["d11_adaptive_containment"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    orows = con.execute(spec.oracle).fetchall()
+    assert sorted((r["doc_a"], r["doc_b"], round(r["containment"], 9))
+                  for r in out) == sorted(
+        (a, b, round(c, 9)) for a, b, c in orows
+    )
