@@ -459,18 +459,31 @@ def _jobs_canary_verdict(
     return warn, med_j, basis, extra
 
 
+# Probe methodology version, recorded per history entry: v1 read the
+# 64 MiB back through the page cache (memory bandwidth — blind to
+# read-side disk degradation, r15 ADVICE #1), v2 evicts via
+# posix_fadvise DONTNEED first. Cross-version samples must never feed
+# each other's baseline (v1 readings are structurally faster), so the
+# verdict filters history to the current version and the first sample
+# of a new version re-seeds its own baseline unflagged.
+IO_PROBE_VERSION = 2
+
+
 def _io_canary_verdict(
-    hist: list, io_sec: float
+    hist: list, io_sec: float, probe_v: int = IO_PROBE_VERSION
 ) -> tuple[bool, float | None]:
     """Pure decision core of the IO canary (unit-testable, mirroring
-    _jobs_canary_verdict): compare against the clean-history median
-    (samples that were themselves io-flagged stay recorded but never
-    feed the baseline — the same anti-ratchet rule as the other two
-    canaries). Threshold 1.5× (disk is noisier than CPU); no bootstrap
-    floor — the first sample seeds the history unflagged."""
+    _jobs_canary_verdict): compare against the clean-history median of
+    SAME-PROBE-VERSION samples (samples that were themselves io-flagged
+    stay recorded but never feed the baseline — the same anti-ratchet
+    rule as the other two canaries; entries without io_probe_v are v1).
+    Threshold 1.5× (disk is noisier than CPU); no bootstrap floor —
+    the first sample of a probe version seeds its history unflagged."""
     prev_io = sorted(
         h["io_sec"] for h in hist
-        if "io_sec" in h and not h.get("io_throughput_warning")
+        if "io_sec" in h
+        and not h.get("io_throughput_warning")
+        and h.get("io_probe_v", 1) == probe_v
     )
     if not prev_io:
         return False, None
@@ -487,9 +500,15 @@ def _canary_io_probe() -> float:
     to both existing canaries (one is pure CPU, the other pure
     scheduling). This probe writes 64 MiB to the run-scratch
     filesystem (the same one every materialized landing and shuffle
-    spill uses), fsyncs, and reads it back with the page cache dropped
-    per-file via a fresh read fd — it moves ONLY when disk throughput
-    does. Median of 3."""
+    spill uses), fsyncs, EVICTS the written pages from the page cache
+    (posix_fadvise DONTNEED — a fresh read fd alone does NOT drop the
+    cache, so without the eviction the read leg measures memory
+    bandwidth and the probe is blind to exactly the read-side
+    degradation that motivated it; r15 ADVICE #1), and reads it back
+    from disk — it moves ONLY when disk throughput does. Median of 3.
+    On filesystems where fadvise is a no-op (e.g. some overlayfs) the
+    read leg degrades to cache speed and the probe still carries the
+    write/fsync signal — strictly no worse than before."""
     from customer_review__etl_spark.scratch import run_scratch
 
     d = Path(run_scratch("iocanary_"))
@@ -503,6 +522,10 @@ def _canary_io_probe() -> float:
                 f.write(block)
             f.flush()
             os.fsync(f.fileno())
+            if hasattr(os, "posix_fadvise"):
+                os.posix_fadvise(
+                    f.fileno(), 0, 0, os.POSIX_FADV_DONTNEED
+                )
         with open(p, "rb") as f:
             while f.read(1 << 22):
                 pass
@@ -594,7 +617,7 @@ def _canary_check(spark, out: dict) -> None:
             file=sys.stderr,
         )
     entry = {"ts": round(time.time(), 1), "sec": sec, "jobs_sec": jobs_sec,
-             "io_sec": io_sec}
+             "io_sec": io_sec, "io_probe_v": IO_PROBE_VERSION}
     if out.get("io_throughput_warning"):
         entry["io_throughput_warning"] = True
     if out.get("ambient_load_warning"):

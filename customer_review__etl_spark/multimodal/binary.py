@@ -173,8 +173,16 @@ def _decode_png(blob: bytes) -> tuple[int, int, int, float]:
         raise ValueError(f"bad PNG color type {color_type}")
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG without PLTE chunk")
-    px = _png_unfilter(zlib.decompress(bytes(idat)), w, h, ch)
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # keep the documented/tested error surface: corrupt streams
+        # raise ValueError, never a bare zlib.error (r15 ADVICE #3)
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    px = _png_unfilter(inflated, w, h, ch)
     if color_type == 3:
+        if px and max(px) >= len(plte) // 3:
+            raise ValueError("PNG palette index out of PLTE range")
         lum_num = sum(
             299 * plte[3 * i] + 587 * plte[3 * i + 1] + 114 * plte[3 * i + 2]
             for i in px

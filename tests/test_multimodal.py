@@ -231,6 +231,21 @@ def test_png_unsupported_corners_still_guarded():
     ) + chunk(b"IDAT", _z.compress(b"\x00\x01")) + chunk(b"IEND", b"")
     with pytest.raises(ValueError):
         B.decode_image(short)
+    # corrupt deflate bytes in IDAT: ValueError, never a bare
+    # zlib.error (r15 ADVICE #3)
+    garbled = sig + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    ) + chunk(b"IDAT", b"\xde\xad\xbe\xef") + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="corrupt PNG IDAT"):
+        B.decode_image(garbled)
+    # palette index past the PLTE table: ValueError, never IndexError
+    oob = sig + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    ) + chunk(b"PLTE", bytes([10, 20, 30])) + chunk(
+        b"IDAT", _z.compress(b"\x00\x05")
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="palette index"):
+        B.decode_image(oob)
 
 
 def test_png_decode_through_mapinpandas(spark):

@@ -104,12 +104,15 @@ def test_latest_driver_artifacts_are_git_tracked():
     the newest artifact on disk is not known to git, pytest fails
     loudly until it is committed.
 
-    Round-14 VERDICT timing fix: the driver writes the NEW round's
-    artifacts AFTER the builder's last commit, so those files cannot
-    possibly be tracked at judge time. Exempt any artifact whose
-    mtime is newer than HEAD's commit timestamp — the gate then
-    enforces exactly what it can: every artifact that existed before
-    the last commit must be in git."""
+    Round-14 VERDICT timing fix, re-based on ROUND NUMBERS (r15
+    ADVICE #2 — the earlier mtime-vs-HEAD exemption was vacuous on a
+    fresh clone, where every mtime resets newer than HEAD, and a bare
+    `touch` silenced it): the driver writes the NEW round's artifacts
+    AFTER the builder's last commit, so exactly the artifacts whose
+    round number exceeds the newest GIT-TRACKED round are legitimately
+    uncommitted. Any untracked artifact at or below the newest tracked
+    round was skipped by a past round-end checklist and fails loudly;
+    no filesystem timestamp can forge a round number."""
     import re
     import subprocess
     from pathlib import Path
@@ -122,30 +125,33 @@ def test_latest_driver_artifacts_are_git_tracked():
     )
     if not tracked:  # not a git checkout (e.g. exported tree) — nothing to gate
         return
-    head_ts_raw = subprocess.run(
-        ["git", "log", "-1", "--format=%ct"],
-        cwd=root, capture_output=True, text=True,
-    ).stdout.strip()
-    head_ts = int(head_ts_raw) if head_ts_raw.isdigit() else 0
 
-    def written_after_head(p):
-        return head_ts and p.stat().st_mtime > head_ts
+    def round_of(name: str) -> int:
+        return int(re.search(r"r(\d+)", name).group(1))
 
+    art_re = re.compile(r"(?:CORRECTNESS|BENCH)_r\d+\.json$")
+    max_tracked = max(
+        (round_of(n) for n in tracked if art_re.fullmatch(n)), default=0
+    )
+    new_round_on_disk = False
     for pattern in ("CORRECTNESS_r*.json", "BENCH_r*.json"):
-        on_disk = sorted(
-            root.glob(pattern),
-            key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
-        )
-        for p in on_disk:
-            if p.name in tracked or written_after_head(p):
+        for p in sorted(root.glob(pattern), key=lambda p: round_of(p.name)):
+            if p.name in tracked:
+                continue
+            if round_of(p.name) > max_tracked:
+                new_round_on_disk = True  # the driver's fresh round
                 continue
             raise AssertionError(
-                f"{p.name} exists, predates HEAD, and is not git-tracked — "
-                f"commit the driver artifacts (round-end checklist)"
+                f"{p.name} exists, belongs to an already-committed round "
+                f"(≤ r{max_tracked}), and is not git-tracked — commit the "
+                f"driver artifacts (round-end checklist)"
             )
+    # The round-less history files are rewritten by the same driver
+    # pass that writes the new round's artifacts — exempt them exactly
+    # when such a fresh round is on disk, require them tracked otherwise.
     for hist in ("bench_canary_history.json", "bench_full.json"):
         hp = root / hist
-        if hp.exists() and not written_after_head(hp):
+        if hp.exists() and not new_round_on_disk:
             assert hist in tracked, f"{hist} exists but is not git-tracked"
 
 
@@ -485,10 +491,18 @@ def test_io_canary_verdict_rules():
     assert not warn and med is None  # first sample seeds, never flags
     hist = [{"io_sec": 0.3}, {"io_sec": 0.25}, {"io_sec": 0.35},
             {"io_sec": 3.0, "io_throughput_warning": True}]
-    warn, med = _io_canary_verdict(hist, 0.4)
+    warn, med = _io_canary_verdict(hist, 0.4, probe_v=1)
     assert med == 0.3 and not warn  # flagged 3.0 excluded from median
-    warn, med = _io_canary_verdict(hist, 0.46)
+    warn, med = _io_canary_verdict(hist, 0.46, probe_v=1)
     assert warn  # 0.46 > 1.5 * 0.3
+    # version isolation (r15 ADVICE #1 fix): v1 cached-read samples
+    # (no io_probe_v field) never feed a v2 disk-read verdict — the
+    # first v2 sample re-seeds its own baseline unflagged
+    warn, med = _io_canary_verdict(hist, 5.0, probe_v=2)
+    assert not warn and med is None
+    hist2 = hist + [{"io_sec": 0.6, "io_probe_v": 2}]
+    warn, med = _io_canary_verdict(hist2, 1.2, probe_v=2)
+    assert warn and med == 0.6  # v2 baseline is the v2 sample only
 
 
 def test_scale_probe_merge_keeps_rows_co_measured():
