@@ -141,6 +141,10 @@ HEADLINE = [
     "io15_snapshot_read",
     "p18_temperature_mix",
     "d07_containment_pairs",
+    # round-16 addition: d07's occupancy-adaptive twin (the engineered
+    # answer to d07's measured 100× candidate recall loss) — 124 query
+    # rows (+3 build rows = 127 artifact rows) from r16 on
+    "d11_adaptive_containment",
     "pl02_incremental_refresh",
     "ml11_confidence_calibration",
     "a13_grouped_quantiles",
@@ -240,6 +244,13 @@ def _time_queries(
     from customer_review__etl_spark.plans import shared_intermediates
 
     detail: dict[str, float] = {}
+    # Landing attribution (r15 VERDICT optional #7): each kind records
+    # its [start, end] offset within the warm window, and an IO-canary
+    # probe brackets the whole phase — a disk wave that arrives during
+    # the warm is then localizable to the specific landings whose
+    # windows overlap it, instead of condemning the whole artifact.
+    windows: dict[str, list[float]] = {}
+    warm_t0 = 0.0
 
     def _build_kind(item) -> None:
         kind, fn = item
@@ -254,7 +265,9 @@ def _time_queries(
             fn(spark, sf_dir)  # forces the parquet landing on first touch
         finally:
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
-        detail[kind] = round(time.time() - t, 3)
+        end = time.time()
+        detail[kind] = round(end - t, 3)
+        windows[kind] = [round(t - warm_t0, 3), round(end - warm_t0, 3)]
 
     warmers = shared_intermediates()
     # Measurement valve (r15, pl05-drift A/B): exclude named kinds
@@ -280,11 +293,13 @@ def _time_queries(
     order = [k for k in longest_first if k in warmers] + sorted(
         k for k in warmers if k not in longest_first
     )
-    t0 = time.time()
+    io_pre = _canary_io_probe()
+    t0 = warm_t0 = time.time()
     with ThreadPoolExecutor(max_workers=len(order)) as pool:
         list(pool.map(_build_kind, [(k, warmers[k]) for k in order]))
     spark.catalog.clearCache()
     build = round(time.time() - t0, 3)
+    io_probes = {"pre": io_pre, "post": _canary_io_probe()}
     # The warm builds (notably the d06 CC fixpoint's per-round local
     # checkpoints and the pl06 chain's shuffles) leave dead blocks and
     # shuffle files that Spark's ContextCleaner only reclaims after a
@@ -345,7 +360,7 @@ def _time_queries(
             spark.catalog.clearCache()
         timings[name] = min(times)
         all_reps[name] = times
-    return timings, all_reps, detail
+    return timings, all_reps, detail, windows, io_probes
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -718,7 +733,9 @@ def main() -> int:
     else:
         small = {}
 
-    timings, rep_detail, scratch_detail = _time_queries(spark, qs, sf_dir, reps)
+    timings, rep_detail, scratch_detail, scratch_windows, scratch_io = (
+        _time_queries(spark, qs, sf_dir, reps)
+    )
     _canary_recheck(spark, out)
     out["value"] = round(sum(timings.values()), 3)
     out["queries"] = timings
@@ -726,6 +743,13 @@ def main() -> int:
     # per-intermediate attribution of the scratch_build row (walls
     # overlap: builds after "shingles" run concurrently)
     out["scratch_build_detail"] = scratch_detail
+    # landing attribution (r15 VERDICT optional #7): per-kind [start,
+    # end] offsets inside the warm window plus IO-probe readings taken
+    # immediately before/after it — a mid-run disk wave points at the
+    # specific landings whose windows it overlaps (post ≫ pre with a
+    # green start canary = the wave arrived DURING the warm phase)
+    out["scratch_build_windows"] = scratch_windows
+    out["scratch_build_io_probe"] = scratch_io
     # spread = (max-min)/min per query — the contention/caching
     # instability signal; anything > ~0.5 means the min is not a
     # steady-state number and cross-round deltas for that query are

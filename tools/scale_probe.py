@@ -83,6 +83,9 @@ PROBE_PAIR = [
     "d10_adaptive_block_jaccard",  # r15: d04 + the 6-gram recovery pass —
                                    # its saturation behavior IS the scale
                                    # story, so probe both decades
+    "d11_adaptive_containment",  # r16: d07's occupancy-adaptive twin —
+                                 # probed through the same saturation
+                                 # transition as d10
     "dc03_verbatim_decontaminate",
     "gr02_triangle_count",
     "gr03_khop_reachability",
@@ -387,17 +390,23 @@ def main() -> int:
                 if d is None:
                     continue
                 row[f"cands_{key}"] = cand_fn(spark, d).count()
-        if name == "d10_adaptive_block_jaccard":
-            # r15: the level-2 recovery stream grows with SATURATION —
-            # count uncovered docs and per-level candidates so the
-            # wall ratio has its mechanism on record
+        if name in ("d10_adaptive_block_jaccard",
+                    "d11_adaptive_containment"):
+            # r15/r16: the level-2 recovery stream grows with
+            # SATURATION — count uncovered docs and per-level
+            # candidates so the wall ratio has its mechanism on record
             from customer_review__etl_spark.plans import dedupplans
 
+            stats_fn = (
+                dedupplans.d10_level2_stats
+                if name.startswith("d10")
+                else dedupplans.d11_level2_stats
+            )
             for key, d in (("base", src), ("repl", dst_repl),
                            ("org", dst_org)):
                 if d is None:
                     continue
-                st = dedupplans.d10_level2_stats(spark, d)
+                st = stats_fn(spark, d)
                 for k, v in st.items():
                     row[f"{k}_{key}"] = v
         if name == "d08_repeated_substrings":
