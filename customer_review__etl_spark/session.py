@@ -29,6 +29,24 @@ _RUNTIME_CONFS: dict[str, str] = {
     # pd.to_datetime(errors='coerce') (cleaner.py:104-107): non-ANSI
     # casts yield NULL instead of raising.
     "spark.sql.ansi.enabled": "false",
+    # InferFiltersFromGenerate synthesizes `size(arr) > 0 AND
+    # isnotnull(arr)` below every explode, and predicate pushdown then
+    # substitutes the WHOLE array-building expression into that filter
+    # down at the scan. For the gram/shingle builders (nested
+    # transform() chains) the substitution nests the inner
+    # char-transform inside the outer pack-transform's lambda, and the
+    # resulting predicate is evaluated INTERPRETED, re-deriving the
+    # inner array per element — O(doc_len²) per row, measured as
+    # 20-minute scan tasks on the 30× probe corpus (r16; jstack showed
+    # GeneratedClass$SpecificPredicate.ArrayDistinct with
+    # ArrayTransform nested in ArrayTransform) vs seconds for the
+    # projection itself. The inferred filter only saves shuffling
+    # rows whose gram array is empty — which the builders' explicit
+    # length() prefilters already remove — so excluding the rule is a
+    # pure win for every explode-over-computed-array plan in this
+    # engine.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 
