@@ -727,7 +727,7 @@ def main() -> int:
         return 0
 
     if small_dir and os.path.isdir(small_dir) and small_dir != sf_dir:
-        small, _, _ = _time_queries(spark, qs, small_dir, reps)
+        small = _time_queries(spark, qs, small_dir, reps)[0]
         out["sf_small"] = _sf_of(small_dir)
         out["queries_small"] = small
     else:
