@@ -295,8 +295,9 @@ def _time_queries(
     )
     io_pre = _canary_io_probe()
     t0 = warm_t0 = time.time()
-    with ThreadPoolExecutor(max_workers=len(order)) as pool:
-        list(pool.map(_build_kind, [(k, warmers[k]) for k in order]))
+    if order:  # SKIP_WARM_KINDS may empty the set entirely (A/B valve)
+        with ThreadPoolExecutor(max_workers=len(order)) as pool:
+            list(pool.map(_build_kind, [(k, warmers[k]) for k in order]))
     spark.catalog.clearCache()
     build = round(time.time() - t0, 3)
     io_probes = {"pre": io_pre, "post": _canary_io_probe()}
@@ -339,6 +340,20 @@ def _time_queries(
             build = round(time.time() - t0, 3)
             timings["io05_build"] = build
             all_reps["io05_build"] = [build]
+        if name == "ml01_lda_themes":
+            # The shared seed-42 LDA fit is ml01+ml02's SETUP (one fit
+            # per process since r16, plans/mlplans.lda_model_m): pay
+            # and time it as its own row so the two query reps measure
+            # the scoring/describeTopics plans, not four redundant
+            # re-fits of the identical model (the ml_fit_build
+            # pattern).
+            from customer_review__etl_spark.plans import mlplans
+
+            t0 = time.time()
+            mlplans.lda_model_m(spark, sf_dir)
+            build = round(time.time() - t0, 3)
+            timings["lda_fit_build"] = build
+            all_reps["lda_fit_build"] = [build]
         if name == "ml04_classifier_metrics":
             # The 100-tree RF fit is ml04+ml10's shared SETUP (one fit
             # per process since round 9, plans/mlplans.py

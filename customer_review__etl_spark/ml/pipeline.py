@@ -18,7 +18,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml import PipelineModel
 from pyspark.ml.clustering import LDA
 from pyspark.ml.feature import IDF, CountVectorizer, NGram, StringIndexer
 from pyspark.ml.classification import RandomForestClassifier
@@ -59,28 +59,47 @@ def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fit_lda(df_tokens: DataFrame) -> tuple[PipelineModel, DataFrame]:
     """M1+M2: CountVectorizer+IDF (vocab 1000, minDF 2, maxDF 0.9) →
-    LDA(k=5, maxIter=20, seed=42); returns (model, transformed)."""
-    pipe = Pipeline(
-        stages=[
-            CountVectorizer(
-                inputCol="tokens",
-                outputCol="tf",
-                vocabSize=VOCAB_SIZE,
-                minDF=MIN_DF,
-                maxDF=MAX_DF,
-            ),
-            IDF(inputCol="tf", outputCol="tfidf"),
-            LDA(
-                k=N_TOPICS,
-                maxIter=LDA_MAX_ITER,
-                seed=SEED,
-                featuresCol="tfidf",
-                topicDistributionCol="topic_dist",
-            ),
-        ]
-    )
-    model = pipe.fit(df_tokens)
-    return model, model.transform(df_tokens)
+    LDA(k=5, maxIter=20, seed=42); returns (model, transformed).
+
+    The stages are fitted manually in pipeline order (identical
+    estimator params on identical inputs, so the fitted models — and
+    every downstream result — are the same as Pipeline.fit's) so the
+    LDA input can be persisted: the online LDA optimizer runs maxIter
+    sampling jobs over its input, and Pipeline.fit hands it the lazy
+    tokenize→CV→IDF chain, re-deriving the whole feature pipeline per
+    iteration. Persisting tokens (3 estimator passes) and the tfidf
+    vectors (maxIter LDA jobs) bounds the recompute: both are
+    per-document rows (tokens ≤ doc length, vectors ≤ vocab 1000
+    sparse), MEMORY_AND_DISK so an over-memory corpus spills instead
+    of failing."""
+    from pyspark import StorageLevel
+
+    toks = df_tokens.persist(StorageLevel.MEMORY_AND_DISK)
+    cv = CountVectorizer(
+        inputCol="tokens",
+        outputCol="tf",
+        vocabSize=VOCAB_SIZE,
+        minDF=MIN_DF,
+        maxDF=MAX_DF,
+    ).fit(toks)
+    tf = cv.transform(toks)
+    idf = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    feats = idf.transform(tf).persist(StorageLevel.MEMORY_AND_DISK)
+    lda = LDA(
+        k=N_TOPICS,
+        maxIter=LDA_MAX_ITER,
+        seed=SEED,
+        featuresCol="tfidf",
+        topicDistributionCol="topic_dist",
+    ).fit(feats)
+    model = PipelineModel(stages=[cv, idf, lda])
+    transformed = lda.transform(feats)
+    # the fit is done; consumers of `transformed` recompute the (one)
+    # feature pass lazily — the iterative phase above is what needed
+    # the pin
+    toks.unpersist()
+    feats.unpersist()
+    return model, transformed
 
 
 def assign_topics(transformed: DataFrame) -> DataFrame:
@@ -215,37 +234,46 @@ def fit_classifier(
 ) -> tuple[PipelineModel, DataFrame, DataFrame]:
     """M7+M8: the second, unigram-only TF-IDF (cleaner.py:251-257) +
     RF(numTrees=100, seed=42); fit on train, transform test."""
-    train = df_tokens_split.filter(F.col("split") == "train")
-    test = df_tokens_split.filter(F.col("split") == "test")
-    pipe = Pipeline(
-        stages=[
-            CountVectorizer(
-                inputCol="unigrams", outputCol="tf_c", vocabSize=VOCAB_SIZE
-            ),
-            IDF(inputCol="tf_c", outputCol="features"),
-            # handleInvalid="keep": a label that appears only in the
-            # test stratum (a 1-doc language: ⌊4·1/5⌋ = 0 train rows)
-            # must SCORE, not crash — it indexes to the extra "unseen"
-            # class, which no prediction can equal, so it counts as
-            # incorrect; known-label indices are unchanged. At corpus
-            # scale unseen serving labels are routine, and a scoring
-            # pass that aborts on one is a pipeline outage.
-            StringIndexer(
-                inputCol=label_col,
-                outputCol="label",
-                stringOrderType="alphabetAsc",
-                handleInvalid="keep",
-            ),
-            RandomForestClassifier(
-                numTrees=N_TREES,
-                seed=SEED,
-                featuresCol="features",
-                labelCol="label",
-            ),
-        ]
+    from pyspark import StorageLevel
+
+    # Staged fit with the train split persisted (the fit_lda move):
+    # Pipeline.fit re-derives the tokenize→split chain for every
+    # estimator pass (CV fit, IDF fit, indexer fit, RF fit); pinning
+    # the tokenized train rows once bounds that to one materialization.
+    # Same estimators, same order, same inputs — identical models.
+    train = df_tokens_split.filter(F.col("split") == "train").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    model = pipe.fit(train)
-    return model, model.transform(test), train
+    test = df_tokens_split.filter(F.col("split") == "test")
+    cv = CountVectorizer(
+        inputCol="unigrams", outputCol="tf_c", vocabSize=VOCAB_SIZE
+    ).fit(train)
+    tf = cv.transform(train)
+    idf = IDF(inputCol="tf_c", outputCol="features").fit(tf)
+    feats = idf.transform(tf)
+    # handleInvalid="keep": a label that appears only in the
+    # test stratum (a 1-doc language: ⌊4·1/5⌋ = 0 train rows)
+    # must SCORE, not crash — it indexes to the extra "unseen"
+    # class, which no prediction can equal, so it counts as
+    # incorrect; known-label indices are unchanged. At corpus
+    # scale unseen serving labels are routine, and a scoring
+    # pass that aborts on one is a pipeline outage.
+    si = StringIndexer(
+        inputCol=label_col,
+        outputCol="label",
+        stringOrderType="alphabetAsc",
+        handleInvalid="keep",
+    ).fit(feats)
+    rf = RandomForestClassifier(
+        numTrees=N_TREES,
+        seed=SEED,
+        featuresCol="features",
+        labelCol="label",
+    ).fit(si.transform(feats))
+    model = PipelineModel(stages=[cv, idf, si, rf])
+    out = model.transform(test)
+    train.unpersist()
+    return model, out, train
 
 
 def classification_metrics(predictions: DataFrame) -> DataFrame:

