@@ -340,6 +340,19 @@ def _time_queries(
             build = round(time.time() - t0, 3)
             timings["io05_build"] = build
             all_reps["io05_build"] = [build]
+        if name == "t22_bpe_encode":
+            # t22 applies the tokenizer t21 trains; the shared
+            # per-process training (textplans.bpe_learned_m) is its
+            # SETUP. Normally t21's reps already populated it (≈0 s
+            # here); under a SPARK_GRAFT_ONLY subset that skips t21,
+            # this row pays and times it visibly.
+            from customer_review__etl_spark.plans import textplans
+
+            t0 = time.time()
+            textplans.bpe_learned_m(spark, sf_dir)
+            build = round(time.time() - t0, 3)
+            timings["bpe_train_build"] = build
+            all_reps["bpe_train_build"] = [build]
         if name == "ml01_lda_themes":
             # The shared seed-42 LDA fit is ml01+ml02's SETUP (one fit
             # per process since r16, plans/mlplans.lda_model_m): pay

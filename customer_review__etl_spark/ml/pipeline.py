@@ -18,7 +18,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.ml import PipelineModel
+from pyspark.ml import Pipeline, PipelineModel
 from pyspark.ml.clustering import LDA
 from pyspark.ml.feature import IDF, CountVectorizer, NGram, StringIndexer
 from pyspark.ml.classification import RandomForestClassifier
@@ -234,46 +234,44 @@ def fit_classifier(
 ) -> tuple[PipelineModel, DataFrame, DataFrame]:
     """M7+M8: the second, unigram-only TF-IDF (cleaner.py:251-257) +
     RF(numTrees=100, seed=42); fit on train, transform test."""
-    from pyspark import StorageLevel
-
-    # Staged fit with the train split persisted (the fit_lda move):
-    # Pipeline.fit re-derives the tokenize→split chain for every
-    # estimator pass (CV fit, IDF fit, indexer fit, RF fit); pinning
-    # the tokenized train rows once bounds that to one materialization.
-    # Same estimators, same order, same inputs — identical models.
-    train = df_tokens_split.filter(F.col("split") == "train").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # NOTE (r16): unlike fit_lda, this fit is NOT staged-with-persist —
+    # an A/B showed the RF's internal BaggedPoint persist already
+    # bounds its passes, and persisting the train split shifted
+    # CountVectorizer's (inherently arbitrary) vocabulary tie-breaks
+    # enough to flip ml10's marginal beats-majority gate on the
+    # hostile fuzz corpus. Zero measured win, a real behavior shift:
+    # keep Pipeline.fit.
+    train = df_tokens_split.filter(F.col("split") == "train")
     test = df_tokens_split.filter(F.col("split") == "test")
-    cv = CountVectorizer(
-        inputCol="unigrams", outputCol="tf_c", vocabSize=VOCAB_SIZE
-    ).fit(train)
-    tf = cv.transform(train)
-    idf = IDF(inputCol="tf_c", outputCol="features").fit(tf)
-    feats = idf.transform(tf)
-    # handleInvalid="keep": a label that appears only in the
-    # test stratum (a 1-doc language: ⌊4·1/5⌋ = 0 train rows)
-    # must SCORE, not crash — it indexes to the extra "unseen"
-    # class, which no prediction can equal, so it counts as
-    # incorrect; known-label indices are unchanged. At corpus
-    # scale unseen serving labels are routine, and a scoring
-    # pass that aborts on one is a pipeline outage.
-    si = StringIndexer(
-        inputCol=label_col,
-        outputCol="label",
-        stringOrderType="alphabetAsc",
-        handleInvalid="keep",
-    ).fit(feats)
-    rf = RandomForestClassifier(
-        numTrees=N_TREES,
-        seed=SEED,
-        featuresCol="features",
-        labelCol="label",
-    ).fit(si.transform(feats))
-    model = PipelineModel(stages=[cv, idf, si, rf])
-    out = model.transform(test)
-    train.unpersist()
-    return model, out, train
+    pipe = Pipeline(
+        stages=[
+            CountVectorizer(
+                inputCol="unigrams", outputCol="tf_c", vocabSize=VOCAB_SIZE
+            ),
+            IDF(inputCol="tf_c", outputCol="features"),
+            # handleInvalid="keep": a label that appears only in the
+            # test stratum (a 1-doc language: ⌊4·1/5⌋ = 0 train rows)
+            # must SCORE, not crash — it indexes to the extra "unseen"
+            # class, which no prediction can equal, so it counts as
+            # incorrect; known-label indices are unchanged. At corpus
+            # scale unseen serving labels are routine, and a scoring
+            # pass that aborts on one is a pipeline outage.
+            StringIndexer(
+                inputCol=label_col,
+                outputCol="label",
+                stringOrderType="alphabetAsc",
+                handleInvalid="keep",
+            ),
+            RandomForestClassifier(
+                numTrees=N_TREES,
+                seed=SEED,
+                featuresCol="features",
+                labelCol="label",
+            ),
+        ]
+    )
+    model = pipe.fit(train)
+    return model, model.transform(test), train
 
 
 def classification_metrics(predictions: DataFrame) -> DataFrame:

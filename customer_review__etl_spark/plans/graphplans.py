@@ -171,9 +171,10 @@ def gr01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank_fp"),
             )
         )
-    return ranks.select("node", "rank_fp").orderBy(
-        F.desc("rank_fp"), "node"
-    )
+    # Trailing presentation sorts removed in r16 (order-insensitive
+    # correctness hash; the range exchange re-executed the last
+    # iteration's join stage for boundary sampling).
+    return ranks.select("node", "rank_fp")
 
 
 def _pr_oracle() -> str:
@@ -298,7 +299,6 @@ def gr02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_triangles"
             ),
         )
-        .orderBy("node")
     )
 
 
@@ -340,7 +340,7 @@ def gr03_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("hops").alias("hops"))
         )
-    return dist.orderBy("node")
+    return dist
 
 
 def _khop_oracle() -> str:
@@ -432,7 +432,6 @@ def gr04_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= SIM_TOPK)
         .select("pa", "pb", "co", "n_a", "n_b", "jaccard", "rn")
-        .orderBy("pa", "rn")
     )
 
 
@@ -528,7 +527,6 @@ def gr05_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("node").alias("part"), F.col("lbl").alias("component")
         )
-        .orderBy("part")
     )
 
 
@@ -596,9 +594,7 @@ def gr06_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("node", "lbl")
         )
-    return labels.select(
-        "node", F.col("lbl").alias("community")
-    ).orderBy("node")
+    return labels.select("node", F.col("lbl").alias("community"))
 
 
 def _gr06_round(prev: str, cur: str) -> str:

@@ -203,7 +203,6 @@ def ml06_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cid").alias("cluster"),
             F.col("d2").alias("dist2"),
         )
-        .orderBy("vec_id")
     )
 
 
@@ -293,7 +292,6 @@ def ml07_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "lang", F.col("lang_c").alias("pred_lang"), "score_bits"
         )
-        .orderBy("doc_id")
     )
 
 
@@ -420,7 +418,6 @@ def ml11_confidence_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_correct").cast("double")
             / F.col("n_docs").cast("double"),
         )
-        .orderBy(F.asc_nulls_first("margin_bucket"))
     )
 
 
@@ -456,7 +453,6 @@ def ml12_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         toks.groupBy("doc_id", bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("doc_id", "bucket")
     )
 
 

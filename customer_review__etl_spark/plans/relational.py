@@ -168,7 +168,6 @@ def p16_scalable_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ordinal", (base + F.row_number().over(w)).cast("long")
         )
         .select("event_id", "user_id", "ordinal")
-        .orderBy("event_id")
     )
 
 
@@ -558,9 +557,7 @@ def p19_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     (seq_id, doc_id, tok_offset of the slice within the sequence,
     slice_len). Core machinery in pack_sequences (shared with pl04's
     composed recipe) — scale notes there."""
-    return pack_sequences(spark, _p19_packed_in(spark, sf_dir)).orderBy(
-        "seq_id", "doc_id"
-    )
+    return pack_sequences(spark, _p19_packed_in(spark, sf_dir))
 
 
 def _p19_packed_in(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1583,7 +1580,7 @@ def w08_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "event_id",
         med.alias("rolling_median_cents"),
-    ).orderBy("event_type", "event_id")
+    )
 
 
 def w09_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1687,7 +1684,6 @@ def a13_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ranked.groupBy("o_orderpriority")
         .agg(F.max("n").cast("long").alias("n"), *picks)
-        .orderBy(F.asc_nulls_first("o_orderpriority"))
     )
 
 
@@ -1769,7 +1765,6 @@ def a16_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(0)
             ).alias("n_outliers"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -2119,7 +2114,6 @@ def p20_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rp.withColumn("ordinal", (base + F.row_number().over(w)).cast("long"))
         .select("doc_id", "n_tokens", "stage", "ordinal")
-        .orderBy("ordinal")
     )
 
 
@@ -2654,10 +2648,17 @@ def u03_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # Explicit repartition on the group key (the d04/round-7 lesson,
+    # r16): the grouped-map exchange is ENSURE_REQUIREMENTS, so AQE
+    # coalesces the few-MB shuffle to 1-2 partitions and EVERY
+    # per-group Python round trip serializes into one straggler task
+    # (measured 7.5 s → 2.0 s at sf0.1, 1500 groups). groupBy reuses
+    # this partitioning (same key, same width), so no extra exchange;
+    # per-group Python cost is what matters, not shuffle bytes.
     return (
-        ev.groupBy("user_id")
+        ev.repartition(shuffle_width(spark), "user_id")
+        .groupBy("user_id")
         .applyInPandas(smooth, schema)
-        .orderBy("user_id", "event_id")
     )
 
 
@@ -2709,7 +2710,7 @@ def u07_arrow_batch_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.mapInArrow(
         clip_batches, "event_id LONG, clipped_cents LONG"
-    ).orderBy("event_id")
+    )
 
 
 _U07_SQL = """
@@ -2776,7 +2777,6 @@ def u06_ewma_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.repartition(shuffle_width(spark), "user_id")
         .sortWithinPartitions("user_id", "ts", "event_id")
         .mapInPandas(fold, schema)
-        .orderBy("user_id", "event_id")
     )
 
 

@@ -267,7 +267,6 @@ def s03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos"),
         )
         .filter(F.col("cos") >= NEAR_COS)
-        .orderBy("vec_a", "vec_b")
     )
 
 
@@ -743,7 +742,6 @@ def s09_capped_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos"),
         )
         .filter(F.col("cos") >= NEAR_COS)
-        .orderBy("vec_a", "vec_b")
     )
 
 
@@ -900,7 +898,6 @@ def s05_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survivor",
             (F.col("vec_id") == F.col("cluster_id")).cast("int"),
         )
-        .orderBy("vec_id")
     )
 
 
@@ -1010,7 +1007,6 @@ def s06_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= PQ_TOPK)
         .select("q_id", "n_id", "adc", "rn")
-        .orderBy("q_id", "rn")
     )
 
 
