@@ -832,13 +832,13 @@ def main() -> int:
         compact["worst_rep_spread"] = dict(noisy)
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     compact["slowest"] = dict(slowest)
-    # Only the last ~2000 stdout chars survive; include the full
-    # per-query map only when the line still fits comfortably.
+    # The driver contract requires the per-query map inline:
+    # {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+    # r16 dropped it past 1500 chars, which left PERF_r16.per_query empty;
+    # always emit it now (compact separators keep the line as short as
+    # possible in case the capture window is bounded).
     with_queries = dict(compact, queries=timings)
-    line = json.dumps(with_queries)
-    if len(line) > 1500:
-        line = json.dumps(compact)
-    print(line)
+    print(json.dumps(with_queries, separators=(",", ":")))
     return 0
 
 

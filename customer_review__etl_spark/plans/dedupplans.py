@@ -1905,7 +1905,11 @@ def d08_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("text") >= L)
         .select("doc_id", "text")
     )
-    doc_anchors = d08_doc_anchors(base)
+    # anchors computed ONCE and cached for the self-join: without the
+    # cache both branches of the candidate join re-ran the full O(n·w)
+    # rolling-min winnowing transform over the corpus (two Generate
+    # nodes in the r16 plan) — guide §1.2 "don't compute things twice".
+    doc_anchors = d08_doc_anchors(base).cache()
     cand = (
         doc_anchors.alias("a")
         .join(
@@ -1919,26 +1923,38 @@ def d08_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    grams = f"transform(sequence(1, length(text) - {L} + 1), i -> substr(text, i, {L}))"
+    # Verify joins ship TEXT, not gram arrays (r17, guide §2.3
+    # "shuffle keys and metadata instead of payloads"): the old shape
+    # projected each doc's FULL L-gram array (~40× the text bytes)
+    # below the exchange, computing it for EVERY corpus doc and
+    # shuffling it corpus-wide — for a candidate set that is
+    # output-sized (297 pairs / 549 involved docs of 5000 at sf0.1).
+    # Shuffling the raw text instead cuts the verify exchanges ~40×
+    # in bytes, and building the gram arrays inside the post-join
+    # filter evaluates the O(len) transform only per surviving
+    # candidate ROW (~2×pairs) instead of 2×|corpus|. hint("merge")
+    # still pins both joins to SMJ — a text side must never become a
+    # broadcast build side (the r14 catch: Catalyst underestimates
+    # text-derived sizes and a borderline estimate flipped exactly
+    # that at 30×).
+    grams_a = (
+        f"transform(sequence(1, length(ta) - {L} + 1), "
+        f"i -> substr(ta, i, {L}))"
+    )
+    grams_b = (
+        f"transform(sequence(1, length(tb) - {L} + 1), "
+        f"i -> substr(tb, i, {L}))"
+    )
     bodies_a = base.select(
-        F.col("doc_id").alias("doc_a"), F.expr(grams).alias("ga")
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")
     )
     bodies_b = base.select(
-        F.col("doc_id").alias("doc_b"), F.expr(grams).alias("gb")
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")
     )
-    # The gram-array tables are corpus-sized (each row carries the
-    # doc's FULL L-gram array, ~40× the text bytes — a size Catalyst
-    # UNDERESTIMATES because transform() output stats inherit the scan
-    # bytes), so they must never become a broadcast build side:
-    # measured r14, a borderline estimate flipped exactly that at 30×
-    # under ambient memory pressure and blew the broadcast build
-    # ("Not enough memory to build and broadcast") inside the landing
-    # write. hint("merge") pins both verify joins to SMJ on the pair
-    # ids — bodies shuffle only for candidates, the documented shape.
     return (
         cand.join(bodies_a.hint("merge"), "doc_a")
         .join(bodies_b.hint("merge"), "doc_b")
-        .filter(F.arrays_overlap("ga", "gb"))
+        .filter(F.arrays_overlap(F.expr(grams_a), F.expr(grams_b)))
         .select("doc_a", "doc_b")
     )
 

@@ -36,7 +36,7 @@ from pyspark.sql.window import Window
 
 from ..sources import tables
 from . import QuerySpec
-from .helpers import sql_cc_min_label
+from .helpers import shuffle_width, sql_cc_min_label
 
 PR_SCALE = 1_000_000  # fixed-point rank unit
 PR_ITERS = 3          # fixed, unrolled in the oracle
@@ -129,7 +129,17 @@ def gr01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              + Σ_{u→v} (85 * rank(u)) // (100 * outdeg(u))
     The graph is symmetric by construction, so there are no dangling
     nodes (every node has outdeg ≥ 1) and no dangling-mass term."""
-    edges = _copurchase_edges(spark, sf_dir).cache()
+    # hash-partition the cached edges on src ONCE (session-scaled
+    # width): every iteration's edges⋈ranks join and deg's groupBy
+    # cluster on src, so the cached partitioning satisfies
+    # ENSURE_REQUIREMENTS and the per-iteration edge re-shuffle
+    # (3× the edge list) disappears — guide §2.4, "two operations
+    # keyed the same way share one exchange".
+    edges = (
+        _copurchase_edges(spark, sf_dir)
+        .repartition(shuffle_width(spark), "src")
+        .cache()
+    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # nodes == sources (symmetric graph); N as a broadcast 1-row agg
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
@@ -321,8 +331,14 @@ def gr03_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     no anti-join/subtract shuffle, no driver-side frontier state. At
     100 TB each round shuffles only (long, int) pairs; fixed hop count
     = fixed stage count, and the edge list is the materialized shared
-    intermediate (cached across rounds)."""
-    edges = _copurchase_edges(spark, sf_dir).cache()
+    intermediate (cached across rounds, hash-partitioned on src once
+    so each round's edges⋈dist join reuses the cached partitioning
+    instead of re-shuffling the edge list — the gr01 move)."""
+    edges = (
+        _copurchase_edges(spark, sf_dir)
+        .repartition(shuffle_width(spark), "src")
+        .cache()
+    )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     dist = nodes.filter(F.col("node") % KHOP_SEED_MOD == 0).select(
         "node", F.lit(0).cast("long").alias("hops")
@@ -408,12 +424,27 @@ def gr04_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("co"))
     )
-    # both directions so every part ranks its own neighbor list
-    sym = co.unionByName(
-        co.select(
-            F.col("pb").alias("pa"), F.col("pa").alias("pb"), "co"
-        )
-    )
+    # both directions so every part ranks its own neighbor list.
+    # explode(array(fwd, rev)) instead of union(co, co-flipped): the
+    # union form compiled the WHOLE co-occurrence subtree (self-join +
+    # (pa,pb) count shuffle, the dominant cost of the query) twice —
+    # one branch per direction; the explode derives both directions
+    # JVM-side from ONE aggregation pass (guide §2.4: remove the
+    # duplicated exchange outright). Same rows by construction.
+    sym = co.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa"), F.col("pb"), F.col("co")
+                ),
+                F.struct(
+                    F.col("pb").alias("pa"),
+                    F.col("pa").alias("pb"),
+                    F.col("co"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.pa", "s.pb", "s.co")
     na = n_ord.select(F.col("l_partkey").alias("pa"), F.col("n_o").alias("n_a"))
     nb = n_ord.select(F.col("l_partkey").alias("pb"), F.col("n_o").alias("n_b"))
     from pyspark.sql.window import Window

@@ -158,7 +158,6 @@ def io05_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
             F.sum(rev).alias("revenue_e4"),
         )
-        .orderBy("o_orderstatus")
     )
 
 
@@ -189,7 +188,6 @@ def io06_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.option("mergeSchema", "true")
         .parquet(out)
         .select("n_nationkey", "n_name", "n_regionkey")
-        .orderBy("n_nationkey")
     )
 
 
@@ -307,7 +305,6 @@ def io09_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("change"),
         )
         .filter(F.col("change") != "same")
-        .orderBy("s_suppkey")
     )
 
 
@@ -342,9 +339,7 @@ def io14_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_scratch("io14_merge_")
     sinks.write_parquet(merged, out)
     df = spark.read.schema(merged.schema).parquet(out)
-    return df.select("o_orderkey", "o_custkey", "price_cents", "action").orderBy(
-        "o_orderkey"
-    )
+    return df.select("o_orderkey", "o_custkey", "price_cents", "action")
 
 
 def _io14_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -508,7 +503,7 @@ def io15_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = outs[0]
     for o in outs[1:]:
         df = df.unionByName(o)
-    return df.orderBy("snapshot_version")
+    return df
 
 
 _IO15_SQL = f"""
@@ -561,7 +556,7 @@ def io16_quarantine_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     quar = spark.read.schema(schema).parquet(
         f"{out}/quarantine"
     ).withColumn("status", F.lit("quarantined"))
-    return valid.unionByName(quar).orderBy("event_id")
+    return valid.unionByName(quar)
 
 
 _IO16_SQL = f"""
@@ -718,7 +713,6 @@ def io12_nested_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema(nested.schema)
         .parquet(out)
         .select("s_suppkey", F.col("meta.s_name").alias("s_name"))
-        .orderBy("s_suppkey")
     )
 
 
@@ -780,7 +774,6 @@ def io11_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("rid").alias("sum_rid"),
         )
-        .orderBy("score")
     )
 
 

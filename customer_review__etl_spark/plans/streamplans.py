@@ -40,7 +40,6 @@ def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents(F.col("value"))).alias("sum_cents"),
         )
         .select(F.col("w.start").alias("wstart"), "event_type", "n", "sum_cents")
-        .orderBy("wstart", "event_type")
     )
 
 
@@ -51,7 +50,6 @@ def st02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("wstart"), "event_type", "n")
-        .orderBy("wstart", "event_type")
     )
 
 
@@ -69,7 +67,6 @@ def st03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "n",
         )
-        .orderBy("user_id", "session_start")
     )
 
 
@@ -82,7 +79,7 @@ def st04_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.withColumn(
         "wstart", F.col("wstart").cast("timestamp_ntz")
-    ).orderBy("wstart", "event_type")
+    )
 
 
 def st05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,7 +97,7 @@ def st05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             jobs.stream_events(spark, sf_dir, single_batch=True)
         )
     )
-    return out.select("user_id", "event_type").orderBy("user_id", "event_type")
+    return out.select("user_id", "event_type")
 
 
 def st06_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,7 +109,7 @@ def st06_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         jobs.stateful_user_stats(jobs.stream_events(spark, sf_dir)),
         keys=["user_id"],
     )
-    return out.orderBy("user_id")
+    return out
 
 
 def st07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,7 +120,7 @@ def st07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.withColumn(
         "wstart", F.col("wstart").cast("timestamp_ntz")
-    ).orderBy("wstart", "category")
+    )
 
 
 def st08_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,7 +157,6 @@ def st08_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.coalesce(F.col("n"), F.lit(0)).alias("n"),
         )
-        .orderBy("wstart", "event_type")
     )
 
 
@@ -178,7 +174,7 @@ def st10_keyed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.withColumn(
         "ts", F.col("ts").cast("timestamp_ntz")
-    ).orderBy("user_id")
+    )
 
 
 def st11_incremental_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,7 +201,7 @@ def st11_incremental_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     jobs.run_incremental(stream(), ckpt, out)
     ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
     final = jobs.run_incremental(stream(), ckpt, out)
-    return final.orderBy("event_id")
+    return final
 
 
 def st09_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,7 +220,6 @@ def st09_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.withColumn("v_ts", F.col("v_ts").cast("timestamp_ntz"))
         .withColumn("p_ts", F.col("p_ts").cast("timestamp_ntz"))
-        .orderBy("view_id", "purchase_id")
     )
 
 
@@ -286,7 +281,6 @@ def st12_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema(flagged.schema)
         .parquet(out_dir)
         .select("event_id", "event_type", "value", "status")
-        .orderBy("event_id")
     )
 
 
@@ -335,7 +329,7 @@ def st13_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         output_mode="append",
     )
-    return out.orderBy("wstart")
+    return out
 
 
 _ST13_SQL = f"""

@@ -106,7 +106,15 @@ def propose(slots: int = 50) -> dict:
             if sum(1 for m in head if _letters(m) == _letters(n)) < 2:
                 continue
             trial = [x for x in head if x != n] + [cand]
-            if _gated_covered(trial):
+            # the trial must not LOSE a family the head already covers
+            # (and must gain `fam`); demanding full gated coverage here
+            # deadlocked when >=2 families went missing in the same
+            # round — no single-family swap can ever satisfy it
+            kept = {
+                f for f in HEAD_FAMILIES
+                if any(m.startswith(f) for m in head)
+            } | {fam}
+            if all(any(m.startswith(f) for m in trial) for f in kept):
                 victim = n
                 break
         if victim is None:
