@@ -409,7 +409,8 @@ def shared_intermediates() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "shingles": dedupplans.shingles_m,            # d02 builder + dc02
         "d02_pairs": dedupplans.d02_pairs_m,          # d05, d06
         "d03_pairs": dedupplans.d03_pairs_m,          # d06
-        "d04_pairs": dedupplans.d04_pairs_m,          # d06
+        "d04_pairs": dedupplans.d04_pairs_m,          # d06, d10 level 1
+        "d07_pairs": dedupplans.d07_pairs_m,          # d11 level 1
         "d08_pairs": dedupplans.d08_pairs_m,          # d09
         "s09_pairs": simplans.s09_pairs_m,            # s05
         "s10_knn": mlplans.s10_knn_pairs_m,           # ml09

@@ -710,6 +710,27 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 D10_L2_LEN = 6  # level-2 blocking-gram length (2× the level-1 3-gram)
 
 
+def _covered_docs(grams: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    """Distinct doc ids holding ≥1 gram whose `keys` group has df in
+    [2, NGRAM_DF_CAP] — d10/d11's coverage test WITHOUT building the
+    eligible groups' doc-id arrays (r17): the main queries now read
+    their level-1 pairs from the shared d04/d07 landings, so they need
+    only the covered-doc SET, and count→filter→semi-join→distinct is
+    strictly cheaper than the collect_list+array_sort+explode pass the
+    candidate generator pays (which only the probes still need)."""
+    elig = (
+        grams.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= NGRAM_DF_CAP))
+        .select(*keys)
+    )
+    return (
+        grams.join(elig, list(keys), "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
 def _d10_level1(spark, sf_dir, arrays):
     """d10's level-1 stage: (cand1, uncovered, elig1) — d04's candidate
     pairs plus the docs with NO [2, cap]-df gram (their whole candidate
@@ -828,12 +849,36 @@ def d10_adaptive_block_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     |uncovered| × doc-length, not corpus-sized. The verify join reads
     the same merge-pinned gram-array sides as d04 (r14 d08 catch)."""
     arrays = _d04_gram_arrays(spark, sf_dir).cache()
-    cand1, uncovered, _elig1 = _d10_level1(spark, sf_dir, arrays)
-    inter = _pair_gram_intersections(
-        spark, arrays, cand1.union(_d10_cand2(uncovered)).distinct()
+    g1 = arrays.select(
+        "doc_id", "lang", "lbucket", F.explode("grams").alias("g")
     )
-    return (
-        inter.select(
+    covered = _covered_docs(g1, ("lang", "lbucket", "g"))
+    L = D10_L2_LEN
+    uncovered = (
+        _docs_par(spark, sf_dir)
+        .select("doc_id", "lang", "text")
+        .join(covered, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "lang",
+            T.normalize_text(F.col("text")).alias("norm"),
+        )
+        .withColumn("lbucket", F.floor(F.length("norm") / 100))
+        .filter(F.length("norm") >= L)
+    )
+    # Level 1 is d04 VERBATIM (same groups, same cap, same threshold,
+    # same jaccard), so its verified pairs ARE the shared d04 landing
+    # — read it instead of re-expanding and re-intersecting the same
+    # ~457K candidate pairs the d04 row already verifies (r17; guide
+    # §1.2 "don't compute things you already have"). The two levels
+    # are DISJOINT by construction — every level-1 pair joins two
+    # COVERED docs, every level-2 candidate joins two UNCOVERED docs —
+    # so the union needs no cross-level dedup; cand2 dedups itself.
+    lvl1 = d04_pairs_m(spark, sf_dir)
+    cand2 = _d10_cand2(uncovered).distinct()
+    inter2 = _pair_gram_intersections(spark, arrays, cand2)
+    lvl2 = (
+        inter2.select(
             "doc_a",
             "doc_b",
             (
@@ -847,6 +892,7 @@ def d10_adaptive_block_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= NGRAM_JACCARD_MIN)
         .drop("_pd_barrier")
     )
+    return lvl1.unionByName(lvl2)
 
 
 # --------------------------------------------------------------------------
@@ -879,9 +925,17 @@ def connected_components(edges: DataFrame) -> DataFrame:
     # against `both`, and without this the full upstream candidate
     # pipeline (shingle/signature/band joins) would re-execute per
     # round — ~10x the whole query's cost for a multi-round graph.
+    # Hash-partitioned on src BEFORE the checkpoint (r17, the gr01
+    # move): localCheckpoint preserves output partitioning, so every
+    # round's propagation join and the initial distinct-over-src reuse
+    # it instead of re-shuffling the edge list per round (guide §2.4).
+    # Width follows the session's shuffle partitions — scale-safe.
+    from .helpers import shuffle_width
+
     both = (
         edges.union(edges.select(F.col("dst"), F.col("src")))
         .toDF("src", "dst")
+        .repartition(shuffle_width(edges.sparkSession), "src")
         .localCheckpoint()
     )
     labels = (
@@ -1139,12 +1193,27 @@ def d11_adaptive_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped at C(cap, 2); the verify join is the shared merge-pinned
     gram-array shape (_pair_gram_intersections)."""
     arrays = _d04_gram_arrays(spark, sf_dir).cache()
-    cand1, uncovered, _elig1 = _d11_level1(spark, sf_dir, arrays)
-    inter = _pair_gram_intersections(
-        spark, arrays, cand1.union(_d11_cand2(uncovered)).distinct()
+    g1 = arrays.select("doc_id", "lang", F.explode("grams").alias("g"))
+    covered = _covered_docs(g1, ("lang", "g"))
+    uncovered = (
+        _docs_par(spark, sf_dir)
+        .select("doc_id", "lang", "text")
+        .join(covered, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "lang",
+            T.normalize_text(F.col("text")).alias("norm"),
+        )
+        .filter(F.length("norm") >= D10_L2_LEN)
     )
-    return (
-        inter.select(
+    # Level 1 is d07 VERBATIM — its verified pairs are the shared d07
+    # landing; levels are disjoint (covered vs uncovered endpoints),
+    # the d10 move applied to the containment operator (r17).
+    lvl1 = d07_pairs_m(spark, sf_dir)
+    cand2 = _d11_cand2(uncovered).distinct()
+    inter2 = _pair_gram_intersections(spark, arrays, cand2)
+    lvl2 = (
+        inter2.select(
             "doc_a",
             "doc_b",
             (
@@ -1156,6 +1225,7 @@ def d11_adaptive_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= D07_CONT_MIN)
         .drop("_pd_barrier")
     )
+    return lvl1.unionByName(lvl2)
 
 
 _D11_SQL = f"""
@@ -1232,9 +1302,22 @@ def d03_pairs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d04_pairs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialized d04 n-gram Jaccard pair set (consumer: d06)."""
+    """Materialized d04 n-gram Jaccard pair set (consumers: d06 and
+    d10's level 1 — which is d04 verbatim, so its verified pairs ARE
+    this landing; jaccard is carried so d10 never re-intersects the
+    same candidate set)."""
     return materialized_df(
-        spark, sf_dir, "d04", d04_ngram_jaccard, ["doc_a", "doc_b"]
+        spark, sf_dir, "d04", d04_ngram_jaccard,
+        ["doc_a", "doc_b", "jaccard"],
+    )
+
+
+def d07_pairs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized d07 containment pair set (consumer: d11's level 1,
+    which is d07 verbatim — same groups, same cap, same threshold)."""
+    return materialized_df(
+        spark, sf_dir, "d07", d07_containment_pairs,
+        ["doc_a", "doc_b", "containment"],
     )
 
 
@@ -1292,7 +1375,9 @@ def d06_unified_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the pointer-jumping loop (O(log diameter) rounds)."""
     e2 = d02_pairs_m(spark, sf_dir)
     e3 = d03_pairs_m(spark, sf_dir)
-    e4 = d04_pairs_m(spark, sf_dir)
+    # positional union below: keep the 2-col shape (the landing also
+    # carries jaccard for d10's level-1 reuse)
+    e4 = d04_pairs_m(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         e2.union(e3)
         .union(e4)

@@ -268,7 +268,14 @@ def gr02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     once; c ∈ N⁺(b) forces b π< c). The oracle counts the same
     triangles by id-canonical enumeration (a<b<c),
     orientation-independent by construction."""
-    edges = _copurchase_edges(spark, sf_dir).cache()
+    # src-partitioned cache (the gr01 move): deg's groupBy, the und
+    # filter, and the first orientation join all cluster on src, so
+    # the one explicit shuffle replaces three derived ones (§2.4).
+    edges = (
+        _copurchase_edges(spark, sf_dir)
+        .repartition(shuffle_width(spark), "src")
+        .cache()
+    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     und = edges.filter(F.col("src") < F.col("dst"))
     ds = deg.select(F.col("src").alias("_s"), F.col("deg").alias("deg_s"))

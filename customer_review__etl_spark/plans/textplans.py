@@ -603,7 +603,10 @@ def t27_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the row_number window partitions BY SPINE, so no task ever
     sorts more than one spine bucket. Everything else is t15's
     shuffles plus one broadcast join."""
-    base = _t15_scores(spark, sf_dir)
+    # cached: the score table feeds BOTH the ranking branch and the
+    # final left join — uncached, the whole t15 LM-scoring chain
+    # compiled (and ran) twice per execution (r17, guide §1.2).
+    base = _t15_scores(spark, sf_dir).cache()
     scored = base.filter(F.col("n_bigrams") > 0).withColumn(
         "bkt", F.floor("mean_bits").cast("long")
     )

@@ -509,3 +509,31 @@ def test_d11_recovers_containment_past_gram_saturation(spark, tmp_path):
                   for r in out) == sorted(
         (a, b, round(c, 9)) for a, b, c in orows
     )
+
+
+def test_d10_d11_level_reuse_never_duplicates_pairs(spark):
+    """r17: d10/d11 read their level-1 pairs from the shared d04/d07
+    landings and union the level-2 recovery pairs WITHOUT a cross-level
+    dedup — sound only while the levels are disjoint (level-1 pairs
+    join two COVERED docs, level-2 candidates two UNCOVERED docs).
+    Tripwire: on the fixture corpus the union must carry no duplicate
+    (doc_a, doc_b) and must contain the full d04/d07 output."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+
+    d10 = D.d10_adaptive_block_jaccard(spark, SF_DIR)
+    dup10 = (
+        d10.groupBy("doc_a", "doc_b").count().filter(F.col("count") > 1)
+    )
+    assert dup10.count() == 0
+    l1 = {(r["doc_a"], r["doc_b"])
+          for r in D.d04_ngram_jaccard(spark, SF_DIR).collect()}
+    got = {(r["doc_a"], r["doc_b"]) for r in d10.collect()}
+    assert l1 <= got
+
+    d11 = D.d11_adaptive_containment(spark, SF_DIR)
+    dup11 = (
+        d11.groupBy("doc_a", "doc_b").count().filter(F.col("count") > 1)
+    )
+    assert dup11.count() == 0
