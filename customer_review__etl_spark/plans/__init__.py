@@ -407,6 +407,7 @@ def shared_intermediates() -> dict[str, Callable[[SparkSession, str], DataFrame]
 
     return {
         "shingles": dedupplans.shingles_m,            # d02 builder + dc02
+        "gram_arrays": dedupplans.gram_arrays_m,      # d04/d07/d10/d11
         "d02_pairs": dedupplans.d02_pairs_m,          # d05, d06
         "d03_pairs": dedupplans.d03_pairs_m,          # d06
         "d04_pairs": dedupplans.d04_pairs_m,          # d06, d10 level 1
@@ -417,6 +418,9 @@ def shared_intermediates() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "copurchase": graphplans._copurchase_edges,   # gr01, gr02
         "copurchase_thresholded": graphplans._copurchase_thresholded_m,  # gr05
         "d06_survivors": pipelineplans.d06_survivors_m,   # pl06 (both uses)
+        "dc01_ids": pipelineplans.dc01_ids_m,          # pl04/pl05/pl06 stage 2
+        "dc03_ids": pipelineplans.dc03_ids_m,          # pl04/pl05/pl06 stage 2
+        "t25_keep": pipelineplans.t25_keep_ids_m,      # pl04/pl05/pl06 stage 3
         "pl06_packed_in": pipelineplans._pl06_packed_in_m,  # pl06 branches
     }
 

@@ -510,6 +510,21 @@ def _d04_gram_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gram_arrays_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc packed-3-gram array table as a once-per-process
+    parquet landing (r17). The r7 A/B that kept this in-memory-only
+    ("d04 is their only direct consumer") is stale: d07, d10 and d11
+    now derive candidates/coverage from the same table, so a bench
+    pass re-ran the normalize→codepoint-pack→array_distinct build
+    8-10× (4 queries × 2 reps + the d04/d07 pair landings). One
+    landing, consumers read the scan (and .cache() it for their own
+    multi-branch use)."""
+    return materialized_df(
+        spark, sf_dir, "gram_arrays", _d04_gram_arrays,
+        ["doc_id", "lang", "lbucket", "grams", "n"],
+    )
+
+
 def _d04_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded view of _d04_gram_arrays: (doc_id, lang, lbucket, g)."""
     return _d04_gram_arrays(spark, sf_dir).select(
@@ -657,11 +672,11 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup.py::test_d04_cap_recall_floor_on_corpus pins a
     0.95 floor as the tripwire for future cap/corpus changes.
 
-    The gram arrays stay an in-memory .cache(), NOT a materialized_df
-    parquet: d04 is their only direct consumer (d05/d06 consume d04's
-    materialized PAIR set, never the raw grams), so a parquet landing
-    would pay the big array column's write+3×decode for zero sharing —
-    measured ≈ equal steady-state and +60% on the first call.
+    The gram arrays are a shared parquet landing since r17
+    (gram_arrays_m): the r7 single-consumer measurement that kept them
+    in-memory-only predates d07/d10/d11, which now all derive
+    candidates/coverage from the same table — one landing replaces
+    8-10 rebuilds of the normalize→pack→distinct chain per bench pass.
 
     PERF (round-7 root-cause of the r6 17 s bench anomaly): the
     candidate pair set is tiny on disk (~16 B/row), so AQE's
@@ -676,7 +691,7 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the nondeterministic `_pd_barrier` column blocks that pushdown
     (PushPredicateThroughNonJoin requires an all-deterministic
     projection), halving intersect work. Same rows either way."""
-    arrays = _d04_gram_arrays(spark, sf_dir).cache()
+    arrays = gram_arrays_m(spark, sf_dir).cache()
     grams = arrays.select(
         "doc_id", "lang", "lbucket", F.explode("grams").alias("g")
     )
@@ -848,7 +863,7 @@ def d10_adaptive_block_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates engine-dependent); the stream they key is
     |uncovered| × doc-length, not corpus-sized. The verify join reads
     the same merge-pinned gram-array sides as d04 (r14 d08 catch)."""
-    arrays = _d04_gram_arrays(spark, sf_dir).cache()
+    arrays = gram_arrays_m(spark, sf_dir).cache()
     g1 = arrays.select(
         "doc_id", "lang", "lbucket", F.explode("grams").alias("g")
     )
@@ -1040,7 +1055,7 @@ def d07_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the CPU-heavy verify into straggler tasks (the round-7 lesson);
     `_pd_barrier` keeps Catalyst from double-evaluating the
     containment filter inside the join."""
-    arrays = _d04_gram_arrays(spark, sf_dir).cache()
+    arrays = gram_arrays_m(spark, sf_dir).cache()
     inter = _pair_gram_intersections(spark, arrays, _d07_candidates(arrays))
     return (
         inter.select(
@@ -1192,7 +1207,7 @@ def d11_adaptive_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     count→filter→semi-join→collect_list shape; per-group fan-out is
     capped at C(cap, 2); the verify join is the shared merge-pinned
     gram-array shape (_pair_gram_intersections)."""
-    arrays = _d04_gram_arrays(spark, sf_dir).cache()
+    arrays = gram_arrays_m(spark, sf_dir).cache()
     g1 = arrays.select("doc_id", "lang", F.explode("grams").alias("g"))
     covered = _covered_docs(g1, ("lang", "g"))
     uncovered = (

@@ -119,24 +119,38 @@ def io05_bucketed_tables(
     out = run_scratch("io05_bucket_")
     tag = uuid.uuid4().hex[:8]
     t_orders, t_line = f"io05_orders_{tag}", f"io05_lineitem_{tag}"
-    (
-        tables.load(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_orderstatus")
-        .write.bucketBy(IO05_BUCKETS, "o_orderkey")
-        .sortBy("o_orderkey")
-        .option("path", f"{out}/orders")
-        .mode("overwrite")
-        .saveAsTable(t_orders)
-    )
-    (
-        tables.load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-        .write.bucketBy(IO05_BUCKETS, "l_orderkey")
-        .sortBy("l_orderkey")
-        .option("path", f"{out}/lineitem")
-        .mode("overwrite")
-        .saveAsTable(t_line)
-    )
+
+    # The two CTAS writes are independent jobs — submit them from two
+    # driver threads so the second back-fills the first's task tail
+    # (guide §2.6 "overlap independent jobs") instead of running
+    # strictly after it.
+    def _write_orders() -> None:
+        (
+            tables.load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus")
+            .write.bucketBy(IO05_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", f"{out}/orders")
+            .mode("overwrite")
+            .saveAsTable(t_orders)
+        )
+
+    def _write_lineitem() -> None:
+        (
+            tables.load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount")
+            .write.bucketBy(IO05_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", f"{out}/lineitem")
+            .mode("overwrite")
+            .saveAsTable(t_line)
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(_write_orders), pool.submit(_write_lineitem)]:
+            f.result()
     _BUCKETED_CACHE[sf_dir] = (t_orders, t_line)
     return spark.table(t_orders), spark.table(t_line)
 

