@@ -940,17 +940,14 @@ def connected_components(edges: DataFrame) -> DataFrame:
     # against `both`, and without this the full upstream candidate
     # pipeline (shingle/signature/band joins) would re-execute per
     # round — ~10x the whole query's cost for a multi-round graph.
-    # Hash-partitioned on src BEFORE the checkpoint (r17, the gr01
-    # move): localCheckpoint preserves output partitioning, so every
-    # round's propagation join and the initial distinct-over-src reuse
-    # it instead of re-shuffling the edge list per round (guide §2.4).
-    # Width follows the session's shuffle partitions — scale-safe.
-    from .helpers import shuffle_width
-
+    # NOT src-repartitioned before the checkpoint (r17): A/B'd twice
+    # in both orderings on gr05 and measured ~1 s WORSE (4.2 s vs
+    # 3.1 s means) — the up-front full-edge shuffle plus the wider
+    # checkpoint write cost more than the per-round propagation joins
+    # save on corpora whose label table is tiny next to the edges.
     both = (
         edges.union(edges.select(F.col("dst"), F.col("src")))
         .toDF("src", "dst")
-        .repartition(shuffle_width(edges.sparkSession), "src")
         .localCheckpoint()
     )
     labels = (

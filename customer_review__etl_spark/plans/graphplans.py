@@ -268,14 +268,12 @@ def gr02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     once; c ∈ N⁺(b) forces b π< c). The oracle counts the same
     triangles by id-canonical enumeration (a<b<c),
     orientation-independent by construction."""
-    # src-partitioned cache (the gr01 move): deg's groupBy, the und
-    # filter, and the first orientation join all cluster on src, so
-    # the one explicit shuffle replaces three derived ones (§2.4).
-    edges = (
-        _copurchase_edges(spark, sf_dir)
-        .repartition(shuffle_width(spark), "src")
-        .cache()
-    )
+    # NOT src-repartitioned (r17): the gr01 move was A/B'd here twice
+    # in both orderings and measured flat-to-worse (means 5.2 s vs
+    # 4.7 s) — the compiled plan shows the cached-under-AQE
+    # partitioning is not recognized by the orientation joins, so the
+    # up-front full-edge shuffle buys nothing.
+    edges = _copurchase_edges(spark, sf_dir).cache()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     und = edges.filter(F.col("src") < F.col("dst"))
     ds = deg.select(F.col("src").alias("_s"), F.col("deg").alias("deg_s"))
@@ -338,14 +336,12 @@ def gr03_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     no anti-join/subtract shuffle, no driver-side frontier state. At
     100 TB each round shuffles only (long, int) pairs; fixed hop count
     = fixed stage count, and the edge list is the materialized shared
-    intermediate (cached across rounds, hash-partitioned on src once
-    so each round's edges⋈dist join reuses the cached partitioning
-    instead of re-shuffling the edge list — the gr01 move)."""
-    edges = (
-        _copurchase_edges(spark, sf_dir)
-        .repartition(shuffle_width(spark), "src")
-        .cache()
-    )
+    intermediate (cached across rounds). NOT src-repartitioned: the
+    gr01 move was A/B'd here twice in both orderings and measured
+    ~25% WORSE (means 5.1 s vs 3.9 s) — the per-hop dist table is
+    tiny, so the up-front full-edge shuffle costs more than the
+    per-round joins save."""
+    edges = _copurchase_edges(spark, sf_dir).cache()
     nodes = edges.select(F.col("src").alias("node")).distinct()
     dist = nodes.filter(F.col("node") % KHOP_SEED_MOD == 0).select(
         "node", F.lit(0).cast("long").alias("hops")
