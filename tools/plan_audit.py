@@ -153,6 +153,33 @@ EXPECTED_WIDE_BROADCAST: dict[str, tuple[frozenset, int, str]] = {
     "ml11_confidence_calibration": (
         frozenset({"v"}), 2, "inherits ml07's ≤ #classes-row stats"
     ),
+    # r17 gram_arrays landing: the [2, cap]-df ELIGIBLE-KEY sets now
+    # carry realistic parquet-scan size estimates, so the candidate/
+    # coverage semi-joins broadcast them. The build side is the
+    # cap-filtered KEY set — fixed-width (lang[, lbucket], g) rows
+    # where `g` is the packed 63-bit BIGINT (level 1) or the 6-char
+    # level-2 key, NEVER a gram array — bounded by the blocking
+    # keyspace at saturation, and the scan estimate GROWS with the
+    # corpus so the flip reverses to SMJ at scale (the safe
+    # direction; the r14 hazard was an UNDERestimated corpus-sized
+    # payload side flipping TO broadcast).
+    "d04_ngram_jaccard": (
+        frozenset({"g"}), 1,
+        "eligible-key set (narrow fixed-width rows, DF-cap-filtered, "
+        "keyspace-bounded; estimate grows with corpus → SMJ at scale)"
+    ),
+    "d07_containment_pairs": (
+        frozenset({"g"}), 1, "same eligible-key bound as d04"
+    ),
+    "d10_adaptive_block_jaccard": (
+        frozenset({"g"}), 3,
+        "level-1 coverage + level-2 count/groups eligible-key sets "
+        "(same bound as d04; level-2 keys are 6-char strings over the "
+        "uncovered stream only)"
+    ),
+    "d11_adaptive_containment": (
+        frozenset({"g"}), 3, "same three eligible-key sets as d10"
+    ),
     # prepack subplans: ONLY dc03's bounded anchor table (inlined once
     # per decontamination consumer) may broadcast wide columns there
     "pl04_data_recipe (prepack)": (
